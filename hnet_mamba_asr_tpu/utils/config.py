@@ -1,0 +1,119 @@
+"""Config system: YAML files + CLI dotlist overrides -> plain nested dicts.
+
+The reference drives every experiment from YAML merged with ``key.sub=value``
+command-line overrides (reference: scripts/train.py:38-43 via OmegaConf). This
+is a dependency-free equivalent: ``load_config(path, overrides)`` returns a
+plain nested dict; override values are parsed with YAML semantics so
+``train.max_epoch=120``, ``optim_conf.betas=[0.9,0.98]``, ``scheduler=null``
+all do the right thing. ``flatten_config`` hoists the nested ``train.*`` /
+``eval.*`` blocks into the flat key set the Trainer reads (reference:
+src/dcasr/tasks/build.py:34-58).
+"""
+from __future__ import annotations
+
+import copy
+import json
+from pathlib import Path
+from typing import Any, Mapping, Sequence
+
+import yaml
+
+
+def load_yaml(path: str | Path) -> dict:
+    with open(path) as f:
+        out = yaml.safe_load(f)
+    return out or {}
+
+
+def deep_merge(base: dict, extra: Mapping) -> dict:
+    """Recursively merge ``extra`` into a copy of ``base`` (extra wins)."""
+    out = copy.deepcopy(dict(base))
+    for k, v in extra.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, Mapping):
+            out[k] = deep_merge(out[k], v)
+        else:
+            out[k] = copy.deepcopy(v)
+    return out
+
+
+def parse_value(text: str) -> Any:
+    """Parse a dotlist RHS: int/float first (so '1e-3' is a float — YAML 1.1
+    would keep it a string), then YAML scalar semantics ('null'->None, lists...)."""
+    s = text.strip()
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    try:
+        return float(s)
+    except ValueError:
+        pass
+    try:
+        return yaml.safe_load(s)
+    except yaml.YAMLError:
+        return text
+
+
+def set_dotted(cfg: dict, key: str, value: Any) -> None:
+    """Set ``a.b.c`` in a nested dict, creating intermediate dicts."""
+    parts = key.split(".")
+    node = cfg
+    for p in parts[:-1]:
+        nxt = node.get(p)
+        if not isinstance(nxt, dict):
+            nxt = {}
+            node[p] = nxt
+        node = nxt
+    node[parts[-1]] = value
+
+
+def apply_overrides(cfg: dict, overrides: Sequence[str]) -> dict:
+    """Apply ``key.path=value`` strings on top of cfg (returns a new dict)."""
+    out = copy.deepcopy(cfg)
+    for item in overrides or []:
+        if "=" not in item:
+            raise ValueError(f"override {item!r} is not of the form key=value")
+        key, _, raw = item.partition("=")
+        set_dotted(out, key.strip(), parse_value(raw))
+    return out
+
+
+def load_config(path: str | Path, overrides: Sequence[str] = ()) -> dict:
+    """YAML file + dotlist overrides -> resolved plain dict."""
+    return apply_overrides(load_yaml(path), overrides)
+
+
+def config_fingerprint(cfg: Mapping) -> str:
+    """Stable short hash of a resolved config (provenance)."""
+    import hashlib
+    blob = json.dumps(cfg, sort_keys=True, default=str).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def flatten_config(cfg: Mapping[str, Any]) -> dict:
+    """Nested YAML -> the flat key set the Trainer reads (train.*/eval.* hoisted).
+
+    Mirrors reference src/dcasr/tasks/build.py:34-58 field-for-field so YAML
+    recipes translate one-to-one.
+    """
+    c = dict(cfg)
+    train = c.get("train", {}) or {}
+    ev = c.get("eval", {}) or {}
+    return {
+        "max_epoch": train.get("max_epoch", 120),
+        "grad_clip": train.get("grad_clip", 5.0),
+        "grad_clip_type": train.get("grad_clip_type", 2.0),
+        "precision": train.get("precision", "bf16"),
+        "log_interval": train.get("log_interval", 50),
+        "max_steps": train.get("max_steps"),
+        "accum_grad": c.get("accum_grad", 1),
+        "valid_interval_epoch": ev.get("valid_interval_epoch", 10),
+        "keep_nbest_models": c.get("keep_nbest_models", 5),
+        "keep_all_checkpoints": c.get("keep_all_checkpoints", False),
+        "best_model_criterion": c.get("best_model_criterion", [["valid", "loss", "min"]]),
+        "early_stopping": c.get("early_stopping", {}) or {},
+        "optim": c.get("optim", "adamw"),
+        "optim_conf": c.get("optim_conf", {}) or {},
+        "scheduler": c.get("scheduler"),
+        "scheduler_conf": c.get("scheduler_conf", {}) or {},
+    }
