@@ -8,7 +8,10 @@ multi-chip path via __graft_entry__.dryrun_multichip).
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU even when the session env pins JAX_PLATFORMS=axon (real TPU):
+# unit tests must be hermetic and fast, and the 8-device virtual mesh below
+# only exists on the host platform.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
