@@ -1,0 +1,84 @@
+"""Pre-norm residual Mamba-2 blocks + stacks, with length-aware bidirection.
+
+The encoder building blocks (behavioral spec: reference
+src/dcasr/models/mamba_block.py): a block is
+``y = x + Mamba2_fwd(LN(x)) [+ reverse(Mamba2_bwd(reverse(LN(x))))]`` where
+``reverse`` flips only the valid span of each sequence (padding stays in
+place), so a double reverse is the identity on real frames and the causal scan
+never leaks padding into valid outputs. A stack is N blocks + a final
+LayerNorm. Everything is shape-preserving [B, T, d_model] and fully jittable
+with static shapes.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hnet_mamba_asr_tpu.models.mamba2 import Mamba2
+
+
+def reverse_sequences(x: jax.Array, lengths: jax.Array | None = None) -> jax.Array:
+    """Reverse along time; with lengths, only each row's valid span [0, L) is
+    reversed and padding positions are untouched."""
+    if lengths is None:
+        return jnp.flip(x, axis=1)
+    B, T = x.shape[0], x.shape[1]
+    pos = jnp.arange(T)[None, :]                                   # [1, T]
+    L = lengths.reshape(B, 1)
+    idx = jnp.where(pos < L, L - 1 - pos, pos)
+    idx = jnp.clip(idx, 0, T - 1)
+    return jnp.take_along_axis(x, idx[:, :, None], axis=1)
+
+
+class MambaBlock(nn.Module):
+    """Pre-norm residual Mamba-2 layer; bidirectional adds a reversed pass."""
+
+    d_model: int
+    bidirectional: bool = True
+    d_state: int = 128
+    d_conv: int = 4
+    expand: int = 2
+    headdim: int = 64
+    chunk_size: int = 128
+    dtype: Any = jnp.float32
+    use_reference_scan: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, lengths: jax.Array | None = None) -> jax.Array:
+        kw = dict(d_model=self.d_model, d_state=self.d_state, d_conv=self.d_conv,
+                  expand=self.expand, headdim=self.headdim, chunk_size=self.chunk_size,
+                  dtype=self.dtype, use_reference_scan=self.use_reference_scan)
+        h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
+        y = Mamba2(**kw, name="fwd")(h)
+        if self.bidirectional:
+            hr = reverse_sequences(h, lengths)
+            y = y + reverse_sequences(Mamba2(**kw, name="bwd")(hr), lengths)
+        return x + y
+
+
+class MambaStack(nn.Module):
+    """n_layers MambaBlocks + a final LayerNorm; shape-preserving."""
+
+    n_layers: int
+    d_model: int
+    bidirectional: bool = True
+    d_state: int = 128
+    d_conv: int = 4
+    expand: int = 2
+    headdim: int = 64
+    chunk_size: int = 128
+    dtype: Any = jnp.float32
+    use_reference_scan: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, lengths: jax.Array | None = None) -> jax.Array:
+        for i in range(self.n_layers):
+            x = MambaBlock(
+                d_model=self.d_model, bidirectional=self.bidirectional,
+                d_state=self.d_state, d_conv=self.d_conv, expand=self.expand,
+                headdim=self.headdim, chunk_size=self.chunk_size, dtype=self.dtype,
+                use_reference_scan=self.use_reference_scan, name=f"block_{i}")(x, lengths)
+        return nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)

@@ -18,6 +18,17 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax  # noqa: E402
+
+# single-core XLA CPU compiles are slow here; persist them across test runs
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+# this environment's CPU backend emulates TPU matmul numerics (bf16-precision
+# dots by default — measured ~7e-2 abs error on a fp32 64x64 matmul). Oracle
+# tests need real fp32: force full precision for ops that don't pin their own.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,151 @@
+"""SSD scan: chunked == sequential oracle (values + grads), causality,
+chunk-size invariance; Mamba2 layer + blocks: shapes, padding causality,
+bidirectional identity properties."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hnet_mamba_asr_tpu.models.mamba2 import Mamba2
+from hnet_mamba_asr_tpu.models.mamba_block import MambaBlock, MambaStack, reverse_sequences
+from hnet_mamba_asr_tpu.ops.ssd import ssd_chunked, ssd_reference
+
+
+def _inputs(rng, B=2, L=37, H=3, P=8, N=16, G=1):
+    x = jnp.asarray(rng.normal(size=(B, L, H, P)).astype(np.float32))
+    dt = jnp.asarray(rng.uniform(0.001, 0.2, size=(B, L, H)).astype(np.float32))
+    A = jnp.asarray(-rng.uniform(0.5, 8.0, size=(H,)).astype(np.float32))
+    Bm = jnp.asarray(rng.normal(size=(B, L, G, N)).astype(np.float32))
+    Cm = jnp.asarray(rng.normal(size=(B, L, G, N)).astype(np.float32))
+    return x, dt, A, Bm, Cm
+
+
+def test_chunked_matches_reference(rng):
+    args = _inputs(rng)
+    ref = ssd_reference(*args)
+    out = ssd_chunked(*args, chunk_size=16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_chunk_size_invariance(rng):
+    args = _inputs(rng, L=50)
+    outs = [np.asarray(ssd_chunked(*args, chunk_size=q)) for q in (8, 16, 64, 128)]
+    for o in outs[1:]:
+        np.testing.assert_allclose(o, outs[0], rtol=2e-4, atol=2e-4)
+
+
+def test_multi_group_heads(rng):
+    args = _inputs(rng, H=4, G=2)
+    ref = ssd_reference(*args)
+    out = ssd_chunked(*args, chunk_size=8)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_causality(rng):
+    """Perturbing frame t must not change outputs before t."""
+    x, dt, A, Bm, Cm = _inputs(rng, B=1, L=33)
+    base = np.asarray(ssd_chunked(x, dt, A, Bm, Cm, chunk_size=8))
+    t = 20
+    x2 = x.at[0, t].add(10.0)
+    Bm2 = Bm.at[0, t].add(5.0)
+    out = np.asarray(ssd_chunked(x2, dt, A, Bm2, Cm, chunk_size=8))
+    np.testing.assert_array_equal(out[0, :t], base[0, :t])
+    assert np.abs(out[0, t:] - base[0, t:]).max() > 0
+
+
+def test_gradients_match_reference(rng):
+    args = _inputs(rng, B=1, L=21, H=2, P=4, N=8)
+
+    def loss_ref(x, dt, A, Bm, Cm):
+        return jnp.sum(jnp.tanh(ssd_reference(x, dt, A, Bm, Cm)))
+
+    def loss_chk(x, dt, A, Bm, Cm):
+        return jnp.sum(jnp.tanh(ssd_chunked(x, dt, A, Bm, Cm, chunk_size=8)))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(*args)
+    g_chk = jax.grad(loss_chk, argnums=(0, 1, 2, 3, 4))(*args)
+    for a, b in zip(g_ref, g_chk):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+
+def test_decay_stability_long_dt(rng):
+    """Large dt*|A| must not overflow/NaN (decays are exp of negatives)."""
+    x, dt, A, Bm, Cm = _inputs(rng, L=40)
+    dt = dt * 50.0
+    out = np.asarray(ssd_chunked(x, dt, A, Bm, Cm, chunk_size=8))
+    assert np.isfinite(out).all()
+
+
+# ── layer / blocks ────────────────────────────────────────────────────────────
+def test_mamba2_layer_shapes(rng):
+    m = Mamba2(d_model=32, d_state=16, headdim=8, chunk_size=16)
+    x = jnp.asarray(rng.normal(size=(2, 24, 32)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    assert y.shape == (2, 24, 32)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_mamba2_headdim_divisibility():
+    m = Mamba2(d_model=30, headdim=8)
+    with pytest.raises(ValueError, match="divisible"):
+        m.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 30)))
+
+
+def test_mamba2_causal(rng):
+    m = Mamba2(d_model=16, d_state=8, headdim=8, chunk_size=8)
+    x = jnp.asarray(rng.normal(size=(1, 30, 16)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    base = np.asarray(m.apply(params, x))
+    out = np.asarray(m.apply(params, x.at[0, 17].set(99.0)))
+    np.testing.assert_allclose(out[0, :14], base[0, :14], atol=1e-6)  # conv reach = 4
+
+
+def test_reverse_sequences_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(2, 10, 4)).astype(np.float32))
+    lengths = jnp.asarray([7, 10])
+    r = reverse_sequences(x, lengths)
+    rr = reverse_sequences(r, lengths)
+    np.testing.assert_array_equal(np.asarray(rr), np.asarray(x))
+    # padding untouched
+    np.testing.assert_array_equal(np.asarray(r[0, 7:]), np.asarray(x[0, 7:]))
+    # valid span actually reversed
+    np.testing.assert_array_equal(np.asarray(r[0, 0]), np.asarray(x[0, 6]))
+
+
+def test_block_padding_isolation(rng):
+    """With length-aware bidirection, outputs on valid frames must not depend
+    on what sits in the padding region."""
+    blk = MambaBlock(d_model=16, bidirectional=True, d_state=8, headdim=8, chunk_size=8)
+    x = jnp.asarray(rng.normal(size=(1, 20, 16)).astype(np.float32))
+    lengths = jnp.asarray([12])
+    params = blk.init(jax.random.PRNGKey(1), x, lengths)
+    base = np.asarray(blk.apply(params, x, lengths))
+    x2 = x.at[0, 12:].set(7.7)                        # garbage in padding
+    out = np.asarray(blk.apply(params, x2, lengths))
+    np.testing.assert_allclose(out[0, :12], base[0, :12], rtol=2e-5, atol=2e-5)
+
+
+def test_stack_shapes_and_param_structure(rng):
+    stack = MambaStack(n_layers=2, d_model=16, d_state=8, headdim=8, chunk_size=8)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16)).astype(np.float32))
+    lengths = jnp.asarray([16, 9])
+    params = stack.init(jax.random.PRNGKey(0), x, lengths)
+    y = stack.apply(params, x, lengths)
+    assert y.shape == x.shape
+    names = set(params["params"].keys())
+    assert names == {"block_0", "block_1", "norm"}
+    blk = params["params"]["block_0"]
+    assert "fwd" in blk and "bwd" in blk             # bidirectional by default
+    assert blk["fwd"]["a_log"].shape == (4,)         # heads = expand*d/headdim
+
+
+def test_bf16_forward(rng):
+    m = MambaStack(n_layers=1, d_model=16, d_state=8, headdim=8, chunk_size=8,
+                   dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16)).astype(np.float32))
+    params = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(params, x)
+    assert y.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(y, dtype=np.float32)).all()
