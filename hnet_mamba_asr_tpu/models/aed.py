@@ -1,0 +1,262 @@
+"""AED head: autoregressive Transformer decoder with QK-RMSNorm attention.
+
+The attention read-out head complementing CTC (behavioral spec: reference
+src/dcasr/decoders/aed.py). Pre-LN decoder layers (self-attn -> cross-attn ->
+GELU FFN) where every attention RMS-normalizes Q and K per head before the
+scaled dot product — the reference measured an attention-entropy-collapse
+divergence with plain attention (cross-attn key bias grew 14x -> softmax
+saturation) and QK-norm removes it by bounding the logit range.
+
+Target contract: bare token ids in [0, V); the head wraps them internally as
+decoder input [bos, y..] / target [y.., eos] (tokenizer contract bos=1/eos=2/
+pad=3). Right-side padding + causal mask means no key-padding mask is needed
+on the decoder side (avoids fully-masked-row NaNs). Loss is label-smoothed CE
+in fp32 with length masking. Greedy decode runs a fixed-size lax.scan (static
+shapes; bos/pad non-emittable; finished rows emit eos).
+"""
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_INF = -1e9
+
+
+def sinusoidal_pe(max_len: int, d_model: int) -> np.ndarray:
+    assert d_model % 2 == 0, "d_model must be even for sinusoidal PE"
+    pos = np.arange(max_len, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float64)
+                 * (-math.log(10000.0) / d_model))
+    pe = np.zeros((max_len, d_model), dtype=np.float64)
+    pe[:, 0::2] = np.sin(pos * div)
+    pe[:, 1::2] = np.cos(pos * div)
+    return pe.astype(np.float32)
+
+
+def causal_mask(size: int) -> jax.Array:
+    """[size, size] additive mask: NEG_INF above the diagonal."""
+    return jnp.where(jnp.tril(jnp.ones((size, size), bool)), 0.0, NEG_INF)
+
+
+def pad_mask(lengths: jax.Array, max_len: int) -> jax.Array:
+    """[B, max_len] bool, True at PADDED positions."""
+    return jnp.arange(max_len)[None, :] >= lengths[:, None]
+
+
+class MHAQKNorm(nn.Module):
+    """Multi-head attention with per-head RMSNorm on Q and K (Henry et al.
+    2020; ViT-22B). Normalizing q, k bounds pre-softmax logits independent of
+    their magnitude."""
+
+    d_model: int
+    n_heads: int
+    dropout: float = 0.0
+    eps: float = 1e-6
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, query, key, value, attn_mask=None, key_padding_mask=None,
+                 deterministic: bool = True):
+        H = self.n_heads
+        dh = self.d_model // H
+        B, Tq, _ = query.shape
+        Tk = key.shape[1]
+        dense = lambda name: nn.Dense(self.d_model, dtype=self.dtype,
+                                      param_dtype=jnp.float32, name=name)
+        q = dense("q_proj")(query).reshape(B, Tq, H, dh)
+        k = dense("k_proj")(key).reshape(B, Tk, H, dh)
+        v = dense("v_proj")(value).reshape(B, Tk, H, dh)
+        q_g = self.param("q_g", nn.initializers.ones, (dh,), jnp.float32)
+        k_g = self.param("k_g", nn.initializers.ones, (dh,), jnp.float32)
+
+        def rms(x, g):
+            xf = x.astype(jnp.float32)
+            n = xf * jax.lax.rsqrt(jnp.mean(xf ** 2, axis=-1, keepdims=True) + self.eps)
+            return (n * g).astype(self.dtype)
+
+        q, k = rms(q, q_g), rms(k, k_g)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) / math.sqrt(dh)
+        if key_padding_mask is not None:                     # [B, Tk] True = pad
+            logits = logits + jnp.where(key_padding_mask, NEG_INF, 0.0)[:, None, None, :]
+        if attn_mask is not None:                            # [Tq, Tk] additive
+            logits = logits + attn_mask[None, None]
+        w = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        if self.dropout > 0.0:
+            w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, Tq, self.d_model)
+        return dense("out_proj")(out)
+
+
+class DecoderLayerQKNorm(nn.Module):
+    """Pre-LN decoder layer: self-attn -> cross-attn -> GELU FFN."""
+
+    d_model: int
+    n_heads: int
+    d_ff: int
+    dropout: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, memory, tgt_mask, memory_key_padding_mask,
+                 deterministic: bool = True):
+        ln = lambda name: nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
+                                       name=name)
+        drop = nn.Dropout(self.dropout)
+        h = ln("norm1")(x)
+        x = x + drop(MHAQKNorm(self.d_model, self.n_heads, self.dropout,
+                               dtype=self.dtype, name="self_attn")(
+            h, h, h, attn_mask=tgt_mask, deterministic=deterministic),
+            deterministic=deterministic)
+        h = ln("norm2")(x)
+        x = x + drop(MHAQKNorm(self.d_model, self.n_heads, self.dropout,
+                               dtype=self.dtype, name="cross_attn")(
+            h, memory, memory, key_padding_mask=memory_key_padding_mask,
+            deterministic=deterministic), deterministic=deterministic)
+        h = ln("norm3")(x)
+        ff = nn.Dense(self.d_ff, dtype=self.dtype, param_dtype=jnp.float32,
+                      name="linear1")(h)
+        ff = drop(nn.gelu(ff), deterministic=deterministic)
+        ff = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
+                      name="linear2")(ff)
+        return x + drop(ff, deterministic=deterministic)
+
+
+class AEDHead(nn.Module):
+    """Transformer-decoder head over the tokenizer's V-token vocabulary."""
+
+    vocab_size: int
+    d_model: int
+    n_layers: int = 6
+    n_heads: int = 4
+    d_ff: int = 2048
+    dropout: float = 0.1
+    lsm_weight: float = 0.1
+    bos_id: int = 1
+    eos_id: int = 2
+    pad_id: int = 3
+    d_memory: int | None = None
+    max_decode_len: int = 512     # > longest LibriSpeech ref (230 tokens @ bpe-500)
+    max_pe_len: int = 5000
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.embed = nn.Embed(self.vocab_size, self.d_model,
+                              dtype=self.dtype, param_dtype=jnp.float32)
+        self.pe = jnp.asarray(sinusoidal_pe(self.max_pe_len, self.d_model))
+        self.layers = [DecoderLayerQKNorm(self.d_model, self.n_heads, self.d_ff,
+                                          self.dropout, dtype=self.dtype,
+                                          name=f"layer_{i}")
+                       for i in range(self.n_layers)]
+        self.final_norm = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)
+        self.out = nn.Dense(self.vocab_size, dtype=self.dtype,
+                            param_dtype=jnp.float32)
+        if self.d_memory is not None and self.d_memory != self.d_model:
+            self.mem_proj = nn.Dense(self.d_model, dtype=self.dtype,
+                                     param_dtype=jnp.float32)
+        else:
+            self.mem_proj = None
+
+    # ---- target prep ---------------------------------------------------------
+    def add_sos_eos(self, ys: jax.Array, ys_lens: jax.Array):
+        """bare [B, U] -> (ys_in = [bos, y..], ys_out = [y.., eos], lens + 1)."""
+        B, U = ys.shape
+        ys_in = jnp.full((B, U + 1), self.pad_id, dtype=ys.dtype)
+        ys_in = ys_in.at[:, 0].set(self.bos_id).at[:, 1:].set(ys)
+        ys_out = jnp.full((B, U + 1), self.pad_id, dtype=ys.dtype)
+        ys_out = ys_out.at[:, :U].set(ys)
+        ys_out = ys_out.at[jnp.arange(B), ys_lens].set(self.eos_id)
+        return ys_in, ys_out, ys_lens + 1
+
+    # ---- forward ---------------------------------------------------------------
+    def __call__(self, memory: jax.Array, memory_lengths: jax.Array,
+                 ys_in: jax.Array, deterministic: bool = True) -> jax.Array:
+        """memory [B, S, d_mem], ys_in [B, T] -> logits [B, T, V]."""
+        mem = self.mem_proj(memory) if self.mem_proj is not None \
+            else memory.astype(self.dtype)
+        emb = self.embed(ys_in) * math.sqrt(self.d_model)
+        emb = jnp.where((ys_in == self.pad_id)[..., None], 0.0, emb)   # pad row zero
+        x = (emb + self.pe[None, :ys_in.shape[1]]).astype(self.dtype)
+        tmask = causal_mask(ys_in.shape[1])
+        kpm = pad_mask(memory_lengths, mem.shape[1])
+        for layer in self.layers:
+            x = layer(x, mem, tmask, kpm, deterministic=deterministic)
+        return self.out(self.final_norm(x))
+
+    # ---- loss -------------------------------------------------------------------
+    def loss(self, memory: jax.Array, memory_lengths: jax.Array,
+             targets: jax.Array, target_lengths: jax.Array,
+             deterministic: bool = True) -> jax.Array:
+        """Label-smoothed per-token-mean CE over [y.., eos] (fp32)."""
+        ys_in, ys_out, out_lens = self.add_sos_eos(targets, target_lengths)
+        logits = self(memory, memory_lengths, ys_in, deterministic=deterministic)
+        return label_smoothing_loss(logits, ys_out, out_lens, self.lsm_weight)
+
+    # ---- greedy decode -----------------------------------------------------------
+    def greedy_decode(self, memory: jax.Array, memory_lengths: jax.Array,
+                      max_len: int | None = None) -> jax.Array:
+        """Batched greedy decode with a static token buffer.
+
+        Returns ids [B, cap] where each row is the emitted sequence, eos-filled
+        after termination (host strips at first eos). Each step re-runs the
+        decoder over the fixed-size buffer with a causal mask — static shapes,
+        one compilation; a KV-cache fast path is a planned optimization.
+        """
+        cap = self.max_decode_len if max_len is None else int(max_len)
+        B = memory.shape[0]
+        mem = self.mem_proj(memory) if self.mem_proj is not None \
+            else memory.astype(self.dtype)
+        kpm = pad_mask(memory_lengths, mem.shape[1])
+        tmask = causal_mask(cap + 1)
+        emb_scale = math.sqrt(self.d_model)
+
+        def body(carry, t):
+            ys, finished = carry                        # [B, cap+1], [B]
+            emb = self.embed(ys) * emb_scale
+            emb = jnp.where((ys == self.pad_id)[..., None], 0.0, emb)
+            x = (emb + self.pe[None, :cap + 1]).astype(self.dtype)
+            for layer in self.layers:
+                x = layer(x, mem, tmask, kpm, deterministic=True)
+            step_logits = self.out(self.final_norm(x))[:, t].astype(jnp.float32)
+            step_logits = step_logits.at[:, self.bos_id].set(NEG_INF)
+            step_logits = step_logits.at[:, self.pad_id].set(NEG_INF)
+            nxt = jnp.argmax(step_logits, axis=-1)
+            nxt = jnp.where(finished, self.eos_id, nxt)
+            ys = ys.at[:, t + 1].set(nxt.astype(ys.dtype))
+            finished = finished | (nxt == self.eos_id)
+            return (ys, finished), None
+
+        ys0 = jnp.full((B, cap + 1), self.pad_id, dtype=jnp.int32)
+        ys0 = ys0.at[:, 0].set(self.bos_id)
+        (ys, _), _ = jax.lax.scan(body, (ys0, jnp.zeros((B,), bool)),
+                                  jnp.arange(cap))
+        return ys[:, 1:]                                # drop bos
+
+
+def label_smoothing_loss(logits: jax.Array, target: jax.Array,
+                         target_lengths: jax.Array, lsm_weight: float) -> jax.Array:
+    """Label-smoothed CE over [B, T, V] vs [B, T]; positions >= length ignored."""
+    V = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    on = 1.0 - lsm_weight
+    off = lsm_weight / (V - 1)
+    tgt_logp = jnp.take_along_axis(logp, target[..., None].astype(jnp.int32),
+                                   axis=-1)[..., 0]
+    nll = -(off * logp.sum(-1) + (on - off) * tgt_logp)
+    mask = ~pad_mask(target_lengths, target.shape[1])
+    return (nll * mask).sum() / jnp.maximum(mask.sum(), 1)
+
+
+def strip_hypothesis(ids, eos_id: int) -> list[int]:
+    """Host-side: cut a decoded row at its first eos."""
+    out = []
+    for i in ids:
+        i = int(i)
+        if i == eos_id:
+            break
+        out.append(i)
+    return out
