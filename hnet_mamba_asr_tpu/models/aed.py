@@ -165,10 +165,12 @@ class AEDHead(nn.Module):
     def add_sos_eos(self, ys: jax.Array, ys_lens: jax.Array):
         """bare [B, U] -> (ys_in = [bos, y..], ys_out = [y.., eos], lens + 1)."""
         B, U = ys.shape
+        valid = jnp.arange(U)[None, :] < ys_lens[:, None]
+        ys_clean = jnp.where(valid, ys, self.pad_id)     # robust to non-pad tails
         ys_in = jnp.full((B, U + 1), self.pad_id, dtype=ys.dtype)
-        ys_in = ys_in.at[:, 0].set(self.bos_id).at[:, 1:].set(ys)
+        ys_in = ys_in.at[:, 0].set(self.bos_id).at[:, 1:].set(ys_clean)
         ys_out = jnp.full((B, U + 1), self.pad_id, dtype=ys.dtype)
-        ys_out = ys_out.at[:, :U].set(ys)
+        ys_out = ys_out.at[:, :U].set(ys_clean)
         ys_out = ys_out.at[jnp.arange(B), ys_lens].set(self.eos_id)
         return ys_in, ys_out, ys_lens + 1
 
