@@ -1,0 +1,213 @@
+"""Joint CTC+AED one-pass label-synchronous beam (Watanabe et al.) + LM rescoring.
+
+The best-WER read-out: an AED-driven beam where every partial hypothesis also
+carries its CTC *prefix score* (Graves forward recursion over the blank/label
+lattice), combined as
+
+    score(h) = (1 - ctc_weight) * logP_AED(h) + ctc_weight * logP_CTC-prefix(h)
+               + length_bonus * len(h)
+
+``ctc_weight = 0`` reduces to the pure AED beam. The search is acoustic-only;
+the external LM enters as a SECOND PASS (``lm_rescore``) re-ranking the
+completed n-best, so it can never truncate or over-generate (reference design
+note: src/dcasr/decoders/joint.py:1-16, lm_fusion.py:8-17). Early-stop is sound
+only when length_bonus <= 0 (partials can only fall); with a positive bonus
+the search runs to the cap and survivors are finalized with their own eos
+score. Per-utterance host loop; the AED forward over all live hypotheses is
+one batched device call per step (supplied as a callable so the decode task
+can pad/bucket it for compile reuse).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+LOG_ZERO = -1e10
+
+
+class CTCPrefixScorer:
+    """Incremental CTC prefix log-prob for growing label prefixes (one utt).
+
+    State per prefix: r [T, 2] — r[t, 0] = log p(prefix emitted by frame t,
+    ending in its last label), r[t, 1] = ... ending in blank. ``score`` extends
+    a prefix by C candidate labels at once, returning absolute prefix
+    log-probs and the C new states. Mirrors the ESPnet/Watanabe recursion and
+    is validated against a brute-force alignment enumerator in tests.
+    """
+
+    def __init__(self, logp, blank_id: int, eos_id: int):
+        self.logp = np.asarray(logp, dtype=np.float64)     # [T, V+1]
+        self.T = self.logp.shape[0]
+        self.blank = blank_id
+        self.eos = eos_id
+
+    def initial_state(self) -> np.ndarray:
+        """Empty prefix: only the all-blank path exists."""
+        r = np.full((self.T, 2), LOG_ZERO)
+        r[:, 1] = np.cumsum(self.logp[:, self.blank])
+        return r
+
+    def score(self, prefix: list[int], cand_ids, r_prev: np.ndarray):
+        """-> (scores [C], states [C, T, 2]) for each candidate extension."""
+        cand = np.asarray(cand_ids, dtype=np.int64)
+        T, C = self.T, cand.shape[0]
+        out_len = len(prefix)
+        # eos may sit outside the CTC class dim; its column is replaced below
+        xs = self.logp[:, np.minimum(cand, self.logp.shape[1] - 1)]   # [T, C]
+        r = np.full((T, 2, C), LOG_ZERO)
+        if out_len == 0:
+            r[0, 0] = xs[0]                                # label may start at frame 0
+
+        r_sum = np.logaddexp(r_prev[:, 0], r_prev[:, 1])   # [T]
+        log_phi = np.broadcast_to(r_sum[:, None], (T, C)).copy()
+        if out_len > 0:
+            same = cand == prefix[-1]
+            if same.any():                                 # repeat needs a blank between
+                log_phi[:, same] = r_prev[:, 1:2]
+
+        start = max(out_len, 1)
+        log_psi = r[start - 1, 0].copy()                   # [C]
+        blank_col = self.logp[:, self.blank]
+        for t in range(start, T):
+            r[t, 0] = np.logaddexp(r[t - 1, 0], log_phi[t - 1]) + xs[t]
+            r[t, 1] = np.logaddexp(r[t - 1, 0], r[t - 1, 1]) + blank_col[t]
+            log_psi = np.logaddexp(log_psi, log_phi[t - 1] + xs[t])
+
+        is_eos = cand == self.eos                          # eos = exactly this prefix
+        if is_eos.any():
+            log_psi = np.where(is_eos, r_sum[-1], log_psi)
+        return log_psi, np.ascontiguousarray(r.transpose(2, 0, 1))
+
+
+@dataclass
+class Hypothesis:
+    tokens: list[int]
+    aed: float                                  # cumulative AED log-prob (incl. eos)
+    ctc: float                                  # absolute CTC prefix log-prob
+    ctc_state: np.ndarray | None = None
+    score: float = field(default=0.0)           # acoustic combination + bonus
+
+
+def joint_beam_search_nbest(memory, memory_lengths, *, aed_next_logprobs,
+                            ctc_log_probs=None, vocab_size: int,
+                            beam_size: int = 10, ctc_weight: float = 0.3,
+                            bos_id: int = 1, eos_id: int = 2, pad_id: int = 3,
+                            blank_id: int | None = None, max_len_ratio: float = 1.0,
+                            length_bonus: float = 0.0, pre_beam: int | None = None,
+                            nbest: int = 1, max_decode_len: int = 512
+                            ) -> list[list[Hypothesis]]:
+    """Acoustic-only joint beam; returns the top-nbest COMPLETE hypotheses per
+    utterance (best first), each keeping its AED/CTC components for rescoring.
+
+    - ``aed_next_logprobs(b, token_lists) -> [n, V]``: next-token log-softmax
+      for utterance ``b`` given each hypothesis' bare tokens (the decode task
+      provides a padded/bucketed jitted implementation).
+    - ``ctc_log_probs``: [B, T, V+1] device/numpy array, or None when
+      ctc_weight == 0 (pure AED beam).
+    """
+    lens = np.asarray(memory_lengths)
+    B = lens.shape[0]
+    V = vocab_size
+    pre = min(V, pre_beam if pre_beam is not None else max(2 * beam_size, 15))
+    use_ctc = ctc_weight > 0.0 and ctc_log_probs is not None
+    if use_ctc and blank_id is None:
+        blank_id = V
+    lp_all = np.asarray(ctc_log_probs, dtype=np.float64) if use_ctc else None
+    results: list[list[Hypothesis]] = []
+
+    for b in range(B):
+        Tf = int(lens[b])
+        scorer = CTCPrefixScorer(lp_all[b, :Tf], blank_id, eos_id) if use_ctc else None
+        beam = [Hypothesis(tokens=[], aed=0.0, ctc=0.0,
+                           ctc_state=scorer.initial_state() if use_ctc else None)]
+        ended: list[Hypothesis] = []
+        max_steps = min(max(1, int(max_len_ratio * Tf)), Tf - 1, max_decode_len)
+        hit_cap = True
+
+        for _step in range(max_steps):
+            if not beam:
+                hit_cap = False
+                break
+            aed_lp = np.asarray(aed_next_logprobs(b, [h.tokens for h in beam]),
+                                dtype=np.float64)          # [nb, V]
+            aed_lp[:, bos_id] = LOG_ZERO                   # finite: no 0*inf NaN
+            aed_lp[:, pad_id] = LOG_ZERO
+            expansions: list[tuple[float, bool, Hypothesis]] = []
+            for i, h in enumerate(beam):
+                top = np.argpartition(aed_lp[i], -pre)[-pre:]
+                ids = np.unique(np.concatenate([top, [eos_id]]))
+                ids = ids[(ids != bos_id) & (ids != pad_id)]
+                if use_ctc:
+                    ctc_scores, ctc_states = scorer.score(h.tokens, ids, h.ctc_state)
+                for j, c in enumerate(ids.tolist()):
+                    ends = c == eos_id
+                    toks = h.tokens if ends else h.tokens + [c]
+                    aed_c = h.aed + float(aed_lp[i, c])
+                    ctc_c = float(ctc_scores[j]) if use_ctc else 0.0
+                    total = ((1.0 - ctc_weight) * aed_c + ctc_weight * ctc_c
+                             + length_bonus * len(toks))
+                    expansions.append((total, ends, Hypothesis(
+                        tokens=toks, aed=aed_c, ctc=ctc_c,
+                        ctc_state=(ctc_states[j] if (use_ctc and not ends) else None),
+                        score=total)))
+            expansions.sort(key=lambda e: e[0], reverse=True)
+            beam = []
+            for _total, ends, hyp in expansions[:beam_size]:
+                (ended if ends else beam).append(hyp)
+            # sound early stop (length_bonus <= 0): partial scores only fall as
+            # they grow, so once the best partial can't beat the nbest-th
+            # completion no future completion can enter the top-nbest.
+            if length_bonus <= 0.0 and beam and len(ended) >= nbest:
+                nth_best = sorted((e.score for e in ended), reverse=True)[nbest - 1]
+                if max(x.score for x in beam) <= nth_best:
+                    hit_cap = False
+                    break
+
+        if hit_cap and beam:
+            # cap reached with survivors (possible when length_bonus > 0 keeps
+            # partials rising): finalize them with their own eos score so they
+            # compete — otherwise a survivor would be silently discarded.
+            aed_lp = np.asarray(aed_next_logprobs(b, [h.tokens for h in beam]),
+                                dtype=np.float64)
+            eos_arr = np.asarray([eos_id])
+            for i, h in enumerate(beam):
+                aed_c = h.aed + float(aed_lp[i, eos_id])
+                ctc_c = (float(scorer.score(h.tokens, eos_arr, h.ctc_state)[0][0])
+                         if use_ctc else 0.0)
+                ended.append(Hypothesis(
+                    tokens=h.tokens, aed=aed_c, ctc=ctc_c,
+                    score=((1.0 - ctc_weight) * aed_c + ctc_weight * ctc_c
+                           + length_bonus * len(h.tokens))))
+
+        pool = ended if ended else beam
+        results.append(sorted(pool, key=lambda x: x.score, reverse=True)[:nbest])
+    return results
+
+
+def joint_beam_search(memory, memory_lengths, **kw) -> list[list[int]]:
+    """Single-best wrapper (the aed_beam / joint_beam cells)."""
+    nbest = joint_beam_search_nbest(memory, memory_lengths, nbest=1, **kw)
+    return [hyps[0].tokens if hyps else [] for hyps in nbest]
+
+
+def lm_rescore(nbest: list[Hypothesis], lm, lm_weight: float, *, ctc_weight: float,
+               length_bonus: float = 0.0) -> list[int]:
+    """Second-pass re-rank of a COMPLETE n-best by
+
+        S(h) = (1-ctc_weight)*AED + ctc_weight*CTC + lm_weight*logP_LM(h) +
+               length_bonus*len
+
+    where logP_LM includes the terminal eos (``lm.sequence_logprob``). The
+    acoustic term reproduces the beam's own score, so lm_weight=0 returns the
+    acoustic best. Returns bare ids."""
+    if not nbest:
+        return []
+    lm_scores = np.asarray(lm.sequence_logprob([h.tokens for h in nbest]))
+    best, best_score = nbest[0], float("-inf")
+    for h, lms in zip(nbest, lm_scores.tolist()):
+        s = ((1.0 - ctc_weight) * h.aed + ctc_weight * h.ctc
+             + lm_weight * lms + length_bonus * len(h.tokens))
+        if s > best_score:
+            best_score, best = s, h
+    return best.tokens

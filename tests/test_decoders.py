@@ -1,0 +1,256 @@
+"""Decode stack: CTC greedy collapse; prefix beam vs brute-force MAP label
+sequence; CTCPrefixScorer vs brute-force alignment enumeration; joint beam on a
+fake encoder; LM scorer interface identities; lm_rescore semantics."""
+import itertools
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hnet_mamba_asr_tpu.decoders.ctc_decode import ctc_prefix_beam_search
+from hnet_mamba_asr_tpu.decoders.joint import (
+    CTCPrefixScorer, Hypothesis, joint_beam_search, joint_beam_search_nbest, lm_rescore,
+)
+from hnet_mamba_asr_tpu.decoders.lm_scorer import CausalLMScorer
+from hnet_mamba_asr_tpu.models.ctc_head import ctc_greedy_collapse, greedy_decode
+from hnet_mamba_asr_tpu.models.lm import TransformerLM
+
+
+def _collapse(path, blank):
+    out, prev = [], None
+    for s in path:
+        if s != prev:
+            if s != blank:
+                out.append(s)
+            prev = s
+    return out
+
+
+def _softmax_rows(rng, T, C):
+    x = rng.normal(size=(T, C))
+    e = np.exp(x - x.max(-1, keepdims=True))
+    return e / e.sum(-1, keepdims=True)
+
+
+# ── greedy ────────────────────────────────────────────────────────────────────
+def test_greedy_collapse():
+    assert ctc_greedy_collapse([0, 0, 2, 1, 1, 2, 2], blank_id=2) == [0, 1]
+    assert ctc_greedy_collapse([1, 2, 1], blank_id=2) == [1, 1]    # blank splits repeats
+    assert ctc_greedy_collapse([2, 2, 2], blank_id=2) == []
+
+
+def test_greedy_decode_lengths():
+    ids = np.array([[0, 0, 2, 1], [1, 2, 2, 2]])
+    out = greedy_decode(ids, np.array([4, 2]), blank_id=2)
+    assert out == [[0, 1], [1]]
+
+
+# ── prefix beam vs brute force ────────────────────────────────────────────────
+def _brute_best_label_seq(p, blank):
+    T, C = p.shape
+    totals: dict[tuple, float] = {}
+    for path in itertools.product(range(C), repeat=T):
+        prob = np.prod([p[t, path[t]] for t in range(T)])
+        seq = tuple(_collapse(path, blank))
+        totals[seq] = totals.get(seq, 0.0) + prob
+    return list(max(totals.items(), key=lambda kv: kv[1])[0])
+
+
+def test_prefix_beam_matches_bruteforce(rng):
+    blank = 2
+    for T in (2, 3, 4, 5):
+        p = _softmax_rows(rng, T, 3)
+        out = ctc_prefix_beam_search(np.log(p)[None], [T], blank_id=blank,
+                                     beam_size=100, pre_beam=10)
+        assert out[0] == _brute_best_label_seq(p, blank), T
+
+
+def test_prefix_beam_batch_and_lengths(rng):
+    lp = np.log(np.stack([_softmax_rows(rng, 6, 4) for _ in range(3)]))
+    out = ctc_prefix_beam_search(lp, [6, 4, 2], blank_id=3, beam_size=8)
+    assert len(out) == 3
+    assert all(0 <= i < 3 for seq in out for i in seq)
+
+
+def test_prefix_beam_lm_fusion_changes_ranking(rng):
+    """A synthetic LM that loves token 0 must be able to flip a near-tie."""
+    class BiasLM:
+        def next_logprobs(self, prefixes):
+            out = np.full((len(prefixes), 2), np.log(0.01))
+            out[:, 0] = np.log(0.99)
+            return out
+
+    p = np.array([[[0.46, 0.49, 0.05]]] * 1, dtype=np.float64)    # T=1, blank=2
+    lp = np.log(p)
+    no_lm = ctc_prefix_beam_search(lp, [1], blank_id=2, beam_size=4)
+    with_lm = ctc_prefix_beam_search(lp, [1], blank_id=2, beam_size=4,
+                                     lm=BiasLM(), lm_weight=1.0)
+    assert no_lm[0] == [1]
+    assert with_lm[0] == [0]
+
+
+# ── CTC prefix scorer vs brute force ─────────────────────────────────────────
+def _brute_prefix_logprob(p, prefix, blank):
+    T, K = p.shape
+    total = 0.0
+    for path in itertools.product(range(K), repeat=T):
+        prob = np.prod([p[t, path[t]] for t in range(T)])
+        if _collapse(path, blank)[:len(prefix)] == list(prefix):
+            total += prob
+    return math.log(total) if total > 0 else -1e10
+
+
+def _chain_score(scorer, prefix):
+    state = scorer.initial_state()
+    sc = None
+    for k in range(len(prefix)):
+        scores, states = scorer.score(list(prefix[:k]), [prefix[k]], state)
+        sc, state = float(scores[0]), states[0]
+    return sc
+
+
+def test_ctc_prefix_scorer_matches_bruteforce(rng):
+    blank = 3
+    for T in (3, 4, 5):
+        p = _softmax_rows(rng, T, 4)
+        scorer = CTCPrefixScorer(np.log(p), blank, eos_id=99)
+        for g in ([0], [1], [2], [0, 1], [1, 2], [0, 0], [2, 1, 0]):
+            if len(g) >= T:
+                continue
+            got = _chain_score(scorer, g)
+            ref = _brute_prefix_logprob(p, g, blank)
+            assert abs(got - ref) < 1e-4, (T, g, got, ref)
+
+
+def test_initial_state_cumulative_blank(rng):
+    lp = np.log(_softmax_rows(rng, 4, 4))
+    s = CTCPrefixScorer(lp, blank_id=3, eos_id=99).initial_state()
+    assert (s[:, 0] < -1e9).all()
+    assert abs(s[0, 1] - lp[0, 3]) < 1e-9
+    assert abs(s[2, 1] - lp[:3, 3].sum()) < 1e-9
+
+
+def test_eos_scores_exact_prefix(rng):
+    """Extending by eos must return P(output == prefix exactly)."""
+    blank = 2
+    p = _softmax_rows(rng, 4, 3)
+    scorer = CTCPrefixScorer(np.log(p), blank, eos_id=7)
+    scores, _ = scorer.score([0], [7], _first_state(scorer, 0))
+    # brute force: paths collapsing to exactly [0]
+    total = 0.0
+    for path in itertools.product(range(3), repeat=4):
+        if _collapse(path, blank) == [0]:
+            total += np.prod([p[t, path[t]] for t in range(4)])
+    assert abs(float(scores[0]) - math.log(total)) < 1e-6
+
+
+def _first_state(scorer, label):
+    scores, states = scorer.score([], [label], scorer.initial_state())
+    return states[0]
+
+
+# ── joint beam on a synthetic setup ───────────────────────────────────────────
+def _fake_aed_next(target_seq, V, eos_id=2):
+    """Deterministic 'AED': wants target_seq then eos, nearly one-hot."""
+    def fn(b, token_lists):
+        out = np.full((len(token_lists), V), np.log(1e-6))
+        for i, toks in enumerate(token_lists):
+            k = len(toks)
+            want = target_seq[k] if k < len(target_seq) else eos_id
+            out[i, want] = np.log(0.999)
+        return out
+    return fn
+
+
+def test_joint_beam_recovers_target(rng):
+    V = 8
+    target = [5, 6, 4]
+    mem_lens = [12]
+    hyps = joint_beam_search(None, mem_lens,
+                             aed_next_logprobs=_fake_aed_next(target, V),
+                             ctc_log_probs=None, vocab_size=V, beam_size=4,
+                             ctc_weight=0.0)
+    assert hyps[0] == target
+
+
+def test_joint_beam_with_ctc_anchoring(rng):
+    """CTC log-probs concentrated on [1,0] must keep the joint output anchored
+    even when the fake AED prefers something longer."""
+    V, blank = 8, 8
+    T = 6
+    # CTC strongly emits 5 then 4 (with blanks around)
+    p = np.full((T, V + 1), 0.01)
+    for t, c in enumerate([5, 5, blank, 4, 4, blank]):
+        p[t, c] = 0.93
+    p /= p.sum(-1, keepdims=True)
+    nbest = joint_beam_search_nbest(
+        None, [T], aed_next_logprobs=_fake_aed_next([5, 4], V),
+        ctc_log_probs=np.log(p)[None], vocab_size=V, beam_size=4,
+        ctc_weight=0.5, nbest=2)
+    assert nbest[0][0].tokens == [5, 4]
+    assert len(nbest[0]) <= 2
+    assert nbest[0][0].score >= nbest[0][-1].score
+
+
+def test_lm_rescore_semantics():
+    h1 = Hypothesis(tokens=[1, 2], aed=-1.0, ctc=-2.0, score=0.0)
+    h2 = Hypothesis(tokens=[3], aed=-1.5, ctc=-1.0, score=0.0)
+
+    class FixedLM:
+        def __init__(self, scores):
+            self.scores = scores
+
+        def sequence_logprob(self, seqs):
+            return np.asarray([self.scores[tuple(s)] for s in seqs])
+
+    lm = FixedLM({(1, 2): -0.1, (3,): -10.0})
+    # lm_weight=0 -> acoustic best (recompute: 0.7*aed + 0.3*ctc)
+    best = lm_rescore([h1, h2], lm, 0.0, ctc_weight=0.3)
+    a1 = 0.7 * -1.0 + 0.3 * -2.0
+    a2 = 0.7 * -1.5 + 0.3 * -1.0
+    assert best == ([1, 2] if a1 >= a2 else [3])
+    # strong LM flips to the LM-favored hypothesis
+    assert lm_rescore([h1, h2], lm, 10.0, ctc_weight=0.3) == [1, 2]
+    assert lm_rescore([], lm, 1.0, ctc_weight=0.3) == []
+
+
+# ── CausalLMScorer ────────────────────────────────────────────────────────────
+@pytest.fixture(scope="module")
+def lm_setup():
+    lm = TransformerLM(vocab_size=10, d_model=16, n_layers=1, n_heads=2, d_ff=32,
+                       dropout=0.0)
+    params = lm.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    return CausalLMScorer(lm, params)
+
+
+def test_scorer_interfaces_consistent(lm_setup):
+    """sequence_logprob == chained next_logprobs incl. terminal eos."""
+    scorer = lm_setup
+    seq = [4, 7, 5]
+    total = 0.0
+    for k in range(len(seq)):
+        total += float(scorer.next_logprobs([seq[:k]])[0, seq[k]])
+    total += float(scorer.next_logprobs([seq])[0, scorer.eos_id])
+    batched = float(scorer.sequence_logprob([seq])[0])
+    assert batched == pytest.approx(total, abs=1e-3)
+
+
+def test_scorer_ragged_batch(lm_setup):
+    scorer = lm_setup
+    out = scorer.next_logprobs([[4, 5], [], [6, 7, 8, 9]])
+    assert out.shape == (3, 10)
+    # each row is a log-softmax
+    np.testing.assert_allclose(np.exp(out).sum(-1), 1.0, rtol=1e-4)
+    single = scorer.next_logprobs([[4, 5]])
+    np.testing.assert_allclose(out[0], single[0], atol=1e-4)   # padding-invariant
+
+
+def test_scorer_sequence_batch(lm_setup):
+    scorer = lm_setup
+    outs = scorer.sequence_logprob([[4, 5, 6], [7]])
+    singles = [float(scorer.sequence_logprob([[4, 5, 6]])[0]),
+               float(scorer.sequence_logprob([[7]])[0])]
+    np.testing.assert_allclose(outs, singles, atol=1e-3)
