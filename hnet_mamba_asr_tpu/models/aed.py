@@ -240,8 +240,13 @@ class AEDHead(nn.Module):
 
 
 def label_smoothing_loss(logits: jax.Array, target: jax.Array,
-                         target_lengths: jax.Array, lsm_weight: float) -> jax.Array:
-    """Label-smoothed CE over [B, T, V] vs [B, T]; positions >= length ignored."""
+                         target_lengths: jax.Array, lsm_weight: float,
+                         row_mask: jax.Array | None = None) -> jax.Array:
+    """Label-smoothed CE over [B, T, V] vs [B, T]; positions >= length ignored.
+
+    ``row_mask`` [B] additionally drops entire padded batch rows (static-shape
+    batching pads B; those rows must contribute neither loss nor count).
+    """
     V = logits.shape[-1]
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     on = 1.0 - lsm_weight
@@ -250,6 +255,8 @@ def label_smoothing_loss(logits: jax.Array, target: jax.Array,
                                    axis=-1)[..., 0]
     nll = -(off * logp.sum(-1) + (on - off) * tgt_logp)
     mask = ~pad_mask(target_lengths, target.shape[1])
+    if row_mask is not None:
+        mask = mask & row_mask[:, None]
     return (nll * mask).sum() / jnp.maximum(mask.sum(), 1)
 
 

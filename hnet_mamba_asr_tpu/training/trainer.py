@@ -1,0 +1,402 @@
+"""Config-driven, mesh-parallel, resumable training loop.
+
+The TPU rendition of the reference trainer (behavioral spec:
+src/dcasr/training/trainer.py) with the DDP-era machinery translated to SPMD:
+
+- Parallelism: params/opt state replicated, batches sharded on the leading
+  axis over a 1-axis ``jax.sharding.Mesh``; gradient averaging is implicit in
+  the jitted step's global-mean loss (XLA inserts the collectives). Constant
+  global batch = frame budget x accum_grad x processes, same arithmetic as the
+  reference's DDP contract.
+- No OOM choreography: static padded shapes make memory compile-time constant,
+  so the reference's group-skip / recovery-forward protocol has no TPU
+  counterpart (SURVEY.md §5.3). No GradScaler either: bf16 training needs none.
+- Determinism: dropout keys fold (seed, step); augmentation keys fold
+  (seed, epoch, item); the sampler shuffles by (seed + epoch). Resume restores
+  integers, not RNG blobs, and is therefore augmentation-exact.
+- Model contract (duck-typed, built by tasks/asr_task.py): ``init_params(key)``,
+  ``loss_fn(params, batch, step, train) -> (loss, stats)`` with stats containing
+  "loss/total" (and optionally "batch_weight"), and optionally
+  ``greedy_decode(params, batch) -> list[list[int]]`` for inline dev WER.
+- Selection/early-stop semantics ported intact: N-best per [phase, metric,
+  mode] criterion, best symlinks, pruning keeps the union + latest, fp32
+  n-best averaging, early stopping on the last *significant* best (min_delta
+  thresholding — sub-noise improvements must not reset patience).
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from hnet_mamba_asr_tpu.eval.metrics import char_errors, word_errors
+from hnet_mamba_asr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from hnet_mamba_asr_tpu.training import checkpoint as ckpt
+from hnet_mamba_asr_tpu.training.optim import build_optimizer
+from hnet_mamba_asr_tpu.utils.logging_utils import get_logger
+
+logger = get_logger(__name__)
+
+
+class Trainer:
+    """Model-agnostic training loop over a data-parallel mesh."""
+
+    def __init__(self, model, train_loader, cfg, *, dev_loaders=None, tokenizer=None,
+                 metrics=None, ckpt_dir="checkpoints", mesh=None, seed: int = 0,
+                 provenance=None):
+        self.model = model
+        self.train_loader = train_loader
+        self.dev_loaders = dict(dev_loaders or {})
+        self.tokenizer = tokenizer
+        self.metrics = metrics
+        self.provenance = provenance
+        self.cfg = dict(cfg)
+        self.seed = int(seed)
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.is_main = jax.process_index() == 0
+        self.ckpt_dir = Path(ckpt_dir)
+        if self.is_main:
+            self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+
+        g = self.cfg.get
+        self.max_epoch = int(g("max_epoch", 120))
+        self.grad_clip = float(g("grad_clip", 5.0))
+        if float(g("grad_clip_type", 2.0)) != 2.0:
+            raise ValueError("only L2 grad clipping is supported")
+        self.accum_grad = max(1, int(g("accum_grad", 1)))
+        self.log_interval = int(g("log_interval", 50))
+        self.valid_interval = int(g("valid_interval_epoch", 10))
+        self.keep_nbest = int(g("keep_nbest_models", 5))
+        self.keep_all = bool(g("keep_all_checkpoints", False))
+        self.max_steps = g("max_steps")
+        self.best_model_criterion = [tuple(c) for c in
+                                     g("best_model_criterion", [["valid", "loss", "min"]])]
+        self.early_stopping = dict(g("early_stopping", {}) or {})
+
+        key = jax.random.PRNGKey(self.seed)
+        self.params = model.init_params(key)
+        self.tx, self.lr_schedule, _ = build_optimizer(
+            g("optim", "adamw"), dict(g("optim_conf", {}) or {}),
+            g("scheduler"), dict(g("scheduler_conf", {}) or {}),
+            self.params, grad_clip=self.grad_clip)
+        self.opt_state = self.tx.init(self.params)
+
+        rep = replicate(self.mesh)
+        self.params = jax.device_put(self.params, rep)
+        self.opt_state = jax.device_put(self.opt_state, rep)
+
+        self.epoch, self.global_step = 0, 0
+        self.metric_history: dict[tuple[str, str], dict[int, float]] = {}
+        self._build_steps()
+        n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.params))
+        logger.info("Trainer: devices=%d processes=%d params=%.1fM accum_grad=%d "
+                    "optim=%s sched=%s dev_splits=%s",
+                    self.mesh.devices.size, jax.process_count(), n_params / 1e6,
+                    self.accum_grad, g("optim", "adamw"), g("scheduler"),
+                    list(self.dev_loaders))
+
+    # ---- compiled steps -------------------------------------------------------
+    def _build_steps(self):
+        model, tx, accum = self.model, self.tx, self.accum_grad
+
+        def loss_for_grad(params, batch, step):
+            loss, stats = model.loss_fn(params, batch, step, True)
+            return loss, stats
+
+        def fused_step(params, opt_state, batch, step):
+            (loss, stats), grads = jax.value_and_grad(
+                loss_for_grad, has_aux=True)(params, batch, step)
+            gnorm = optax.global_norm(grads)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, stats, gnorm
+
+        def micro_step(params, batch, step):
+            (loss, stats), grads = jax.value_and_grad(
+                loss_for_grad, has_aux=True)(params, batch, step)
+            grads = jax.tree_util.tree_map(lambda x: x / accum, grads)
+            return grads, stats
+
+        def accum_add(acc, grads):
+            return jax.tree_util.tree_map(jnp.add, acc, grads)
+
+        def apply_step(params, opt_state, grads):
+            gnorm = optax.global_norm(grads)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, gnorm
+
+        def eval_loss(params, batch):
+            return model.loss_fn(params, batch, 0, False)
+
+        self._fused_step = jax.jit(fused_step, donate_argnums=(0, 1))
+        self._micro_step = jax.jit(micro_step)
+        self._accum_add = jax.jit(accum_add, donate_argnums=(0,))
+        self._apply_step = jax.jit(apply_step, donate_argnums=(0, 1))
+        self._eval_loss = jax.jit(eval_loss)
+
+    # ---- bookkeeping ----------------------------------------------------------
+    def _record(self, phase: str, metric: str, value: float) -> None:
+        self.metric_history.setdefault((phase, metric), {})[self.epoch] = float(value)
+        if self.is_main and self.metrics is not None:
+            self.metrics.log_scalar(f"{phase}/{metric}", float(value),
+                                    self.global_step, split=phase, epoch=self.epoch)
+
+    def _best_epoch(self, phase, metric, mode):
+        hist = self.metric_history.get((phase, metric))
+        if not hist:
+            return None
+        pick = min if mode == "min" else max
+        return pick(hist, key=lambda e: hist[e])
+
+    # ---- one epoch -------------------------------------------------------------
+    def _train_epoch(self) -> None:
+        if hasattr(self.train_loader, "set_epoch"):
+            self.train_loader.set_epoch(self.epoch)
+        loss_sum = 0.0
+        weight_sum = 0.0
+        seen, t0 = 0, time.time()
+        window: dict[str, float] = {}
+        win_n = 0
+        grads_acc = None
+        micro = 0
+        for batch in self.train_loader:
+            ids = batch.pop("ids", None)
+            b_real = int(np.asarray(batch["row_mask"]).sum()) if "row_mask" in batch \
+                else int(batch["tokens"].shape[0])
+            batch = shard_batch(batch, self.mesh)
+            if self.accum_grad == 1:
+                self.params, self.opt_state, stats, gnorm = self._fused_step(
+                    self.params, self.opt_state, batch, self.global_step)
+            else:
+                grads, stats = self._micro_step(self.params, batch, self.global_step)
+                grads_acc = grads if grads_acc is None \
+                    else self._accum_add(grads_acc, grads)
+                micro += 1
+            stats = {k: float(v) for k, v in jax.device_get(stats).items()}
+            w = stats.get("batch_weight", float(b_real))
+            loss_sum += stats["loss/total"] * w
+            weight_sum += w
+            seen += b_real
+            for k, v in stats.items():
+                window[k] = window.get(k, 0.0) + v
+            win_n += 1
+            if self.accum_grad > 1:
+                if micro % self.accum_grad != 0:
+                    continue
+                self.params, self.opt_state, gnorm = self._apply_step(
+                    self.params, self.opt_state, grads_acc)
+                grads_acc = None
+            applied_lr = float(self.lr_schedule(self.global_step))
+            self.global_step += 1
+            if self.is_main and self.global_step % self.log_interval == 0:
+                dt = time.time() - t0
+                payload = {k: v / win_n for k, v in window.items()}
+                payload["train/lr"] = applied_lr
+                payload["train/grad_norm"] = float(gnorm)
+                payload["train/samples_per_s"] = seen / dt if dt > 0 else 0.0
+                if self.metrics is not None:
+                    self.metrics.log_scalars(payload, self.global_step,
+                                             split="train", epoch=self.epoch)
+                seen, t0 = 0, time.time()
+            window, win_n = {}, 0
+            if self.max_steps and self.global_step >= self.max_steps:
+                break
+        self._record("train", "loss", loss_sum / max(1.0, weight_sum))
+
+    # ---- validation over all dev splits -----------------------------------------
+    def validate(self) -> dict:
+        per_split, agg = {}, {"loss": [], "wer": [], "cer": []}
+        for name, loader in self.dev_loaders.items():
+            ls = ws = 0.0
+            werr = wtot = cerr = ctot = 0
+            for batch in loader:
+                ids = batch.pop("ids", None)
+                row_mask = np.asarray(batch["row_mask"])
+                b_real = int(row_mask.sum())
+                sharded = shard_batch(batch, self.mesh)
+                loss, vstats = self._eval_loss(self.params, sharded)
+                vstats = {k: float(v) for k, v in jax.device_get(vstats).items()}
+                w = vstats.get("batch_weight", float(b_real))
+                ls += vstats["loss/total"] * w
+                ws += w
+                if self.tokenizer is not None and hasattr(self.model, "greedy_decode"):
+                    hyps = self.model.greedy_decode(self.params, sharded)
+                    tokens = np.asarray(batch["tokens"])
+                    tlens = np.asarray(batch["token_lens"])
+                    for j in range(b_real):
+                        ref = self.tokenizer.decode(tokens[j, :tlens[j]].tolist())
+                        hyp = self.tokenizer.decode(hyps[j])
+                        we, wc = word_errors(hyp, ref)
+                        ce, cc = char_errors(hyp, ref)
+                        werr += we; wtot += wc; cerr += ce; ctot += cc
+            if ws <= 0:
+                raise RuntimeError(f"validation split {name}: no batches scored")
+            m = {"loss": ls / ws}
+            if wtot > 0:
+                m["wer"] = 100.0 * werr / wtot
+            if ctot > 0:
+                m["cer"] = 100.0 * cerr / ctot
+            per_split[name] = m
+            for k in ("loss", "wer", "cer"):
+                if k in m:
+                    agg[k].append(m[k])
+            if self.is_main and self.metrics is not None:
+                self.metrics.log_scalars({f"dev_{name}/{k}": v for k, v in m.items()},
+                                         self.global_step, split=name, epoch=self.epoch)
+        for k, values in agg.items():
+            if values:
+                self._record("valid", k, sum(values) / len(values))
+        return per_split
+
+    # ---- selection / early stop --------------------------------------------------
+    def _update_best_symlinks(self) -> None:
+        if not self.is_main:
+            return
+        for phase, metric, mode in self.best_model_criterion:
+            if self._best_epoch(phase, metric, mode) == self.epoch:
+                ckpt.update_best_symlink(self.ckpt_dir, phase, metric, self.epoch)
+
+    def _prune_checkpoints(self) -> None:
+        if not self.is_main or self.keep_nbest <= 0 or self.keep_all:
+            return
+        keep = {self.epoch}
+        for phase, metric, mode in self.best_model_criterion:
+            hist = self.metric_history.get((phase, metric), {})
+            top = sorted(hist, key=lambda e: hist[e],
+                         reverse=(mode == "max"))[:self.keep_nbest]
+            keep.update(top)
+        for p in self.ckpt_dir.glob("epoch*.ckpt"):
+            if int(p.stem[5:]) not in keep:
+                p.unlink(missing_ok=True)
+
+    def _last_significant_best(self, phase, metric, mode, min_delta):
+        """Last epoch that beat the running best by MORE than min_delta —
+        sub-noise improvements must neither reset patience nor move the
+        reference (distinct from _best_epoch, which checkpoint selection uses
+        unthresholded)."""
+        hist = self.metric_history.get((phase, metric))
+        if not hist:
+            return None
+        best_ep = best_val = None
+        for e in sorted(hist):
+            v = hist[e]
+            better = (best_val is None
+                      or (v < best_val - min_delta if mode == "min"
+                          else v > best_val + min_delta))
+            if better:
+                best_ep, best_val = e, v
+        return best_ep
+
+    def _should_early_stop(self) -> bool:
+        es = self.early_stopping
+        if not es.get("enable", False):
+            return False
+        results = []
+        for c in es.get("criteria", []):
+            be = self._last_significant_best(c["phase"], c["metric"],
+                                             c.get("mode", "min"),
+                                             float(c.get("min_delta", 0.0)))
+            results.append(be is not None and (self.epoch - be) > int(c["patience"]))
+        if not results:
+            return False
+        stop = all(results) if es.get("require_all", True) else any(results)
+        if stop:
+            logger.info("early stop at epoch %d (criteria stalled: %s)",
+                        self.epoch, results)
+        return stop
+
+    def _average_nbest(self) -> None:
+        if not self.is_main or self.keep_nbest <= 0:
+            return
+        for phase, metric, mode in self.best_model_criterion:
+            hist = self.metric_history.get((phase, metric), {})
+            top = sorted(hist, key=lambda e: hist[e],
+                         reverse=(mode == "max"))[:self.keep_nbest]
+            paths = [self.ckpt_dir / f"epoch{e:04d}.ckpt" for e in top]
+            paths = [p for p in paths if p.exists()]
+            if not paths:
+                continue
+            avg = ckpt.average_checkpoints(paths)
+            ckpt.save_checkpoint(self.ckpt_dir / f"{phase}.{metric}.ave.ckpt", avg)
+            logger.info("averaged %d ckpts -> %s.%s.ave.ckpt",
+                        len(paths), phase, metric)
+
+    # ---- checkpoints ---------------------------------------------------------------
+    def save_checkpoint(self) -> None:
+        if not self.is_main:
+            return
+        state = {"params": self.params, "opt_state": self.opt_state,
+                 "epoch": self.epoch, "global_step": self.global_step,
+                 "metric_history": self.metric_history, "config": self.cfg,
+                 "seed": self.seed}
+        ckpt.save_checkpoint(self.ckpt_dir / f"epoch{self.epoch:04d}.ckpt", state)
+        ckpt.save_checkpoint(self.ckpt_dir / "latest.ckpt", state)
+
+    def load_checkpoint(self, path) -> None:
+        state = ckpt.load_checkpoint(path)
+        rep = replicate(self.mesh)
+        self.params = jax.device_put(
+            jax.tree_util.tree_map(jnp.asarray, state["params"]), rep)
+        self.opt_state = jax.device_put(
+            _restore_opt_state(self.opt_state, state["opt_state"]), rep)
+        self.global_step = state["global_step"]
+        self.metric_history = state.get("metric_history", {})
+        self.epoch = state["epoch"] + 1          # saved epoch completed
+        logger.info("resumed %s -> continue at epoch %d (step %d)",
+                    path, self.epoch, self.global_step)
+
+    # ---- driver ----------------------------------------------------------------------
+    def train(self, resume=None) -> None:
+        if self.is_main and self.metrics is not None and self.provenance is not None:
+            self.metrics.append_summary("provenance", self.provenance)
+        path = ckpt.resolve_resume(self.ckpt_dir, resume)
+        if path is not None and Path(path).exists():
+            self.load_checkpoint(path)
+        for epoch in range(self.epoch, self.max_epoch):
+            if self.max_steps and self.global_step >= self.max_steps:
+                break                            # resumed run already at budget
+            self.epoch = epoch
+            self._train_epoch()
+            final = (epoch + 1) == self.max_epoch
+            save_now = (epoch + 1) % self.valid_interval == 0 or final
+            if save_now and self.dev_loaders:
+                per_split = self.validate()
+                if self.is_main:
+                    logger.info("epoch %d valid: %s", epoch,
+                                {k: {m: round(x, 3) for m, x in v.items()}
+                                 for k, v in per_split.items()})
+            if save_now:
+                self.save_checkpoint()
+                if self.dev_loaders:
+                    self._update_best_symlinks()
+                self._prune_checkpoints()
+                if self.dev_loaders and self._should_early_stop():
+                    break
+            if self.max_steps and self.global_step >= self.max_steps:
+                if not save_now:
+                    self.save_checkpoint()
+                break
+        self._average_nbest()
+        if self.is_main and self.metrics is not None:
+            summary = {"final_step": self.global_step, "epochs": self.epoch + 1,
+                       "n_devices": int(self.mesh.devices.size), "config": self.cfg}
+            for phase, metric, mode in self.best_model_criterion:
+                be = self._best_epoch(phase, metric, mode)
+                if be is not None:
+                    summary[f"best_{phase}_{metric}"] = \
+                        self.metric_history[(phase, metric)][be]
+                    summary[f"best_{phase}_{metric}_epoch"] = be
+            self.metrics.update_summary(**summary)
+
+
+def _restore_opt_state(template, saved):
+    """Rebuild the optax state pytree (NamedTuple structure) from saved leaves."""
+    leaves = jax.tree_util.tree_leaves(saved)
+    treedef = jax.tree_util.tree_structure(template)
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(x) for x in leaves])

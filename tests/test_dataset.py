@@ -1,0 +1,126 @@
+"""Host data pipeline: length grid, collate static shapes + row masking,
+bucket sampler budget/sharding/determinism, dataset with real WAV files."""
+import json
+
+import numpy as np
+import pytest
+
+from hnet_mamba_asr_tpu.data.audio import write_wav
+from hnet_mamba_asr_tpu.data.dataset import (
+    ASRDataset, BucketBatchSampler, DataLoader, collate_batch, length_grid,
+    make_dataloader,
+)
+from hnet_mamba_asr_tpu.data.manifests import feat_frames, load_manifest, write_manifest
+from hnet_mamba_asr_tpu.data.tokenizer import Tokenizer
+
+TEXTS = ["the cat sat", "a dog ran fast", "hello world", "speech is fun",
+         "testing one two three", "short"]
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    rng = np.random.default_rng(0)
+    entries = []
+    for i, text in enumerate(TEXTS):
+        n = int(rng.integers(4000, 12000))
+        path = root / f"utt{i}.wav"
+        write_wav(path, rng.normal(size=n) * 0.1, 16000)
+        entries.append({"id": f"utt{i}", "audio": str(path), "text": text,
+                        "frames": n})
+    manifest = write_manifest(entries, root / "train.jsonl")
+    tok = Tokenizer.train(TEXTS * 5, root / "bpe", vocab_size=48,
+                          hard_vocab_limit=False)
+    return manifest, tok
+
+
+def test_length_grid():
+    assert length_grid(10) == 256
+    assert length_grid(256) == 256
+    vals = sorted({length_grid(t) for t in range(1, 4000)})
+    assert all(vals[i] < vals[i + 1] for i in range(len(vals) - 1))
+    assert len(vals) <= 16                            # bounded compile count
+    assert all(length_grid(t) >= t for t in range(1, 4000))
+
+
+def test_feat_frames():
+    assert feat_frames(400) == 1
+    assert feat_frames(16000) == 98
+    assert feat_frames(100) == 0
+
+
+def test_collate_static_shapes():
+    samples = [{"wave": np.ones(5000, np.float32), "n_samples": 5000,
+                "tokens": np.array([4, 5, 6], np.int32), "id": "a", "index": 0},
+               {"wave": np.ones(3000, np.float32), "n_samples": 3000,
+                "tokens": np.array([7], np.int32), "id": "b", "index": 1}]
+    b = collate_batch(samples, pad_id=3, seed=1, epoch=2, batch_multiple=4)
+    assert b["wave"].shape[0] == 4                    # padded to multiple
+    t_pad = length_grid(feat_frames(5000))
+    assert b["wave"].shape[1] == (t_pad - 1) * 160 + 400
+    np.testing.assert_array_equal(b["row_mask"], [True, True, False, False])
+    np.testing.assert_array_equal(b["wave_lens"], [5000, 3000, 400, 400])
+    np.testing.assert_array_equal(b["token_lens"], [3, 1, 0, 0])
+    assert (b["tokens"][1, 1:] == 3).all()
+    np.testing.assert_array_equal(b["aug_ref"], [1, 2])
+    assert b["tokens"].shape[1] == 8
+
+
+def test_bucket_sampler_budget():
+    lengths = [10, 20, 30, 40, 50, 60, 70, 80]
+    s = BucketBatchSampler(lengths, max_frames=100, shuffle=False)
+    for batch in s:
+        mx = max(lengths[i] for i in batch)
+        assert len(batch) * mx <= 100
+    covered = sorted(i for b in s for i in b)
+    assert covered == list(range(8))
+
+
+def test_bucket_sampler_sharding():
+    lengths = list(range(10, 100, 3))
+    a = BucketBatchSampler(lengths, 200, num_replicas=2, rank=0, seed=1)
+    b = BucketBatchSampler(lengths, 200, num_replicas=2, rank=1, seed=1)
+    assert len(a) == len(b)                           # equal count per rank
+    ids_a = {i for bt in a for i in bt}
+    ids_b = {i for bt in b for i in bt}
+    assert not (ids_a & ids_b)                        # disjoint
+
+
+def test_bucket_sampler_epoch_determinism():
+    lengths = list(range(10, 200, 7))
+    s1 = BucketBatchSampler(lengths, 300, shuffle=True, seed=5)
+    s1.set_epoch(3)
+    order1 = list(s1)
+    s2 = BucketBatchSampler(lengths, 300, shuffle=True, seed=5)
+    s2.set_epoch(3)
+    assert order1 == list(s2)
+    s2.set_epoch(4)
+    assert order1 != list(s2)
+
+
+def test_dataset_items_and_loader(corpus):
+    manifest, tok = corpus
+    ds = ASRDataset(manifest, tok, augment=False)
+    assert len(ds) == len(TEXTS)
+    item = ds[0]
+    assert item["wave"].dtype == np.float32
+    assert item["tokens"].ndim == 1 and len(item["tokens"]) > 0
+    loader, sampler = make_dataloader(ds, max_frames=400, batch_multiple=2)
+    batches = list(loader)
+    assert sum(int(b["row_mask"].sum()) for b in batches) == len(TEXTS)
+    for b in batches:
+        assert b["wave"].shape[0] % 2 == 0
+        assert set(b) >= {"wave", "wave_lens", "tokens", "token_lens",
+                          "row_mask", "aug_ref", "item_index", "ids"}
+
+
+def test_speed_perturb_expands_items(corpus):
+    manifest, tok = corpus
+    ds = ASRDataset(manifest, tok, augment=True, speed_perturb=[0.9, 1.0, 1.1])
+    assert len(ds) == 3 * len(TEXTS)
+    # perturbed ids are suffixed; identity factor keeps the raw id
+    ids = {ds[i]["id"] for i in range(len(ds))}
+    assert "utt0" in ids and "utt0#sp0.9" in ids and "utt0#sp1.1" in ids
+    # expected length accounting for the sampler
+    entry_frames = load_manifest(manifest)[0]["frames"]
+    assert ds.lengths[0] == feat_frames(round(entry_frames / 0.9))

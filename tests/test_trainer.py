@@ -1,0 +1,199 @@
+"""Trainer: toy-model convergence on the 8-device mesh, resume exactness,
+checkpoint selection/pruning/averaging, early-stop min_delta semantics
+(replayed on the reference's real N1 WER series), schedules, param labels."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from hnet_mamba_asr_tpu.training.checkpoint import (
+    average_checkpoints, load_checkpoint, resolve_resume, save_checkpoint,
+)
+from hnet_mamba_asr_tpu.training.optim import build_schedule, param_labels, warmup_lr
+from hnet_mamba_asr_tpu.training.trainer import Trainer
+from hnet_mamba_asr_tpu.parallel.mesh import make_mesh
+
+
+class ToyModel:
+    """Linear regression implementing the Trainer model contract."""
+
+    def init_params(self, key):
+        return {"w": jnp.zeros((4, 1)), "b": jnp.zeros((1,))}
+
+    def loss_fn(self, params, batch, step, train):
+        pred = batch["x"] @ params["w"] + params["b"]
+        err = ((pred - batch["y"]) ** 2).mean(axis=1)
+        mask = batch["row_mask"]
+        loss = (err * mask).sum() / jnp.maximum(mask.sum(), 1)
+        return loss, {"loss/total": loss, "batch_weight": mask.sum()}
+
+
+class ToyLoader:
+    """Deterministic synthetic regression batches (B divisible by 8)."""
+
+    def __init__(self, n_batches=6, B=16, seed=0):
+        rng = np.random.default_rng(seed)
+        self.w = np.array([[1.0], [-2.0], [0.5], [3.0]])
+        self.batches = []
+        for _ in range(n_batches):
+            x = rng.normal(size=(B, 4)).astype(np.float32)
+            y = (x @ self.w + 0.1).astype(np.float32)
+            self.batches.append({"x": x, "y": y,
+                                 "row_mask": np.ones(B, bool), "ids": []})
+        self.epoch = 0
+
+    def set_epoch(self, epoch):
+        self.epoch = epoch
+
+    def __iter__(self):
+        return iter([dict(b) for b in self.batches])
+
+    def __len__(self):
+        return len(self.batches)
+
+
+CFG = {"max_epoch": 3, "grad_clip": 5.0, "accum_grad": 1, "log_interval": 2,
+       "valid_interval_epoch": 1, "keep_nbest_models": 2, "optim": "adamw",
+       "optim_conf": {"lr": 0.1}, "scheduler": None, "scheduler_conf": {},
+       "best_model_criterion": [["valid", "loss", "min"]],
+       "early_stopping": {}}
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh()
+
+
+def test_toy_training_converges(tmp_path, mesh):
+    tr = Trainer(ToyModel(), ToyLoader(), CFG,
+                 dev_loaders={"dev": ToyLoader(2, seed=9)},
+                 ckpt_dir=tmp_path / "ck", mesh=mesh)
+    tr.train()
+    hist = tr.metric_history[("train", "loss")]
+    assert hist[2] < hist[0] * 0.7
+    assert ("valid", "loss") in tr.metric_history
+    assert (tmp_path / "ck" / "latest.ckpt").exists()
+    assert (tmp_path / "ck" / "valid.loss.best.ckpt").exists()
+
+
+def test_resume_continues(tmp_path, mesh):
+    ck = tmp_path / "ck"
+    tr1 = Trainer(ToyModel(), ToyLoader(), dict(CFG, max_epoch=2),
+                  dev_loaders={"dev": ToyLoader(2, seed=9)}, ckpt_dir=ck, mesh=mesh)
+    tr1.train()
+    step1, params1 = tr1.global_step, jax.device_get(tr1.params)
+
+    tr2 = Trainer(ToyModel(), ToyLoader(), dict(CFG, max_epoch=4),
+                  dev_loaders={"dev": ToyLoader(2, seed=9)}, ckpt_dir=ck, mesh=mesh)
+    tr2.train(resume="auto")
+    assert tr2.epoch >= 2                              # continued, not restarted
+    assert tr2.global_step > step1
+    # resume really loaded the old params before continuing
+    tr3 = Trainer(ToyModel(), ToyLoader(), dict(CFG, max_epoch=2), ckpt_dir=ck,
+                  mesh=mesh)
+    tr3.load_checkpoint(ck / "latest.ckpt")
+    assert tr3.global_step == tr2.global_step
+
+
+def test_resume_missing_path_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        resolve_resume(tmp_path, str(tmp_path / "nope.ckpt"))
+    assert resolve_resume(tmp_path, "auto") is None    # fresh start OK
+    assert resolve_resume(tmp_path, None) is None
+
+
+def test_max_steps_no_overshoot(tmp_path, mesh):
+    cfg = dict(CFG, max_steps=4, max_epoch=10)
+    tr = Trainer(ToyModel(), ToyLoader(), cfg, ckpt_dir=tmp_path / "ck", mesh=mesh)
+    tr.train()
+    assert tr.global_step == 4
+    tr2 = Trainer(ToyModel(), ToyLoader(), cfg, ckpt_dir=tmp_path / "ck", mesh=mesh)
+    tr2.train(resume="auto")
+    assert tr2.global_step == 4                        # already at budget
+
+
+def test_accum_grad_equivalent_steps(tmp_path, mesh):
+    cfg = dict(CFG, accum_grad=2, max_epoch=1)
+    tr = Trainer(ToyModel(), ToyLoader(n_batches=6), cfg,
+                 ckpt_dir=tmp_path / "ck", mesh=mesh)
+    tr.train()
+    assert tr.global_step == 3                         # 6 micros / 2
+
+
+def test_checkpoint_roundtrip_and_average(tmp_path):
+    s1 = {"params": {"w": np.ones((2, 2), np.float32)}, "epoch": 0,
+          "global_step": 1, "metric_history": {}, "config": {}, "seed": 0}
+    s2 = {"params": {"w": 3 * np.ones((2, 2), np.float32)}, "epoch": 1,
+          "global_step": 2, "metric_history": {}, "config": {}, "seed": 0}
+    save_checkpoint(tmp_path / "a.ckpt", s1)
+    save_checkpoint(tmp_path / "b.ckpt", s2)
+    loaded = load_checkpoint(tmp_path / "a.ckpt")
+    np.testing.assert_array_equal(loaded["params"]["w"], 1.0)
+    avg = average_checkpoints([tmp_path / "a.ckpt", tmp_path / "b.ckpt"])
+    np.testing.assert_array_equal(avg["params"]["w"], 2.0)
+
+
+def test_early_stop_min_delta_on_real_wer_series(tmp_path, mesh):
+    """The reference's documented case: valid WER 6.118 -> 6.098 over 35 epochs
+    (0.02 improvement, a quarter of the noise sd) must NOT keep the run alive
+    when min_delta=0.05."""
+    tr = Trainer(ToyModel(), ToyLoader(1), dict(CFG), ckpt_dir=tmp_path / "ck",
+                 mesh=mesh)
+    series = {29: 6.598, 34: 6.280, 39: 6.252, 44: 6.118, 49: 6.137,
+              54: 6.118, 59: 6.103, 64: 6.118, 69: 6.098, 74: 6.109, 79: 6.104}
+    tr.metric_history[("valid", "wer")] = series
+    tr.early_stopping = {"enable": True, "criteria": [
+        {"phase": "valid", "metric": "wer", "mode": "min", "patience": 15,
+         "min_delta": 0.05}]}
+    tr.epoch = 79
+    assert tr._last_significant_best("valid", "wer", "min", 0.05) == 44
+    assert tr._should_early_stop()
+    # without min_delta the 6.098@69 would reset patience
+    tr.early_stopping["criteria"][0]["min_delta"] = 0.0
+    assert tr._last_significant_best("valid", "wer", "min", 0.0) == 69
+    assert not tr._should_early_stop()
+
+
+def test_prune_keeps_best_union_and_latest(tmp_path, mesh):
+    tr = Trainer(ToyModel(), ToyLoader(1), dict(CFG, keep_nbest_models=2),
+                 ckpt_dir=tmp_path / "ck", mesh=mesh)
+    for e, v in [(0, 5.0), (1, 3.0), (2, 4.0), (3, 2.0), (4, 6.0)]:
+        tr.epoch = e
+        tr.metric_history.setdefault(("valid", "loss"), {})[e] = v
+        tr.save_checkpoint()
+    tr._prune_checkpoints()
+    kept = sorted(p.name for p in (tmp_path / "ck").glob("epoch*.ckpt"))
+    assert kept == ["epoch0001.ckpt", "epoch0003.ckpt", "epoch0004.ckpt"]
+
+
+def test_warmup_schedule_formula():
+    sched = warmup_lr(0.002, warmup_steps=100)
+    # peak at step == warmup
+    assert float(sched(99)) == pytest.approx(0.002, rel=1e-6)
+    # linear ramp below
+    assert float(sched(49)) == pytest.approx(0.002 * 50 / 100, rel=1e-6)
+    # inverse sqrt above
+    assert float(sched(399)) == pytest.approx(0.002 * (100 / 400) ** 0.5, rel=1e-6)
+
+
+def test_build_schedule_variants():
+    s = build_schedule("steplr", 1.0, {"step_size": 10, "gamma": 0.5})
+    assert float(s(0)) == 1.0 and float(s(10)) == 0.5 and float(s(25)) == 0.25
+    s = build_schedule("exponentiallr", 1.0, {"gamma": 0.9})
+    assert float(s(2)) == pytest.approx(0.81)
+    s = build_schedule(None, 0.3, {})
+    assert float(s(1000)) == pytest.approx(0.3)
+    with pytest.raises(ValueError):
+        build_schedule("nope", 1.0, {})
+
+
+def test_param_labels_router_and_ndim():
+    params = {"encoder": {"chunk": {"router": {"W_q": {"kernel": np.zeros((4, 4))},
+                                               "W_k": {"kernel": np.zeros((4, 4))}}},
+                          "block": {"a_log": np.zeros(4),
+                                    "kernel": np.zeros((4, 4))}}}
+    labels = param_labels(params)
+    assert labels["encoder"]["chunk"]["router"]["W_q"]["kernel"] == "router"
+    assert labels["encoder"]["block"]["a_log"] == "no_decay"
+    assert labels["encoder"]["block"]["kernel"] == "default"
