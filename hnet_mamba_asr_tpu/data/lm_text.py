@@ -1,0 +1,202 @@
+"""Text-only dataset for external-LM training.
+
+Serves tokenized lines lazily from a large corpus (byte-offset line index
+cached beside the file — a 40M-line corpus is never held in RAM) or from an
+in-memory list (dev sets from manifest transcripts). Bucketing uses EXACT
+per-line token counts cached per (corpus, tokenizer), so the sampler's token
+budget is a hard per-batch memory bound (behavioral spec: reference
+src/dcasr/data/lm_text.py). Cache writes are per-pid tmp + atomic rename so
+concurrent builders can't race.
+
+Collate emits a static-shape batch with row_mask (same contract as the ASR
+collate minus the waveform keys), so the model-agnostic Trainer trains the LM
+unchanged.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+from typing import Iterator
+
+import numpy as np
+
+from hnet_mamba_asr_tpu.data.dataset import BucketBatchSampler
+from hnet_mamba_asr_tpu.utils.logging_utils import get_logger
+
+logger = get_logger(__name__)
+
+
+def _build_line_index(corpus_path: Path) -> np.ndarray:
+    offsets, pos = [], 0
+    with open(corpus_path, "rb") as f:
+        for raw in f:
+            if raw.strip():
+                offsets.append(pos)
+            pos += len(raw)
+    return np.asarray(offsets, dtype=np.int64)
+
+
+def load_line_index(corpus_path: str | Path) -> np.ndarray:
+    """Cached byte offsets of non-empty lines; rebuilt when the file changes."""
+    corpus_path = Path(corpus_path)
+    cache = corpus_path.with_suffix(corpus_path.suffix + ".idx.npz")
+    stat = corpus_path.stat()
+    if cache.exists():
+        try:
+            z = np.load(cache)
+            if (int(z["size"]) == stat.st_size
+                    and int(z["mtime_ns"]) == stat.st_mtime_ns):
+                return z["offsets"]
+            logger.info("corpus changed; rebuilding line index %s", cache.name)
+        except Exception:
+            logger.warning("unreadable line-index cache %s; rebuilding", cache.name)
+    offsets = _build_line_index(corpus_path)
+    tmp = cache.with_suffix(f".tmp{os.getpid()}.npz")
+    np.savez(tmp, offsets=offsets, size=np.int64(stat.st_size),
+             mtime_ns=np.int64(stat.st_mtime_ns))
+    os.replace(tmp, cache)
+    logger.info("line index: %d non-empty lines -> %s", len(offsets), cache.name)
+    return offsets
+
+
+def load_token_lengths(corpus_path: str | Path, tokenizer,
+                       offsets: np.ndarray) -> np.ndarray:
+    """EXACT per-line token counts, cached per (corpus, tokenizer model).
+
+    Exact counts make the sampler's token budget a hard bound (+1 bos/eos wrap
+    only) — deterministic device memory, no estimate-overshoot tail.
+    """
+    corpus_path = Path(corpus_path)
+    stat = corpus_path.stat()
+    tok_path = Path(tokenizer.model_path)
+    tok_stat = tok_path.stat()
+    cache = corpus_path.with_suffix(corpus_path.suffix + f".len.{tok_path.stem}.npz")
+    if cache.exists():
+        try:
+            z = np.load(cache)
+            if (int(z["size"]) == stat.st_size
+                    and int(z["mtime_ns"]) == stat.st_mtime_ns
+                    and int(z["tok_size"]) == tok_stat.st_size
+                    and int(z["tok_mtime_ns"]) == tok_stat.st_mtime_ns
+                    and len(z["lengths"]) == len(offsets)):
+                return z["lengths"]
+            logger.info("stale token-length cache %s; rebuilding", cache.name)
+        except Exception:
+            logger.warning("unreadable token-length cache %s; rebuilding", cache.name)
+    t0 = time.time()
+    counts = np.empty(len(offsets), dtype=np.int32)
+    with open(corpus_path, "rb") as f:
+        for i, off in enumerate(offsets):
+            f.seek(int(off))
+            counts[i] = len(tokenizer.encode(f.readline().decode("utf-8").strip()))
+    tmp = cache.with_suffix(f".tmp{os.getpid()}.npz")
+    np.savez(tmp, lengths=counts, size=np.int64(stat.st_size),
+             mtime_ns=np.int64(stat.st_mtime_ns), tok_size=np.int64(tok_stat.st_size),
+             tok_mtime_ns=np.int64(tok_stat.st_mtime_ns))
+    os.replace(tmp, cache)
+    logger.info("token lengths: %d lines in %.0f s -> %s",
+                len(counts), time.time() - t0, cache.name)
+    return counts
+
+
+class LMTextDataset:
+    """Tokenized text lines for next-token LM training (lazy or in-memory)."""
+
+    def __init__(self, tokenizer, *, corpus_path: str | Path | None = None,
+                 lines: list[str] | None = None, max_tokens: int = 512):
+        if (corpus_path is None) == (lines is None):
+            raise ValueError("exactly one of corpus_path / lines")
+        self.tokenizer = tokenizer
+        self.pad_id = tokenizer.pad_id
+        self.max_tokens = int(max_tokens)
+        self._fh = None
+        self.corpus_path = Path(corpus_path) if corpus_path is not None else None
+        if self.corpus_path is not None:
+            self.offsets = load_line_index(self.corpus_path)
+            counts = load_token_lengths(self.corpus_path, tokenizer, self.offsets)
+            self.lengths = [max(1, min(self.max_tokens, int(c))) for c in counts]
+            self.lines = None
+        else:
+            self.lines = [l.strip() for l in lines if l.encode("utf-8").strip()]
+            self.offsets = None
+            self.lengths = [max(1, min(self.max_tokens, len(tokenizer.encode(l))))
+                            for l in self.lines]
+        self.epoch = 0
+        logger.info("LMTextDataset: %d lines (%s, max_tokens=%d)", len(self.lengths),
+                    self.corpus_path.name if self.corpus_path else "in-memory",
+                    self.max_tokens)
+
+    @classmethod
+    def from_manifest(cls, manifest_path: str | Path, tokenizer, **kw) -> "LMTextDataset":
+        with open(manifest_path, encoding="utf-8") as f:
+            lines = [json.loads(l)["text"] for l in f if l.strip()]
+        return cls(tokenizer, lines=lines, **kw)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def _line(self, idx: int) -> str:
+        if self.lines is not None:
+            return self.lines[idx]
+        if self._fh is None:
+            self._fh = open(self.corpus_path, "rb")
+        self._fh.seek(int(self.offsets[idx]))
+        return self._fh.readline().decode("utf-8").strip()
+
+    def __len__(self) -> int:
+        return len(self.lengths)
+
+    def __getitem__(self, idx: int) -> dict:
+        ids = self.tokenizer.encode(self._line(idx))[:self.max_tokens]
+        if not ids:                                  # unknown-only line: keep one token
+            ids = [self.tokenizer.unk_id]
+        return {"tokens": np.asarray(ids, dtype=np.int32), "id": f"line{idx}"}
+
+
+def collate_lm(items: list[dict], *, pad_id: int, batch_multiple: int = 1,
+               token_multiple: int = 16) -> dict:
+    """Static-shape LM batch with row masking (tokens-only contract)."""
+    B = len(items)
+    B_pad = -(-B // batch_multiple) * batch_multiple
+    u_max = max(len(it["tokens"]) for it in items)
+    u_pad = max(-(-u_max // token_multiple) * token_multiple, token_multiple)
+    tokens = np.full((B_pad, u_pad), pad_id, dtype=np.int32)
+    lens = np.zeros(B_pad, dtype=np.int32)
+    for i, it in enumerate(items):
+        tokens[i, :len(it["tokens"])] = it["tokens"]
+        lens[i] = len(it["tokens"])
+    row_mask = np.zeros(B_pad, dtype=bool)
+    row_mask[:B] = True
+    return {"tokens": tokens, "token_lens": lens, "row_mask": row_mask,
+            "ids": [it["id"] for it in items]}
+
+
+class LMDataLoader:
+    def __init__(self, dataset: LMTextDataset, sampler: BucketBatchSampler,
+                 batch_multiple: int = 1):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_multiple = batch_multiple
+
+    def set_epoch(self, epoch: int) -> None:
+        self.dataset.set_epoch(epoch)
+        self.sampler.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return len(self.sampler)
+
+    def __iter__(self) -> Iterator[dict]:
+        for idxs in self.sampler:
+            yield collate_lm([self.dataset[i] for i in idxs],
+                             pad_id=self.dataset.pad_id,
+                             batch_multiple=self.batch_multiple)
+
+
+def make_lm_dataloader(dataset: LMTextDataset, batch_tokens: int, *, shuffle: bool,
+                       seed: int = 0, num_replicas: int = 1, rank: int = 0,
+                       batch_multiple: int = 1):
+    sampler = BucketBatchSampler(dataset.lengths, batch_tokens, num_replicas, rank,
+                                 shuffle=shuffle, seed=seed)
+    return LMDataLoader(dataset, sampler, batch_multiple), sampler

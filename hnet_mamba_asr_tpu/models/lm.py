@@ -85,18 +85,27 @@ class TransformerLM(nn.Module):
         return self.out(x)
 
     def loss(self, tokens: jax.Array, token_lengths: jax.Array,
-             return_acc: bool = False, deterministic: bool = True):
-        """Next-token label-smoothed CE over [w.., eos]; optional accuracy."""
+             return_acc: bool = False, deterministic: bool = True,
+             row_mask: jax.Array | None = None):
+        """Next-token label-smoothed CE over [w.., eos]; optional accuracy.
+
+        ``row_mask`` [B] drops padded batch rows entirely (they would otherwise
+        contribute their forced eos position)."""
         B, U = tokens.shape
+        valid = jnp.arange(U)[None, :] < token_lengths[:, None]
+        tokens = jnp.where(valid, tokens, self.pad_id)
         ys_in = jnp.full((B, U + 1), self.pad_id, dtype=tokens.dtype)
         ys_in = ys_in.at[:, 0].set(self.bos_id).at[:, 1:].set(tokens)
         ys_out = jnp.full((B, U + 1), self.pad_id, dtype=tokens.dtype)
         ys_out = ys_out.at[:, :U].set(tokens)
         ys_out = ys_out.at[jnp.arange(B), token_lengths].set(self.eos_id)
         logits = self(ys_in, deterministic=deterministic)
-        loss = label_smoothing_loss(logits, ys_out, token_lengths + 1, self.lsm_weight)
+        loss = label_smoothing_loss(logits, ys_out, token_lengths + 1,
+                                    self.lsm_weight, row_mask=row_mask)
         if not return_acc:
             return loss
         mask = jnp.arange(U + 1)[None, :] < (token_lengths + 1)[:, None]
+        if row_mask is not None:
+            mask = mask & row_mask[:, None]
         acc = ((jnp.argmax(logits, -1) == ys_out) & mask).sum() / jnp.maximum(mask.sum(), 1)
         return loss, acc

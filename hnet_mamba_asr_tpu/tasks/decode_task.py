@@ -1,0 +1,291 @@
+"""Decode task: trained checkpoint -> transcripts across the 7-cell matrix.
+
+Cells are read-outs x search x +/-LM (behavioral spec: reference
+src/dcasr/tasks/decode_task.py): greedy is CTC-only; AED/joint are beam-only;
++LM lives on the beam side only — first-pass shallow fusion for the CTC prefix
+beam (``lm_weight``), second-pass n-best rescoring for AED/joint
+(``rescore_weight`` / ``rescore_length_bonus``, distinct knobs so the settled
+CTC fusion weight and the rescoring lambda tune independently). The canonical
+matrix: ctc_greedy, ctc_beam, ctc_beam_lm, aed_beam, aed_beam_lm, joint_beam,
+joint_beam_lm.
+
+TPU timing discipline: device work is fenced with ``jax.block_until_ready``
+before reading the clock (the analog of the reference's cuda-synchronize
+fencing), encoder cost is amortized per utterance, and per-cell search time is
+measured per utterance. Device calls from the per-utterance host beams go
+through padded/bucketed jitted helpers so the whole split reuses a handful of
+compiled executables.
+"""
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+from pathlib import Path
+from typing import Any, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hnet_mamba_asr_tpu.decoders.ctc_decode import ctc_prefix_beam_search
+from hnet_mamba_asr_tpu.decoders.joint import (
+    joint_beam_search, joint_beam_search_nbest, lm_rescore,
+)
+from hnet_mamba_asr_tpu.decoders.lm_scorer import CausalLMScorer, _bucket
+from hnet_mamba_asr_tpu.models.ctc_head import greedy_decode as ctc_host_greedy
+from hnet_mamba_asr_tpu.training.checkpoint import load_checkpoint
+from hnet_mamba_asr_tpu.utils.config import load_yaml
+from hnet_mamba_asr_tpu.utils.logging_utils import get_logger
+
+logger = get_logger(__name__)
+
+SAMPLE_RATE = 16000
+
+
+def as_str_list(value, default: list[str]) -> list[str]:
+    if value is None:
+        return list(default)
+    if isinstance(value, str):
+        return [value]
+    return [str(v) for v in value]
+
+
+def expand_cells(decode_cfg: Mapping[str, Any]) -> list[dict]:
+    """decode block -> ordered matrix cells (greedy CTC-only, LM on beams)."""
+    dc = dict(decode_cfg or {})
+    read_outs = as_str_list(dc.get("read_outs"), ["ctc"])
+    searches = as_str_list(dc.get("search"), ["greedy", "beam"])
+    lm_val = dc.get("lm", "none")
+    with_lm = str(lm_val).lower() not in ("none", "false", "")
+    cells, seen = [], set()
+    for ro in read_outs:
+        if ro not in ("ctc", "aed", "joint"):
+            raise ValueError(f"unknown read_out {ro!r}")
+        for s in searches:
+            if s not in ("greedy", "beam"):
+                raise ValueError(f"unknown search {s!r}")
+            if s == "greedy" and ro != "ctc":
+                continue                                 # greedy is CTC-only
+            for use_lm in ([False, True] if (s == "beam" and with_lm) else [False]):
+                name = f"{ro}_{s}" + ("_lm" if use_lm else "")
+                if name in seen:
+                    continue
+                seen.add(name)
+                cells.append({"read_out": ro, "search": s, "lm": use_lm, "name": name})
+    if not cells:
+        raise ValueError(f"decode config yields no cells (read_outs={read_outs}, "
+                         f"search={searches}); greedy applies to CTC only")
+    return cells
+
+
+def check_heads(model, cells: list[dict]) -> None:
+    for c in cells:
+        if c["read_out"] in ("ctc", "joint") and model.ctc is None:
+            raise ValueError(f"cell {c['name']}: model has no CTC head")
+        if c["read_out"] in ("aed", "joint") and model.aed is None:
+            raise ValueError(f"cell {c['name']}: model has no AED head")
+
+
+def load_model_params(ckpt_path: str | Path) -> tuple[dict, dict]:
+    """Weights from a full trainer checkpoint or a .ave/.best file -> (params, meta)."""
+    state = load_checkpoint(ckpt_path)
+    meta = {k: state[k] for k in ("epoch", "global_step", "averaged") if k in state}
+    logger.info("loaded weights %s %s", Path(ckpt_path).name, meta or "")
+    return state["params"], meta
+
+
+def load_lm_scorer(decode_cfg: Mapping[str, Any], repo_root: str | Path,
+                   tokenizer) -> CausalLMScorer:
+    """Fusion LM from decode.lm_config + decode.lm_checkpoint (shared vocab)."""
+    from hnet_mamba_asr_tpu.tasks.lm_task import build_lm
+    dc = dict(decode_cfg or {})
+    if not dc.get("lm_config") or not dc.get("lm_checkpoint"):
+        raise ValueError("decode.lm requires decode.lm_config and decode.lm_checkpoint")
+    lm_cfg = load_yaml(Path(repo_root) / str(dc["lm_config"]))
+    lm = build_lm(lm_cfg, tokenizer.vocab_size)
+    params, _ = load_model_params(Path(repo_root) / str(dc["lm_checkpoint"]))
+    if lm.lm.vocab_size != tokenizer.vocab_size:
+        raise ValueError(f"LM vocab {lm.lm.vocab_size} != tokenizer "
+                         f"{tokenizer.vocab_size}")
+    return CausalLMScorer(lm.lm, {"params": params["lm"]} if "lm" in params
+                          else {"params": params}, bos_id=tokenizer.bos_id,
+                          eos_id=tokenizer.eos_id, pad_id=tokenizer.pad_id)
+
+
+def length_bonus_for(decode_cfg: Mapping[str, Any]) -> float:
+    """Acoustic-beam per-token bonus; default 0.0 (a positive value
+    over-generates on the no-LM cells — the LM-side bias is handled by
+    rescore_length_bonus at re-rank time only)."""
+    return float((decode_cfg or {}).get("length_bonus", 0.0))
+
+
+class AEDStepper:
+    """Padded/bucketed jitted next-token scorer for the label-synchronous beam.
+
+    One compiled executable per (rows, tokens) bucket, shared across utterances
+    of a split (memory keeps its padded length; validity comes from lengths).
+    """
+
+    def __init__(self, aed, params, features, lengths):
+        self.aed = aed
+        self.params = params
+        self.features = features                    # [B, L, d] (padded, device)
+        self.lengths = np.asarray(lengths)
+        self.bos_id, self.pad_id = aed.bos_id, aed.pad_id
+
+        @partial(jax.jit, static_argnums=())
+        def step(mem, mlen, ys_in, last_pos):
+            logits = aed.apply({"params": params}, mem, mlen, ys_in)
+            last = jnp.take_along_axis(
+                logits, last_pos[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+            return jax.nn.log_softmax(last.astype(jnp.float32), axis=-1)
+
+        self._step = step
+
+    def __call__(self, b: int, token_lists: list[list[int]]) -> np.ndarray:
+        n = len(token_lists)
+        lens = np.array([len(t) + 1 for t in token_lists])       # + bos
+        rows, U = _bucket(n, lo=4), _bucket(int(lens.max()), lo=8)
+        ys = np.full((rows, U), self.pad_id, dtype=np.int32)
+        ys[:, 0] = self.bos_id
+        for i, toks in enumerate(token_lists):
+            if toks:
+                ys[i, 1:1 + len(toks)] = toks
+        last_pos = np.zeros(rows, dtype=np.int32)
+        last_pos[:n] = lens - 1
+        mem = self.features[b:b + 1]
+        mem = jnp.broadcast_to(mem, (rows,) + mem.shape[1:])
+        mlen = jnp.full((rows,), int(self.lengths[b]), jnp.int32)
+        out = self._step(mem, mlen, jnp.asarray(ys), jnp.asarray(last_pos))
+        return np.asarray(out)[:n]
+
+
+def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
+                 decode_cfg: Mapping[str, Any], lm=None) -> list[dict]:
+    """One collated batch through one cell -> per-utt {id, ref, hyp, decode_s}."""
+    dc = dict(decode_cfg or {})
+    beam_size = int(dc.get("beam_size", 10))
+    pre_beam = dc.get("pre_beam")
+    lm_weight = float(dc.get("lm_weight", 0.0)) if cell["lm"] else 0.0
+    rescore_weight = float(dc.get("rescore_weight", lm_weight)) if cell["lm"] else 0.0
+    rescore_length_bonus = (float(dc.get("rescore_length_bonus", 0.0))
+                            if cell["lm"] else 0.0)
+    use_lm = lm if cell["lm"] else None
+    if cell["lm"] and lm is None:
+        raise ValueError(f"cell {cell['name']} needs decode.lm_checkpoint")
+    length_bonus = length_bonus_for(dc)
+
+    ids = batch.get("ids", [])
+    row_mask = np.asarray(batch["row_mask"])
+    n_real = int(row_mask.sum())
+
+    t0 = time.perf_counter()
+    enc = model.encode(params, batch, train=False)
+    jax.block_until_ready(enc.features)                  # fence: async dispatch
+    enc_s = time.perf_counter() - t0
+    lengths = np.asarray(enc.lengths)
+
+    hyps: list[list[int]] = []
+    times: list[float] = []
+    if cell["read_out"] == "ctc" and cell["search"] == "greedy":
+        t0 = time.perf_counter()
+        frame_ids = model.ctc.apply({"params": params["ctc"]}, enc.features,
+                                    method="frame_argmax")
+        jax.block_until_ready(frame_ids)
+        hyps = ctc_host_greedy(frame_ids, lengths, model.ctc.blank_id)[:n_real]
+        dt = time.perf_counter() - t0
+        times = [dt / max(n_real, 1)] * n_real
+    elif cell["read_out"] == "ctc":                      # prefix beam (+/-LM)
+        t0 = time.perf_counter()
+        logp = model.ctc.apply({"params": params["ctc"]}, enc.features,
+                               method="log_probs")
+        jax.block_until_ready(logp)
+        enc_s += time.perf_counter() - t0                # shared projection: amortized
+        logp_np = np.asarray(logp)
+        for i in range(n_real):
+            t0 = time.perf_counter()
+            hyp = ctc_prefix_beam_search(
+                logp_np[i:i + 1], lengths[i:i + 1], blank_id=model.ctc.blank_id,
+                beam_size=beam_size, pre_beam=int(pre_beam or 30),
+                lm=use_lm, lm_weight=lm_weight)[0]
+            times.append(time.perf_counter() - t0)
+            hyps.append(hyp)
+    else:                                                # aed / joint beam
+        ctc_w = 0.0 if cell["read_out"] == "aed" else float(dc.get("ctc_weight", 0.3))
+        stepper = AEDStepper(model.aed, params["aed"], enc.features, lengths)
+        ctc_logp = None
+        if ctc_w > 0.0:
+            ctc_logp = np.asarray(model.ctc.apply({"params": params["ctc"]},
+                                                  enc.features, method="log_probs"))
+        pre = int(pre_beam) if pre_beam else None
+        kw = dict(aed_next_logprobs=stepper, vocab_size=model.aed.vocab_size,
+                  beam_size=beam_size, ctc_weight=ctc_w, bos_id=tokenizer.bos_id,
+                  eos_id=tokenizer.eos_id, pad_id=tokenizer.pad_id,
+                  blank_id=model.ctc.blank_id if model.ctc is not None else None,
+                  length_bonus=length_bonus, pre_beam=pre,
+                  max_decode_len=model.aed.max_decode_len)
+        for i in range(n_real):
+            t0 = time.perf_counter()
+            lp_i = ctc_logp[i:i + 1, :lengths[i]] if ctc_logp is not None else None
+            if cell["lm"]:
+                nbest = joint_beam_search_nbest(None, lengths[i:i + 1],
+                                                ctc_log_probs=lp_i, nbest=beam_size,
+                                                **{**kw, "aed_next_logprobs":
+                                                   lambda _b, tl, i=i: stepper(i, tl)})[0]
+                hyp = lm_rescore(nbest, use_lm, rescore_weight, ctc_weight=ctc_w,
+                                 length_bonus=rescore_length_bonus)
+            else:
+                hyp = joint_beam_search(None, lengths[i:i + 1], ctc_log_probs=lp_i,
+                                        **{**kw, "aed_next_logprobs":
+                                           lambda _b, tl, i=i: stepper(i, tl)})[0]
+            times.append(time.perf_counter() - t0)
+            hyps.append(hyp)
+
+    per_utt_enc = enc_s / max(n_real, 1)
+    tokens = np.asarray(batch["tokens"])
+    tlens = np.asarray(batch["token_lens"])
+    records = []
+    for i in range(n_real):
+        ref_ids = tokens[i, :int(tlens[i])].tolist()
+        records.append({"id": ids[i], "ref": tokenizer.decode(ref_ids),
+                        "hyp": tokenizer.decode(hyps[i]),
+                        "decode_s": round(per_utt_enc + times[i], 6)})
+    return records
+
+
+def decode_split(model, params, tokenizer, loader, cell, decode_cfg, *,
+                 audio_seconds: Mapping[str, float], out_path: str | Path,
+                 lm=None) -> dict:
+    """Decode one split through one cell; write per-utt JSONL; return summary."""
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    warm = next(iter(loader), None)                      # untimed warmup compile
+    if warm is not None:
+        warm.pop("ids", None)
+        jax.block_until_ready(model.encode(params, warm, train=False).features)
+    n, dec_s, aud_s = 0, 0.0, 0.0
+    with open(out_path, "w", encoding="utf-8") as w:
+        for batch in loader:
+            for r in decode_batch(model, params, tokenizer, batch, cell,
+                                  decode_cfg, lm=lm):
+                r["audio_s"] = round(audio_seconds.get(r["id"], 0.0), 3)
+                w.write(json.dumps(r) + "\n")
+                n += 1
+                dec_s += r["decode_s"]
+                aud_s += r["audio_s"]
+    summary = {"cell": cell["name"], "n_utts": n, "decode_s": round(dec_s, 3),
+               "audio_s": round(aud_s, 3),
+               "rtf": round(dec_s / aud_s, 5) if aud_s > 0 else None}
+    logger.info("decoded %s: %s", out_path.name, summary)
+    return summary
+
+
+def audio_seconds_from_manifest(manifest_path: str | Path) -> dict[str, float]:
+    out = {}
+    with open(manifest_path, encoding="utf-8") as f:
+        for line in f:
+            if line.strip():
+                e = json.loads(line)
+                out[e["id"]] = e["frames"] / SAMPLE_RATE
+    return out

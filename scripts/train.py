@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Train a DC-ASR model from a YAML config (+ dotlist overrides).
+
+Usage:
+    python scripts/train.py --config configs/typeA_small_N1.yaml \
+        [--resume auto] [key.path=value ...]
+
+Thin orchestrator over tested library code: config -> tokenizer/CMVN/loaders
+-> build_model -> Trainer.train. Artifacts land under
+experiments/<experiment.name>/ (checkpoints, metrics.jsonl, summary.json,
+provenance). (Reference counterpart: scripts/train.py.)
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--resume", default=None,
+                    help="'auto' = latest checkpoint; or an explicit path")
+    ap.add_argument("--exp-dir", default=None, help="override experiments/<name>")
+    ap.add_argument("overrides", nargs="*", help="key.path=value dotlist")
+    return ap.parse_args(argv)
+
+
+def run(args) -> None:
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+    from hnet_mamba_asr_tpu.tasks.build import (
+        build_cmvn, build_dataloaders, build_tokenizer,
+    )
+    from hnet_mamba_asr_tpu.training.trainer import Trainer
+    from hnet_mamba_asr_tpu.utils.config import flatten_config, load_config
+    from hnet_mamba_asr_tpu.utils.logging_utils import get_logger, setup_logging
+    from hnet_mamba_asr_tpu.utils.metrics_logger import MetricsLogger
+    from hnet_mamba_asr_tpu.utils.provenance import collect_provenance
+
+    import jax
+
+    cfg = load_config(args.config, args.overrides)
+    name = (cfg.get("experiment", {}) or {}).get("name", Path(args.config).stem)
+    exp_dir = Path(args.exp_dir) if args.exp_dir else REPO_ROOT / "experiments" / name
+    setup_logging("train", exp_dir / "logs")
+    logger = get_logger("train")
+    seed = int((cfg.get("experiment", {}) or {}).get("seed", 0))
+
+    tokenizer = build_tokenizer(cfg, REPO_ROOT)
+    cmvn = build_cmvn(cfg, REPO_ROOT)
+    train_loader, _, dev_loaders = build_dataloaders(cfg, REPO_ROOT, tokenizer,
+                                                     seed=seed)
+    model = build_model(cfg, tokenizer.vocab_size, cmvn=cmvn)
+    is_main = jax.process_index() == 0
+    metrics = MetricsLogger(exp_dir, resume=args.resume is not None,
+                            is_main=is_main)
+    prov = collect_provenance(cfg, repo_root=REPO_ROOT,
+                              n_devices=jax.device_count(), seed=seed,
+                              artifacts={"tokenizer": cfg.get("bpemodel"),
+                                         "train_manifest": None})
+    trainer = Trainer(model, train_loader, flatten_config(cfg),
+                      dev_loaders=dev_loaders, tokenizer=tokenizer,
+                      metrics=metrics, ckpt_dir=exp_dir / "checkpoints",
+                      seed=seed, provenance=prov)
+    logger.info("training %s -> %s", name, exp_dir)
+    trainer.train(resume=args.resume)
+    metrics.close()
+
+
+if __name__ == "__main__":
+    run(parse_args())

@@ -55,7 +55,10 @@ def test_padding_invariance(rng):
                                          jnp.asarray([3200, 4800]))
     feats_1, _ = log_mel_spectrogram(jnp.asarray(w1))
     T1 = int(flens[0])
-    np.testing.assert_array_equal(np.asarray(feats_b[0, :T1]), np.asarray(feats_1[0]))
+    # frames see real samples only (center=False); tiny fp divergence is allowed
+    # because XLA may batch the rFFT differently for different batch shapes
+    np.testing.assert_allclose(np.asarray(feats_b[0, :T1]), np.asarray(feats_1[0]),
+                               rtol=0, atol=1e-5)
 
 
 def test_short_waveform_raises():
