@@ -42,24 +42,33 @@ def main() -> None:
     tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(1e-3))
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state, batch, i):
-        def loss_fn(p):
-            loss, stats = model.loss_fn(p, batch, i, True)
-            return loss, stats
-        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    # Many steps inside ONE device call (lax.scan over the step body): the
+    # host<->device dispatch path here has ~seconds of per-call latency, so a
+    # per-step Python loop measures the launch overhead, not the chip. The
+    # scan amortizes it; fetching the final loss fences the whole chain.
+    N_STEPS = 8
 
-    # warmup (compile) + steady-state timing
-    params, opt_state, loss = step(params, opt_state, batch, 0)
-    jax.block_until_ready(loss)
-    n_iters = 5
+    @jax.jit
+    def run_steps(params, opt_state, batch):
+        def body(carry, i):
+            params, opt_state = carry
+            def loss_fn(p):
+                loss, stats = model.loss_fn(p, batch, i, True)
+                return loss, stats
+            (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), opt_state), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jax.numpy.arange(N_STEPS))
+        return params, opt_state, losses[-1]
+
+    # warmup (compile + first execution), then steady-state timing
+    params, opt_state, loss = run_steps(params, opt_state, batch)
+    _ = float(loss)                                        # full fetch fence
     t0 = time.perf_counter()
-    for i in range(1, n_iters + 1):
-        params, opt_state, loss = step(params, opt_state, batch, i)
-    jax.block_until_ready(loss)
-    dt = (time.perf_counter() - t0) / n_iters
+    params, opt_state, loss = run_steps(params, opt_state, batch)
+    _ = float(loss)
+    dt = (time.perf_counter() - t0) / N_STEPS
 
     n_chips = jax.local_device_count()
     frames_per_sec_per_chip = (B * frames) / dt / n_chips

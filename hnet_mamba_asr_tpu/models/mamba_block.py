@@ -60,7 +60,13 @@ class MambaBlock(nn.Module):
 
 
 class MambaStack(nn.Module):
-    """n_layers MambaBlocks + a final LayerNorm; shape-preserving."""
+    """n_layers MambaBlocks + a final LayerNorm; shape-preserving.
+
+    ``remat=True`` wraps each block in jax.checkpoint: the backward pass
+    recomputes block activations instead of keeping every SSD intermediate
+    live — the standard HBM/FLOPs trade that lets the reference batch budget
+    (64k frames/device) fit training on a 16 GB chip.
+    """
 
     n_layers: int
     d_model: int
@@ -72,11 +78,13 @@ class MambaStack(nn.Module):
     chunk_size: int = 128
     dtype: Any = jnp.float32
     use_reference_scan: bool = False
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, lengths: jax.Array | None = None) -> jax.Array:
+        block_cls = nn.remat(MambaBlock) if self.remat else MambaBlock
         for i in range(self.n_layers):
-            x = MambaBlock(
+            x = block_cls(
                 d_model=self.d_model, bidirectional=self.bidirectional,
                 d_state=self.d_state, d_conv=self.d_conv, expand=self.expand,
                 headdim=self.headdim, chunk_size=self.chunk_size, dtype=self.dtype,

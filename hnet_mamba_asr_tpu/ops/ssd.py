@@ -91,35 +91,41 @@ def ssd_chunked(x: jax.Array, dt: jax.Array, A: jax.Array, B: jax.Array,
 
     Bh = _expand_groups(B, H)
     Ch = _expand_groups(C, H)
-    # chunked views
-    xc = x.reshape(Bsz, K, Q, H, P)
-    dtc = dt.reshape(Bsz, K, Q, H).astype(jnp.float32)
-    Bc = Bh.reshape(Bsz, K, Q, H, N)
-    Cc = Ch.reshape(Bsz, K, Q, H, N)
+    # head-major chunked views [B, K, H, Q, *]: (b, k, h) become pure batch
+    # dims so every einsum below is a clean QxN / NxS / SxP tile on the MXU
+    # (head counts are small — putting H in a minor axis wastes ~10x in lanes)
+    xc = x.reshape(Bsz, K, Q, H, P).transpose(0, 1, 3, 2, 4)
+    dtc = dt.reshape(Bsz, K, Q, H).transpose(0, 1, 3, 2).astype(jnp.float32)
+    Bc = Bh.reshape(Bsz, K, Q, H, N).transpose(0, 1, 3, 2, 4)
+    Cc = Ch.reshape(Bsz, K, Q, H, N).transpose(0, 1, 3, 2, 4)
 
-    a = dtc * A.astype(jnp.float32)[None, None, None, :]          # [B,K,Q,H] (<= 0)
-    ac = jnp.cumsum(a, axis=2)                                    # within-chunk cumsum
+    a = dtc * A.astype(jnp.float32)[None, None, :, None]          # [B,K,H,Q] (<= 0)
+    ac = jnp.cumsum(a, axis=3)                                    # within-chunk cumsum
 
     # ── intra-chunk: masked decay attention ──────────────────────────────────
-    # decay(j -> q) = exp(ac[q] - ac[j]) for j <= q (excludes a_j itself)
-    seg = ac[:, :, :, None, :] - ac[:, :, None, :, :]             # [B,K,Q,Q,H]
+    # decay(j -> q) = exp(ac[q] - ac[j]) for j <= q (excludes a_j itself).
+    # Mask BEFORE exp: future-position differences are POSITIVE (up to
+    # |A|*dt*Q) and their exp overflows; an overflow in the unselected where
+    # branch leaks NaN into the backward pass (zero cotangent times inf).
+    seg = ac[..., :, None] - ac[..., None, :]                     # [B,K,H,Q,S]
     causal = jnp.tril(jnp.ones((Q, Q), dtype=bool))
-    decay_qs = jnp.where(causal[None, None, :, :, None], jnp.exp(seg), 0.0)
-    scores = jnp.einsum("bkqhn,bkshn->bkqsh", Cc, Bc,
+    seg = jnp.where(causal, seg, -jnp.inf)
+    decay_qs = jnp.exp(seg)
+    scores = jnp.einsum("bkhqn,bkhsn->bkhqs", Cc, Bc,
                         preferred_element_type=jnp.float32)       # C_q . B_s
-    weights = scores * decay_qs * dtc[:, :, None, :, :]           # [B,K,Q,S,H]
-    y_intra = jnp.einsum("bkqsh,bkshp->bkqhp", weights, xc,
+    weights = (scores * decay_qs * dtc[..., None, :]).astype(x.dtype)
+    y_intra = jnp.einsum("bkhqs,bkhsp->bkhqp", weights, xc,
                          preferred_element_type=jnp.float32)
 
     # ── chunk boundary states ────────────────────────────────────────────────
     # S_k = sum_s exp(ac[last] - ac[s]) * dt_s * B_s outer x_s   -> [B,K,H,N,P]
-    decay_to_end = jnp.exp(ac[:, :, -1:, :] - ac)                 # [B,K,Q,H]
-    wB = Bc * (decay_to_end * dtc)[..., None]                     # [B,K,Q,H,N]
-    states = jnp.einsum("bkqhn,bkqhp->bkhnp", wB, xc,
+    decay_to_end = jnp.exp(ac[..., -1:] - ac)                     # [B,K,H,Q]
+    wB = (Bc * (decay_to_end * dtc)[..., None]).astype(x.dtype)   # [B,K,H,Q,N]
+    states = jnp.einsum("bkhqn,bkhqp->bkhnp", wB, xc,
                         preferred_element_type=jnp.float32)
 
     # ── inter-chunk recurrence over K chunk states ───────────────────────────
-    chunk_decay = jnp.exp(ac[:, :, -1, :])                        # [B,K,H] total decay
+    chunk_decay = jnp.exp(ac[..., -1])                            # [B,K,H] total decay
 
     def carry_step(S_prev, inp):
         S_k, d_k = inp                                            # [B,H,N,P], [B,H]
@@ -133,11 +139,12 @@ def ssd_chunked(x: jax.Array, dt: jax.Array, A: jax.Array, B: jax.Array,
     S_before = S_before.transpose(1, 0, 2, 3, 4)                  # [B,K,H,N,P]
 
     # ── inter-chunk contribution: y_inter[q] = exp(ac[q]) * C_q @ S_before ──
-    y_inter = jnp.einsum("bkqhn,bkhnp->bkqhp", Cc, S_before,
+    y_inter = jnp.einsum("bkhqn,bkhnp->bkhqp", Cc,
+                         S_before.astype(x.dtype),
                          preferred_element_type=jnp.float32)
     y_inter = y_inter * jnp.exp(ac)[..., None]
 
-    y = (y_intra + y_inter).reshape(Bsz, Lp, H, P)
+    y = (y_intra + y_inter).transpose(0, 1, 3, 2, 4).reshape(Bsz, Lp, H, P)
     return y[:, :L].astype(x.dtype)
 
 

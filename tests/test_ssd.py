@@ -77,6 +77,24 @@ def test_decay_stability_long_dt(rng):
     assert np.isfinite(out).all()
 
 
+def test_gradients_finite_at_production_scale(rng):
+    """Regression: with chunk_size >> 1 and strong decay (|A| up to 16, the
+    production init range), the intra-chunk future-position exp used to
+    overflow and leak NaN into gradients through the where branch."""
+    x = jnp.asarray(rng.normal(size=(1, 256, 2, 8)).astype(np.float32))
+    dt = jnp.asarray(rng.uniform(0.01, 0.3, size=(1, 256, 2)).astype(np.float32))
+    A = jnp.asarray(np.array([-8.0, -16.0], np.float32))
+    Bm = jnp.asarray(rng.normal(size=(1, 256, 1, 8)).astype(np.float32))
+    Cm = jnp.asarray(rng.normal(size=(1, 256, 1, 8)).astype(np.float32))
+
+    def loss(x, dt, A, Bm, Cm):
+        return jnp.sum(ssd_chunked(x, dt, A, Bm, Cm, chunk_size=128) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(x, dt, A, Bm, Cm)
+    for g in grads:
+        assert np.isfinite(np.asarray(g)).all()
+
+
 # ── layer / blocks ────────────────────────────────────────────────────────────
 def test_mamba2_layer_shapes(rng):
     m = Mamba2(d_model=32, d_state=16, headdim=8, chunk_size=16)
