@@ -94,23 +94,23 @@ def encoder_params(enc: Mapping[str, Any], n_mels: int = 80) -> dict:
     a = _arch(enc, n_mels)
     br: dict[str, int] = {
         "subsample": conv_subsample_params(a["n_mels"], a["d_outer"]),
-        "enc_stack": mamba_stack_params(a["n_enc"], a["d_outer"], a["bidir"]),
-        "dec_stack": mamba_stack_params(a["n_dec"], a["d_outer"], a["bidir"]),
+        "enc_stack": mamba_stack_params(a["n_enc"], a["d_outer"], a["bidir"], **a["mamba_kw"]),
+        "dec_stack": mamba_stack_params(a["n_dec"], a["d_outer"], a["bidir"], **a["mamba_kw"]),
     }
     if a["type"] == "A":
         br["chunker"] = chunker_params(a["chunker"], a["d_outer"], a["N"])
         br["projections"] = (_linear_params(a["d_outer"], a["d_main"])
                              + _linear_params(a["d_main"], a["d_outer"]))
-        br["main_stack"] = mamba_stack_params(a["n_main"], a["d_main"], a["bidir"])
+        br["main_stack"] = mamba_stack_params(a["n_main"], a["d_main"], a["bidir"], **a["mamba_kw"])
     else:
         nb = a["N"] ** 0.5
         br["chunker"] = (chunker_params(a["chunker"], a["d_outer"], nb)
                          + chunker_params(a["chunker"], a["d_main"], nb))
         br["projections"] = (_linear_params(a["d_outer"], a["d_main"])
                              + _linear_params(a["d_main"], a["d_outer"]))
-        br["mid_stack"] = mamba_stack_params(a["n_mid"], a["d_main"], a["bidir"])
-        br["main_stack"] = mamba_stack_params(a["n_main"], a["d_main"], a["bidir"])
-        br["mid_dec_stack"] = mamba_stack_params(a["n_mid"], a["d_main"], a["bidir"])
+        br["mid_stack"] = mamba_stack_params(a["n_mid"], a["d_main"], a["bidir"], **a["mamba_kw"])
+        br["main_stack"] = mamba_stack_params(a["n_main"], a["d_main"], a["bidir"], **a["mamba_kw"])
+        br["mid_dec_stack"] = mamba_stack_params(a["n_mid"], a["d_main"], a["bidir"], **a["mamba_kw"])
     return {"breakdown": br, "total": sum(br.values())}
 
 
@@ -212,8 +212,8 @@ def encoder_flops(enc: Mapping[str, Any], n_frames: int, n_mels: int = 80,
         raise ValueError(f"kept fraction(s) outside (0, 1]: {bad}")
     br: dict[str, float] = {
         "subsample": conv_subsample_flops(n_frames, a["n_mels"], a["d_outer"]),
-        "enc_stack": mamba_stack_flops(a["n_enc"], a["d_outer"], l0, a["bidir"]),
-        "dec_stack": mamba_stack_flops(a["n_dec"], a["d_outer"], l0, a["bidir"]),
+        "enc_stack": mamba_stack_flops(a["n_enc"], a["d_outer"], l0, a["bidir"], **a["mamba_kw"]),
+        "dec_stack": mamba_stack_flops(a["n_dec"], a["d_outer"], l0, a["bidir"], **a["mamba_kw"]),
     }
     if a["type"] == "A":
         m = kept[0] * l0
@@ -221,7 +221,7 @@ def encoder_flops(enc: Mapping[str, Any], n_frames: int, n_mels: int = 80,
         br["router"] = router_flops(a["d_outer"], l0) if active else 0.0
         br["ema"] = ema_flops(l0, a["d_outer"]) if (active and use_ema) else 0.0
         br["projections"] = 2.0 * (m * a["d_outer"] * a["d_main"]) * 2
-        br["main_stack"] = mamba_stack_flops(a["n_main"], a["d_main"], m, a["bidir"])
+        br["main_stack"] = mamba_stack_flops(a["n_main"], a["d_main"], m, a["bidir"], **a["mamba_kw"])
         compressed = [m]
     else:
         nb = a["N"] ** 0.5
@@ -232,9 +232,9 @@ def encoder_flops(enc: Mapping[str, Any], n_frames: int, n_mels: int = 80,
         br["ema"] = ((ema_flops(m1, a["d_main"]) + ema_flops(l0, a["d_outer"]))
                      if (active and use_ema) else 0.0)
         br["projections"] = 2.0 * (m1 * a["d_outer"] * a["d_main"]) * 2
-        br["mid_stack"] = mamba_stack_flops(a["n_mid"], a["d_main"], m1, a["bidir"])
-        br["main_stack"] = mamba_stack_flops(a["n_main"], a["d_main"], m2, a["bidir"])
-        br["mid_dec_stack"] = mamba_stack_flops(a["n_mid"], a["d_main"], m1, a["bidir"])
+        br["mid_stack"] = mamba_stack_flops(a["n_mid"], a["d_main"], m1, a["bidir"], **a["mamba_kw"])
+        br["main_stack"] = mamba_stack_flops(a["n_main"], a["d_main"], m2, a["bidir"], **a["mamba_kw"])
+        br["mid_dec_stack"] = mamba_stack_flops(a["n_mid"], a["d_main"], m1, a["bidir"], **a["mamba_kw"])
         compressed = [m1, m2]
     return {"breakdown": br, "total": sum(br.values()), "frames_25hz": l0,
             "compressed_frames": compressed, "kept_fractions": kept}
@@ -272,7 +272,11 @@ def _arch(enc: Mapping[str, Any], n_mels: int) -> dict:
             "n_main": int(enc["n_main"]), "n_dec": int(enc["n_dec"]),
             "n_mid": int(enc.get("n_mid", 4)),
             "bidir": bool(enc.get("bidirectional", True)),
-            "chunker": chunker, "ema": bool(h.get("ema_smoothing", True))}
+            "chunker": chunker, "ema": bool(h.get("ema_smoothing", True)),
+            "mamba_kw": {"d_state": int(enc.get("d_state", 128)),
+                         "d_conv": int(enc.get("d_conv", 4)),
+                         "expand": int(enc.get("expand", 2)),
+                         "headdim": int(enc.get("headdim", 64))}}
 
 
 def efficiency_report(config: Mapping[str, Any], vocab_size: int,
