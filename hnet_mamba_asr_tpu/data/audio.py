@@ -92,14 +92,16 @@ def resample(x: np.ndarray, orig_sr: int, new_sr: int) -> np.ndarray:
     frac = Fraction(new_sr, orig_sr).limit_denominator(1000)
     up, down = frac.numerator, frac.denominator
     kern = _resample_kernel(up, down)
-    # upsample by zero-stuffing, filter, then decimate — done sparsely:
     n_out = int(np.ceil(len(x) * up / down))
-    pad = (len(kern) // 2)
-    # dense implementation via np.convolve on the zero-stuffed signal is fine for
-    # offline data prep (host-side); lengths here are <1 s of audio per call at
-    # 16 kHz in tests and data prep batches.
+    from hnet_mamba_asr_tpu.utils import native
+    if native.lib is not None:
+        # sparse polyphase inner loop in C++ (native/hmasr_native.cpp) — the
+        # dense zero-stuffed convolution below allocates len(x)*up doubles
+        return native.resample_poly(np.asarray(x, np.float64), kern, up, down,
+                                    n_out)
     up_sig = np.zeros(len(x) * up, dtype=np.float64)
     up_sig[::up] = x
+    pad = len(kern) // 2
     filt = np.convolve(up_sig, kern)[pad:pad + len(up_sig)]
     return filt[::down][:n_out]
 

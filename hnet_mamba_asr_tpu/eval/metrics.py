@@ -16,6 +16,8 @@ from typing import Iterable, Sequence
 
 import numpy as np
 
+from hnet_mamba_asr_tpu.utils import native
+
 _NON_WORD = re.compile(r"[^\w\s']")
 
 
@@ -61,6 +63,8 @@ def edit_distance(ref: Sequence, hyp: Sequence) -> int:
     R, H = len(r), len(h)
     if R == 0 or H == 0:
         return R + H
+    if native.lib is not None:
+        return native.edit_distance(r, h)
     prev = np.arange(H + 1, dtype=np.int64)
     j_idx = np.arange(H + 1, dtype=np.int64)
     for i in range(1, R + 1):
@@ -78,6 +82,8 @@ def levenshtein_counts(ref: Sequence, hyp: Sequence) -> tuple[int, int, int, int
     """
     r, h = _to_codes(ref, hyp)
     R, H = len(r), len(h)
+    if native.lib is not None and R and H:
+        return native.levenshtein_counts(r, h)
     dp = np.zeros((R + 1, H + 1), dtype=np.int64)
     dp[0, :] = np.arange(H + 1)
     j_idx = np.arange(H + 1, dtype=np.int64)

@@ -1,0 +1,110 @@
+"""ctypes loader for the native host-runtime library (native/hmasr_native.cpp).
+
+Load order: prebuilt ``native/libhmasr_native.so`` -> on-demand g++ build into
+``~/.cache/hmasr_native`` -> None (callers fall back to their pure-Python
+paths). Every exported symbol gets a thin numpy wrapper here; call sites only
+ever check ``if native.lib is not None``.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+from hnet_mamba_asr_tpu.utils.logging_utils import get_logger
+
+logger = get_logger(__name__)
+
+_SRC = Path(__file__).resolve().parent.parent.parent / "native" / "hmasr_native.cpp"
+_PREBUILT = _SRC.parent / "libhmasr_native.so"
+
+_I64 = ctypes.POINTER(ctypes.c_int64)
+_F64 = ctypes.POINTER(ctypes.c_double)
+
+
+def _try_load(path: Path):
+    try:
+        lib = ctypes.CDLL(str(path))
+    except OSError:
+        return None
+    lib.hmasr_edit_distance.restype = ctypes.c_int64
+    lib.hmasr_edit_distance.argtypes = [_I64, ctypes.c_int64, _I64, ctypes.c_int64]
+    lib.hmasr_levenshtein_counts.restype = None
+    lib.hmasr_levenshtein_counts.argtypes = [_I64, ctypes.c_int64, _I64,
+                                             ctypes.c_int64, _I64]
+    lib.hmasr_resample_poly.restype = None
+    lib.hmasr_resample_poly.argtypes = [_F64, ctypes.c_int64, _F64,
+                                        ctypes.c_int64, ctypes.c_int64,
+                                        ctypes.c_int64, _F64, ctypes.c_int64]
+    return lib
+
+
+def _build_on_demand() -> Path | None:
+    if not _SRC.exists():
+        return None
+    digest = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    cache = Path(os.environ.get("HMASR_NATIVE_CACHE",
+                                Path.home() / ".cache" / "hmasr_native"))
+    out = cache / f"libhmasr_native-{digest}.so"
+    if out.exists():
+        return out
+    cache.mkdir(parents=True, exist_ok=True)
+    tmp = out.with_suffix(f".tmp{os.getpid()}.so")
+    try:
+        subprocess.run(["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+                        "-o", str(tmp), str(_SRC)],
+                       check=True, capture_output=True, timeout=120)
+        os.replace(tmp, out)
+        logger.info("built native library -> %s", out)
+        return out
+    except (subprocess.SubprocessError, OSError) as e:
+        logger.warning("native build failed (%s); using pure-Python fallbacks", e)
+        return None
+
+
+def _load():
+    if _PREBUILT.exists():
+        lib = _try_load(_PREBUILT)
+        if lib is not None:
+            return lib
+    built = _build_on_demand()
+    return _try_load(built) if built is not None else None
+
+
+lib = _load()
+
+
+def _as_i64(seq) -> np.ndarray:
+    return np.ascontiguousarray(seq, dtype=np.int64)
+
+
+def edit_distance(a, b) -> int:
+    """Native Levenshtein distance over int64 codes (lib must be loaded)."""
+    a, b = _as_i64(a), _as_i64(b)
+    return int(lib.hmasr_edit_distance(a.ctypes.data_as(_I64), len(a),
+                                       b.ctypes.data_as(_I64), len(b)))
+
+
+def levenshtein_counts(ref, hyp) -> tuple[int, int, int, int]:
+    """Native (sub, del, ins, cor) with the canonical backtrace order."""
+    ref, hyp = _as_i64(ref), _as_i64(hyp)
+    out = np.zeros(4, dtype=np.int64)
+    lib.hmasr_levenshtein_counts(ref.ctypes.data_as(_I64), len(ref),
+                                 hyp.ctypes.data_as(_I64), len(hyp),
+                                 out.ctypes.data_as(_I64))
+    return int(out[0]), int(out[1]), int(out[2]), int(out[3])
+
+
+def resample_poly(x: np.ndarray, kern: np.ndarray, up: int, down: int,
+                  n_out: int) -> np.ndarray:
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    kern = np.ascontiguousarray(kern, dtype=np.float64)
+    out = np.empty(n_out, dtype=np.float64)
+    lib.hmasr_resample_poly(x.ctypes.data_as(_F64), len(x),
+                            kern.ctypes.data_as(_F64), len(kern),
+                            up, down, out.ctypes.data_as(_F64), n_out)
+    return out

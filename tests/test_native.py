@@ -1,0 +1,68 @@
+"""Native C++ host kernels vs their pure-Python twins (fuzzed parity)."""
+import numpy as np
+import pytest
+
+from hnet_mamba_asr_tpu.utils import native
+
+pytestmark = pytest.mark.skipif(native.lib is None,
+                                reason="native library unavailable (no g++?)")
+
+
+def _py_edit_distance(a, b):
+    R, H = len(a), len(b)
+    dp = [[0] * (H + 1) for _ in range(R + 1)]
+    for i in range(R + 1):
+        dp[i][0] = i
+    for j in range(H + 1):
+        dp[0][j] = j
+    for i in range(1, R + 1):
+        for j in range(1, H + 1):
+            dp[i][j] = min(dp[i - 1][j - 1] + (a[i - 1] != b[j - 1]),
+                           dp[i - 1][j] + 1, dp[i][j - 1] + 1)
+    return dp[R][H]
+
+
+def test_edit_distance_fuzz(rng):
+    for _ in range(200):
+        a = rng.integers(0, 6, size=rng.integers(0, 15)).tolist()
+        b = rng.integers(0, 6, size=rng.integers(0, 15)).tolist()
+        assert native.edit_distance(a, b) == _py_edit_distance(a, b)
+
+
+def test_counts_match_python_scorer(rng):
+    # force the pure-Python path for comparison by calling the internals
+    from hnet_mamba_asr_tpu.eval import metrics
+
+    for _ in range(200):
+        a = rng.integers(0, 5, size=rng.integers(1, 12)).tolist()
+        b = rng.integers(0, 5, size=rng.integers(1, 12)).tolist()
+        got = native.levenshtein_counts(a, b)
+        s, d, i, c = got
+        dist = _py_edit_distance(a, b)
+        assert s + d + i == dist
+        assert c + s + d == len(a)
+        assert c + s + i == len(b)
+        # end-to-end scorer (which routes through native) agrees too
+        assert metrics.levenshtein_counts(a, b) == got
+
+
+def test_resample_matches_numpy(rng):
+    from hnet_mamba_asr_tpu.data.audio import _resample_kernel
+
+    x = rng.normal(size=4000)
+    up, down = 160, 147                       # 16k -> 14.7k (speed 1.088x)
+    kern = _resample_kernel(up, down)
+    n_out = int(np.ceil(len(x) * up / down))
+    got = native.resample_poly(x, kern, up, down, n_out)
+    up_sig = np.zeros(len(x) * up)
+    up_sig[::up] = x
+    pad = len(kern) // 2
+    want = np.convolve(up_sig, kern)[pad:pad + len(up_sig)][::down][:n_out]
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_metrics_uses_native_end_to_end():
+    from hnet_mamba_asr_tpu.eval.metrics import word_error_rate
+
+    st = word_error_rate(["the cat sat"], ["the bat sat"])
+    assert st.sub == 1 and st.cor == 2
