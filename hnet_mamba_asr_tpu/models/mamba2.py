@@ -64,6 +64,7 @@ class Mamba2(nn.Module):
     dt_max: float = 0.1
     dt_init_floor: float = 1e-4
     use_reference_scan: bool = False
+    scan_backend: str = "xla"      # 'xla' (training) | 'pallas' (serving fwd)
 
     @nn.compact
     def __call__(self, u: jax.Array) -> jax.Array:
@@ -106,7 +107,8 @@ class Mamba2(nn.Module):
         A = -jnp.exp(a_log)                                              # [H], < 0
 
         y = ssd(x, dt, A, B_mat, C_mat, chunk_size=self.chunk_size,
-                use_reference=self.use_reference_scan)                   # [B,L,H,P]
+                use_reference=self.use_reference_scan,
+                backend=self.scan_backend)                               # [B,L,H,P]
         y = y + d_skip[None, None, :, None].astype(y.dtype) * x
         y = y.reshape(Bsz, L, d_inner)
 

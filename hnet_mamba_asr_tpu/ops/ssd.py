@@ -148,8 +148,13 @@ def ssd_chunked(x: jax.Array, dt: jax.Array, A: jax.Array, B: jax.Array,
     return y[:, :L].astype(x.dtype)
 
 
-def ssd(x, dt, A, B, C, chunk_size: int = 128, use_reference: bool = False):
-    """Dispatch: chunked (default, TPU-fast) or the sequential reference."""
+def ssd(x, dt, A, B, C, chunk_size: int = 128, use_reference: bool = False,
+        backend: str = "xla"):
+    """Dispatch: 'xla' chunked (default; differentiable), 'pallas' fused
+    forward kernel (serving path, no VJP), or the sequential reference."""
     if use_reference:
         return ssd_reference(x, dt, A, B, C)
+    if backend == "pallas":
+        from hnet_mamba_asr_tpu.ops.ssd_pallas import ssd_pallas
+        return ssd_pallas(x, dt, A, B, C, chunk_size=chunk_size)
     return ssd_chunked(x, dt, A, B, C, chunk_size=chunk_size)
