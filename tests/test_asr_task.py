@@ -120,6 +120,36 @@ def test_build_model_head_gating():
         build_model(dict(CFG, model_conf={"ctc_weight": 0, "aed_weight": 0}), 16)
 
 
+def test_n2_dynamic_chunking_trains(setup):
+    """Active dynamic chunking end to end: router params exist, ratio loss is
+    live, gradients are finite, kept_fraction is realized < 1."""
+    manifest, tok, _ = setup
+    import jax as _jax
+    cfg = dict(CFG)
+    cfg["encoder_conf"] = dict(CFG["encoder_conf"],
+                               hnet={"compression_N": 2, "chunker": "dynamic"})
+    cfg["model_conf"] = dict(CFG["model_conf"], hnet_ratio_beta=0.03)
+    model = build_model(cfg, tok.vocab_size)
+    params = model.init_params(_jax.random.PRNGKey(0))
+    flat = _jax.tree_util.tree_leaves_with_path(params)
+    assert any("router" in _jax.tree_util.keystr(p) for p, _ in flat)
+    ds = ASRDataset(manifest, tok, augment=False)
+    loader, _ = make_dataloader(ds, max_frames=2000, batch_multiple=8)
+    batch = next(iter(loader))
+    batch.pop("ids")
+
+    def loss_of(p):
+        return model.loss_fn(p, batch, 0, True)[0]
+
+    (loss, stats), grads = _jax.value_and_grad(
+        lambda p: model.loss_fn(p, batch, 0, True), has_aux=True)(params)
+    assert np.isfinite(float(loss))
+    assert float(stats["loss/ratio"]) > 0.0
+    assert 0.0 < float(stats["kept_fraction"]) <= 1.0
+    for g in _jax.tree_util.tree_leaves(grads):
+        assert np.isfinite(np.asarray(g)).all()
+
+
 def test_specaug_resume_exact(setup):
     """Same (seed, epoch, index) -> bit-identical augmented features."""
     manifest, tok, model = setup
