@@ -46,7 +46,7 @@ def main() -> None:
     # host<->device dispatch path here has ~seconds of per-call latency, so a
     # per-step Python loop measures the launch overhead, not the chip. The
     # scan amortizes it; fetching the final loss fences the whole chain.
-    N_STEPS = 8
+    N_STEPS = 16
 
     @jax.jit
     def run_steps(params, opt_state, batch):

@@ -82,6 +82,8 @@ class MambaStack(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, lengths: jax.Array | None = None) -> jax.Array:
+        # full per-block remat: dots_saveable (keep matmul outputs) was tried
+        # and exceeds 16 GB HBM by ~0.5 GB at the 64k-frame budget
         block_cls = nn.remat(MambaBlock) if self.remat else MambaBlock
         for i in range(self.n_layers):
             x = block_cls(

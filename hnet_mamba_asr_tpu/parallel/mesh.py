@@ -34,17 +34,23 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch: dict, mesh: Mesh, dp_axis: str = "dp") -> dict:
+def shard_batch(batch: dict, mesh: Mesh, dp_axis: str = "dp",
+                batch_axis: int = 0) -> dict:
     """Place every array leaf of a host batch with its batch axis sharded.
 
+    ``batch_axis=1`` handles step-stacked batches [K, B, ...] (the Trainer's
+    scan_steps path): the scan axis stays replicated, B shards over the mesh.
     Non-array entries (utterance id lists) pass through on host.
     """
-    sh = batch_sharding(mesh, dp_axis)
+    spec = P(*([None] * batch_axis + [dp_axis]))
+    sh = NamedSharding(mesh, spec)
     rep = replicate(mesh)
+    n_dev = mesh.devices.size
 
     def place(v):
         if isinstance(v, (np.ndarray, jax.Array)):
-            if getattr(v, "ndim", 0) >= 1 and v.shape[0] % mesh.devices.size == 0:
+            if (getattr(v, "ndim", 0) > batch_axis
+                    and v.shape[batch_axis] % n_dev == 0):
                 return jax.device_put(v, sh)
             return jax.device_put(v, rep)
         return v

@@ -68,6 +68,9 @@ class Trainer:
         if float(g("grad_clip_type", 2.0)) != 2.0:
             raise ValueError("only L2 grad clipping is supported")
         self.accum_grad = max(1, int(g("accum_grad", 1)))
+        self.scan_steps = max(1, int(g("scan_steps", 1)))
+        if self.scan_steps > 1 and self.accum_grad > 1:
+            raise ValueError("scan_steps and accum_grad are mutually exclusive")
         self.log_interval = int(g("log_interval", 50))
         self.valid_interval = int(g("valid_interval_epoch", 10))
         self.keep_nbest = int(g("keep_nbest_models", 5))
@@ -133,7 +136,29 @@ class Trainer:
         def eval_loss(params, batch):
             return model.loss_fn(params, batch, 0, False)
 
+        def scanned_steps(params, opt_state, batches, step0):
+            """K fused steps in ONE device call (lax.scan over stacked batches).
+
+            Amortizes per-dispatch latency — load-bearing on tunneled/remote
+            device transports and reduces host involvement on real pods.
+            """
+            def body(carry, inp):
+                params, opt_state = carry
+                batch, off = inp
+                (loss, stats), grads = jax.value_and_grad(
+                    loss_for_grad, has_aux=True)(params, batch, step0 + off)
+                gnorm = optax.global_norm(grads)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (stats, gnorm)
+
+            k = jax.tree_util.tree_leaves(batches)[0].shape[0]
+            (params, opt_state), (stats, gnorms) = jax.lax.scan(
+                body, (params, opt_state), (batches, jnp.arange(k)))
+            return params, opt_state, stats, gnorms
+
         self._fused_step = jax.jit(fused_step, donate_argnums=(0, 1))
+        self._scanned_steps = jax.jit(scanned_steps, donate_argnums=(0, 1))
         self._micro_step = jax.jit(micro_step)
         self._accum_add = jax.jit(accum_add, donate_argnums=(0,))
         self._apply_step = jax.jit(apply_step, donate_argnums=(0, 1))
@@ -157,56 +182,106 @@ class Trainer:
     def _train_epoch(self) -> None:
         if hasattr(self.train_loader, "set_epoch"):
             self.train_loader.set_epoch(self.epoch)
-        loss_sum = 0.0
-        weight_sum = 0.0
-        seen, t0 = 0, time.time()
-        window: dict[str, float] = {}
-        win_n = 0
+        self._ep = {"loss_sum": 0.0, "weight_sum": 0.0, "seen": 0,
+                    "t0": time.time(), "window": {}, "win_n": 0}
         grads_acc = None
         micro = 0
+        pending: list[tuple[dict, int]] = []            # (host batch, b_real)
+        pending_sig = None
+
+        def flush_pending():
+            nonlocal pending, pending_sig
+            if not pending:
+                return
+            if len(pending) == 1:
+                batch, b_real = pending[0]
+                sharded = shard_batch(batch, self.mesh)
+                self.params, self.opt_state, stats, gnorm = self._fused_step(
+                    self.params, self.opt_state, sharded, self.global_step)
+                self._commit_step(stats, gnorm, b_real)
+            else:
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs), *[b for b, _ in pending])
+                sharded = shard_batch(stacked, self.mesh, batch_axis=1)
+                self.params, self.opt_state, stats_k, gnorms = \
+                    self._scanned_steps(self.params, self.opt_state, sharded,
+                                        self.global_step)
+                stats_k = jax.device_get(stats_k)
+                gnorms = np.asarray(jax.device_get(gnorms))
+                for i, (_, b_real) in enumerate(pending):
+                    step_stats = {k: v[i] for k, v in stats_k.items()}
+                    self._commit_step(step_stats, gnorms[i], b_real)
+            pending, pending_sig = [], None
+
         for batch in self.train_loader:
-            ids = batch.pop("ids", None)
+            batch.pop("ids", None)
             b_real = int(np.asarray(batch["row_mask"]).sum()) if "row_mask" in batch \
                 else int(batch["tokens"].shape[0])
-            batch = shard_batch(batch, self.mesh)
-            if self.accum_grad == 1:
-                self.params, self.opt_state, stats, gnorm = self._fused_step(
-                    self.params, self.opt_state, batch, self.global_step)
-            else:
-                grads, stats = self._micro_step(self.params, batch, self.global_step)
+            if self.accum_grad > 1:
+                sharded = shard_batch(batch, self.mesh)
+                grads, stats = self._micro_step(self.params, sharded,
+                                                self.global_step)
                 grads_acc = grads if grads_acc is None \
                     else self._accum_add(grads_acc, grads)
                 micro += 1
-            stats = {k: float(v) for k, v in jax.device_get(stats).items()}
-            w = stats.get("batch_weight", float(b_real))
-            loss_sum += stats["loss/total"] * w
-            weight_sum += w
-            seen += b_real
-            for k, v in stats.items():
-                window[k] = window.get(k, 0.0) + v
-            win_n += 1
-            if self.accum_grad > 1:
+                self._accumulate_stats(stats, b_real)
                 if micro % self.accum_grad != 0:
                     continue
                 self.params, self.opt_state, gnorm = self._apply_step(
                     self.params, self.opt_state, grads_acc)
                 grads_acc = None
-            applied_lr = float(self.lr_schedule(self.global_step))
-            self.global_step += 1
-            if self.is_main and self.global_step % self.log_interval == 0:
-                dt = time.time() - t0
-                payload = {k: v / win_n for k, v in window.items()}
-                payload["train/lr"] = applied_lr
-                payload["train/grad_norm"] = float(gnorm)
-                payload["train/samples_per_s"] = seen / dt if dt > 0 else 0.0
-                if self.metrics is not None:
-                    self.metrics.log_scalars(payload, self.global_step,
-                                             split="train", epoch=self.epoch)
-                seen, t0 = 0, time.time()
-            window, win_n = {}, 0
+                self._finish_step(float(gnorm))
+            elif self.scan_steps > 1:
+                sig = tuple((k, v.shape, str(v.dtype)) for k, v in
+                            sorted(batch.items()) if isinstance(v, np.ndarray))
+                if pending and sig != pending_sig:
+                    flush_pending()
+                pending.append((batch, b_real))
+                pending_sig = sig
+                if len(pending) == self.scan_steps:
+                    flush_pending()
+            else:
+                sharded = shard_batch(batch, self.mesh)
+                self.params, self.opt_state, stats, gnorm = self._fused_step(
+                    self.params, self.opt_state, sharded, self.global_step)
+                self._commit_step(stats, gnorm, b_real)
             if self.max_steps and self.global_step >= self.max_steps:
                 break
-        self._record("train", "loss", loss_sum / max(1.0, weight_sum))
+        flush_pending()
+        self._record("train", "loss",
+                     self._ep["loss_sum"] / max(1.0, self._ep["weight_sum"]))
+
+    # ---- per-step bookkeeping ----------------------------------------------
+    def _accumulate_stats(self, stats, b_real: int) -> None:
+        stats = {k: float(v) for k, v in jax.device_get(stats).items()}
+        w = stats.get("batch_weight", float(b_real))
+        ep = self._ep
+        ep["loss_sum"] += stats["loss/total"] * w
+        ep["weight_sum"] += w
+        ep["seen"] += b_real
+        for k, v in stats.items():
+            ep["window"][k] = ep["window"].get(k, 0.0) + v
+        ep["win_n"] += 1
+
+    def _commit_step(self, stats, gnorm, b_real: int) -> None:
+        self._accumulate_stats(stats, b_real)
+        self._finish_step(float(gnorm))
+
+    def _finish_step(self, gnorm: float) -> None:
+        ep = self._ep
+        applied_lr = float(self.lr_schedule(self.global_step))
+        self.global_step += 1
+        if self.is_main and self.global_step % self.log_interval == 0:
+            dt = time.time() - ep["t0"]
+            payload = {k: v / max(1, ep["win_n"]) for k, v in ep["window"].items()}
+            payload["train/lr"] = applied_lr
+            payload["train/grad_norm"] = gnorm
+            payload["train/samples_per_s"] = ep["seen"] / dt if dt > 0 else 0.0
+            if self.metrics is not None:
+                self.metrics.log_scalars(payload, self.global_step,
+                                         split="train", epoch=self.epoch)
+            ep["seen"], ep["t0"] = 0, time.time()
+        ep["window"], ep["win_n"] = {}, 0
 
     # ---- validation over all dev splits -----------------------------------------
     def validate(self) -> dict:

@@ -96,6 +96,32 @@ def test_resume_continues(tmp_path, mesh):
     assert tr3.global_step == tr2.global_step
 
 
+def test_resume_equals_straight_run(tmp_path, mesh):
+    """The reference's 'resumed run == straight run' guarantee — stronger on
+    TPU because XLA is deterministic: 2 epochs straight must equal
+    1 epoch + resume + 1 epoch, parameter for parameter."""
+    straight = Trainer(ToyModel(), ToyLoader(), dict(CFG, max_epoch=2),
+                       dev_loaders={"dev": ToyLoader(2, seed=9)},
+                       ckpt_dir=tmp_path / "s", mesh=mesh)
+    straight.train()
+
+    part1 = Trainer(ToyModel(), ToyLoader(), dict(CFG, max_epoch=1),
+                    dev_loaders={"dev": ToyLoader(2, seed=9)},
+                    ckpt_dir=tmp_path / "r", mesh=mesh)
+    part1.train()
+    part2 = Trainer(ToyModel(), ToyLoader(), dict(CFG, max_epoch=2),
+                    dev_loaders={"dev": ToyLoader(2, seed=9)},
+                    ckpt_dir=tmp_path / "r", mesh=mesh)
+    part2.train(resume="auto")
+
+    a = jax.device_get(straight.params)
+    b = jax.device_get(part2.params)
+    for ka in a:
+        np.testing.assert_allclose(np.asarray(a[ka]), np.asarray(b[ka]),
+                                   rtol=1e-6, atol=1e-7)
+    assert straight.global_step == part2.global_step
+
+
 def test_resume_missing_path_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         resolve_resume(tmp_path, str(tmp_path / "nope.ckpt"))
@@ -111,6 +137,41 @@ def test_max_steps_no_overshoot(tmp_path, mesh):
     tr2 = Trainer(ToyModel(), ToyLoader(), cfg, ckpt_dir=tmp_path / "ck", mesh=mesh)
     tr2.train(resume="auto")
     assert tr2.global_step == 4                        # already at budget
+
+
+def test_scan_steps_matches_sequential(tmp_path, mesh):
+    """scan_steps groups same-shape batches into one device call; the result
+    must match step-by-step training (same data, same order)."""
+    cfg_seq = dict(CFG, max_epoch=1)
+    tr_a = Trainer(ToyModel(), ToyLoader(n_batches=6), cfg_seq,
+                   ckpt_dir=tmp_path / "a", mesh=mesh)
+    tr_a.train()
+    cfg_scan = dict(CFG, max_epoch=1, scan_steps=3)
+    tr_b = Trainer(ToyModel(), ToyLoader(n_batches=6), cfg_scan,
+                   ckpt_dir=tmp_path / "b", mesh=mesh)
+    tr_b.train()
+    assert tr_b.global_step == tr_a.global_step == 6
+    wa = np.asarray(jax.device_get(tr_a.params["w"]))
+    wb = np.asarray(jax.device_get(tr_b.params["w"]))
+    np.testing.assert_allclose(wa, wb, rtol=1e-5, atol=1e-6)
+    la = tr_a.metric_history[("train", "loss")][0]
+    lb = tr_b.metric_history[("train", "loss")][0]
+    assert la == pytest.approx(lb, rel=1e-5)
+
+
+def test_scan_steps_partial_group_flushes(tmp_path, mesh):
+    """5 batches with scan_steps=2 -> 2 scanned groups + 1 single step."""
+    cfg = dict(CFG, max_epoch=1, scan_steps=2)
+    tr = Trainer(ToyModel(), ToyLoader(n_batches=5), cfg,
+                 ckpt_dir=tmp_path / "ck", mesh=mesh)
+    tr.train()
+    assert tr.global_step == 5
+
+
+def test_scan_steps_excludes_accum(tmp_path, mesh):
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        Trainer(ToyModel(), ToyLoader(1), dict(CFG, scan_steps=2, accum_grad=2),
+                ckpt_dir=tmp_path / "ck", mesh=mesh)
 
 
 def test_accum_grad_equivalent_steps(tmp_path, mesh):
