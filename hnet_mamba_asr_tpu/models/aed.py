@@ -59,37 +59,57 @@ class MHAQKNorm(nn.Module):
     eps: float = 1e-6
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, query, key, value, attn_mask=None, key_padding_mask=None,
-                 deterministic: bool = True):
-        H = self.n_heads
-        dh = self.d_model // H
+    def setup(self):
+        dense = lambda: nn.Dense(self.d_model, dtype=self.dtype,
+                                 param_dtype=jnp.float32)
+        self.q_proj, self.k_proj = dense(), dense()
+        self.v_proj, self.out_proj = dense(), dense()
+        dh = self.d_model // self.n_heads
+        self.q_g = self.param("q_g", nn.initializers.ones, (dh,), jnp.float32)
+        self.k_g = self.param("k_g", nn.initializers.ones, (dh,), jnp.float32)
+        self.attn_drop = nn.Dropout(self.dropout)
+
+    def _rms(self, x, g):
+        xf = x.astype(jnp.float32)
+        n = xf * jax.lax.rsqrt(jnp.mean(xf ** 2, axis=-1, keepdims=True) + self.eps)
+        return (n * g).astype(self.dtype)
+
+    def project_q(self, query):
         B, Tq, _ = query.shape
-        Tk = key.shape[1]
-        dense = lambda name: nn.Dense(self.d_model, dtype=self.dtype,
-                                      param_dtype=jnp.float32, name=name)
-        q = dense("q_proj")(query).reshape(B, Tq, H, dh)
-        k = dense("k_proj")(key).reshape(B, Tk, H, dh)
-        v = dense("v_proj")(value).reshape(B, Tk, H, dh)
-        q_g = self.param("q_g", nn.initializers.ones, (dh,), jnp.float32)
-        k_g = self.param("k_g", nn.initializers.ones, (dh,), jnp.float32)
+        q = self.q_proj(query).reshape(B, Tq, self.n_heads, -1)
+        return self._rms(q, self.q_g)
 
-        def rms(x, g):
-            xf = x.astype(jnp.float32)
-            n = xf * jax.lax.rsqrt(jnp.mean(xf ** 2, axis=-1, keepdims=True) + self.eps)
-            return (n * g).astype(self.dtype)
+    def project_kv(self, key, value):
+        B, Tk, _ = key.shape
+        k = self.k_proj(key).reshape(B, Tk, self.n_heads, -1)
+        v = self.v_proj(value).reshape(B, Tk, self.n_heads, -1)
+        return self._rms(k, self.k_g), v
 
-        q, k = rms(q, q_g), rms(k, k_g)
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) / math.sqrt(dh)
-        if key_padding_mask is not None:                     # [B, Tk] True = pad
-            logits = logits + jnp.where(key_padding_mask, NEG_INF, 0.0)[:, None, None, :]
-        if attn_mask is not None:                            # [Tq, Tk] additive
+    def attend(self, q, k, v, attn_mask=None, key_padding_mask=None,
+               deterministic: bool = True):
+        """q [B,Tq,H,dh] (RMS'd), k/v [B,Tk,H,dh] (k RMS'd) -> [B,Tq,d]."""
+        B, Tq = q.shape[0], q.shape[1]
+        dh = q.shape[-1]
+        logits = (jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32)
+                  / math.sqrt(dh))
+        if key_padding_mask is not None:                 # [B, Tk] True = pad
+            logits = logits + jnp.where(key_padding_mask, NEG_INF,
+                                        0.0)[:, None, None, :]
+        if attn_mask is not None:                        # [Tq, Tk] additive
             logits = logits + attn_mask[None, None]
         w = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         if self.dropout > 0.0:
-            w = nn.Dropout(self.dropout)(w, deterministic=deterministic)
+            w = self.attn_drop(w, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", w, v).reshape(B, Tq, self.d_model)
-        return dense("out_proj")(out)
+        return self.out_proj(out)
+
+    def __call__(self, query, key, value, attn_mask=None, key_padding_mask=None,
+                 deterministic: bool = True):
+        q = self.project_q(query)
+        k, v = self.project_kv(key, value)
+        return self.attend(q, k, v, attn_mask=attn_mask,
+                           key_padding_mask=key_padding_mask,
+                           deterministic=deterministic)
 
 
 class DecoderLayerQKNorm(nn.Module):
@@ -101,29 +121,69 @@ class DecoderLayerQKNorm(nn.Module):
     dropout: float
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
+        self.self_attn = MHAQKNorm(self.d_model, self.n_heads, self.dropout,
+                                   dtype=self.dtype)
+        self.cross_attn = MHAQKNorm(self.d_model, self.n_heads, self.dropout,
+                                    dtype=self.dtype)
+        self.norm1 = nn.LayerNorm(**kw)
+        self.norm2 = nn.LayerNorm(**kw)
+        self.norm3 = nn.LayerNorm(**kw)
+        self.linear1 = nn.Dense(self.d_ff, **kw)
+        self.linear2 = nn.Dense(self.d_model, **kw)
+        self.drop = nn.Dropout(self.dropout)
+
+    def _ffn(self, x, deterministic):
+        h = self.norm3(x)
+        ff = self.drop(nn.gelu(self.linear1(h)), deterministic=deterministic)
+        return x + self.drop(self.linear2(ff), deterministic=deterministic)
+
     def __call__(self, x, memory, tgt_mask, memory_key_padding_mask,
                  deterministic: bool = True):
-        ln = lambda name: nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32,
-                                       name=name)
-        drop = nn.Dropout(self.dropout)
-        h = ln("norm1")(x)
-        x = x + drop(MHAQKNorm(self.d_model, self.n_heads, self.dropout,
-                               dtype=self.dtype, name="self_attn")(
-            h, h, h, attn_mask=tgt_mask, deterministic=deterministic),
-            deterministic=deterministic)
-        h = ln("norm2")(x)
-        x = x + drop(MHAQKNorm(self.d_model, self.n_heads, self.dropout,
-                               dtype=self.dtype, name="cross_attn")(
-            h, memory, memory, key_padding_mask=memory_key_padding_mask,
-            deterministic=deterministic), deterministic=deterministic)
-        h = ln("norm3")(x)
-        ff = nn.Dense(self.d_ff, dtype=self.dtype, param_dtype=jnp.float32,
-                      name="linear1")(h)
-        ff = drop(nn.gelu(ff), deterministic=deterministic)
-        ff = nn.Dense(self.d_model, dtype=self.dtype, param_dtype=jnp.float32,
-                      name="linear2")(ff)
-        return x + drop(ff, deterministic=deterministic)
+        h = self.norm1(x)
+        x = x + self.drop(self.self_attn(h, h, h, attn_mask=tgt_mask,
+                                         deterministic=deterministic),
+                          deterministic=deterministic)
+        h = self.norm2(x)
+        x = x + self.drop(self.cross_attn(h, memory, memory,
+                                          key_padding_mask=memory_key_padding_mask,
+                                          deterministic=deterministic),
+                          deterministic=deterministic)
+        return self._ffn(x, deterministic)
+
+    # ---- KV-cached incremental decode (beyond the reference, which re-runs
+    # the full decoder per emitted token: reference joint.py:136-141) --------
+    def init_cache(self, memory, cap: int):
+        """Per-layer cache: self-attn K/V rings [B, cap, H, dh] + the
+        memory K/V projected ONCE per utterance."""
+        B = memory.shape[0]
+        H = self.n_heads
+        dh = self.d_model // H
+        mem_k, mem_v = self.cross_attn.project_kv(memory, memory)
+        return {"self_k": jnp.zeros((B, cap, H, dh), self.dtype),
+                "self_v": jnp.zeros((B, cap, H, dh), self.dtype),
+                "mem_k": mem_k, "mem_v": mem_v}
+
+    def step(self, x_t, cache, pos, memory_key_padding_mask):
+        """One position: x_t [B, 1, d], pos scalar -> (y_t [B, 1, d], cache)."""
+        h = self.norm1(x_t)
+        k_new, v_new = self.self_attn.project_kv(h, h)
+        cache = dict(cache,
+                     self_k=jax.lax.dynamic_update_slice_in_dim(
+                         cache["self_k"], k_new, pos, axis=1),
+                     self_v=jax.lax.dynamic_update_slice_in_dim(
+                         cache["self_v"], v_new, pos, axis=1))
+        cap = cache["self_k"].shape[1]
+        kpm_self = jnp.arange(cap)[None, :] > pos        # future slots masked
+        q = self.self_attn.project_q(h)
+        x_t = x_t + self.self_attn.attend(q, cache["self_k"], cache["self_v"],
+                                          key_padding_mask=kpm_self)
+        h = self.norm2(x_t)
+        q = self.cross_attn.project_q(h)
+        x_t = x_t + self.cross_attn.attend(q, cache["mem_k"], cache["mem_v"],
+                                           key_padding_mask=memory_key_padding_mask)
+        return self._ffn(x_t, True), cache
 
 
 class AEDHead(nn.Module):
@@ -201,42 +261,43 @@ class AEDHead(nn.Module):
     # ---- greedy decode -----------------------------------------------------------
     def greedy_decode(self, memory: jax.Array, memory_lengths: jax.Array,
                       max_len: int | None = None) -> jax.Array:
-        """Batched greedy decode with a static token buffer.
+        """Batched KV-cached greedy decode (O(cap) per step, not O(cap^2)).
 
-        Returns ids [B, cap] where each row is the emitted sequence, eos-filled
-        after termination (host strips at first eos). Each step re-runs the
-        decoder over the fixed-size buffer with a causal mask — static shapes,
-        one compilation; a KV-cache fast path is a planned optimization.
+        Returns ids [B, cap]; each row is the emitted sequence, eos-filled
+        after termination (host strips at first eos). The reference re-runs
+        its full decoder per step with no cache (reference aed.py:227-256);
+        the per-layer K/V rings make each step one incremental attention.
         """
         cap = self.max_decode_len if max_len is None else int(max_len)
         B = memory.shape[0]
         mem = self.mem_proj(memory) if self.mem_proj is not None \
             else memory.astype(self.dtype)
         kpm = pad_mask(memory_lengths, mem.shape[1])
-        tmask = causal_mask(cap + 1)
         emb_scale = math.sqrt(self.d_model)
+        caches = [layer.init_cache(mem, cap + 1) for layer in self.layers]
 
         def body(carry, t):
-            ys, finished = carry                        # [B, cap+1], [B]
-            emb = self.embed(ys) * emb_scale
-            emb = jnp.where((ys == self.pad_id)[..., None], 0.0, emb)
-            x = (emb + self.pe[None, :cap + 1]).astype(self.dtype)
-            for layer in self.layers:
-                x = layer(x, mem, tmask, kpm, deterministic=True)
-            step_logits = self.out(self.final_norm(x))[:, t].astype(jnp.float32)
+            tok, finished, caches = carry               # [B], [B], per-layer
+            emb = self.embed(tok[:, None]) * emb_scale
+            emb = jnp.where((tok[:, None] == self.pad_id)[..., None], 0.0, emb)
+            x = (emb + jax.lax.dynamic_slice_in_dim(self.pe, t, 1, axis=0)[None]
+                 ).astype(self.dtype)
+            new_caches = []
+            for layer, cache in zip(self.layers, caches):
+                x, cache = layer.step(x, cache, t, kpm)
+                new_caches.append(cache)
+            step_logits = self.out(self.final_norm(x))[:, 0].astype(jnp.float32)
             step_logits = step_logits.at[:, self.bos_id].set(NEG_INF)
             step_logits = step_logits.at[:, self.pad_id].set(NEG_INF)
-            nxt = jnp.argmax(step_logits, axis=-1)
+            nxt = jnp.argmax(step_logits, axis=-1).astype(jnp.int32)
             nxt = jnp.where(finished, self.eos_id, nxt)
-            ys = ys.at[:, t + 1].set(nxt.astype(ys.dtype))
             finished = finished | (nxt == self.eos_id)
-            return (ys, finished), None
+            return (nxt, finished, new_caches), nxt
 
-        ys0 = jnp.full((B, cap + 1), self.pad_id, dtype=jnp.int32)
-        ys0 = ys0.at[:, 0].set(self.bos_id)
-        (ys, _), _ = jax.lax.scan(body, (ys0, jnp.zeros((B,), bool)),
-                                  jnp.arange(cap))
-        return ys[:, 1:]                                # drop bos
+        tok0 = jnp.full((B,), self.bos_id, jnp.int32)
+        _, ys = jax.lax.scan(body, (tok0, jnp.zeros((B,), bool), caches),
+                             jnp.arange(cap))
+        return ys.T                                     # [B, cap]
 
 
 def label_smoothing_loss(logits: jax.Array, target: jax.Array,

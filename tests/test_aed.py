@@ -89,6 +89,62 @@ def test_greedy_decode_terminates_and_strips(rng):
         assert all(t == 2 for t in row[k:])
 
 
+def test_cached_greedy_equals_full_recompute(rng):
+    """The KV-cached greedy decode must emit exactly what a no-cache greedy
+    (full decoder re-run per step, the reference's method) emits."""
+    head, params, mem, mlens, *_ = _head(rng)
+    cached = np.asarray(head.apply(params, mem, mlens, method="greedy_decode"))
+
+    # reference-style greedy: grow ys, full forward each step
+    import jax.numpy as jnp
+    B, cap = mem.shape[0], head.max_decode_len
+    ys = np.full((B, 1), 1, np.int32)                     # bos
+    finished = np.zeros(B, bool)
+    for _ in range(cap):
+        logits = np.asarray(head.apply(params, mem, mlens, jnp.asarray(ys)))
+        step = logits[:, -1].astype(np.float64)
+        step[:, 1] = -1e9                                  # bos
+        step[:, 3] = -1e9                                  # pad
+        nxt = step.argmax(-1)
+        nxt[finished] = 2                                  # eos
+        ys = np.concatenate([ys, nxt[:, None].astype(np.int32)], axis=1)
+        finished |= nxt == 2
+        if finished.all():
+            break
+    want = ys[:, 1:]
+    for b in range(B):
+        got_seq = [int(t) for t in cached[b]]
+        want_seq = [int(t) for t in want[b]]
+        # compare up to / including the first eos
+        def cut(seq):
+            return seq[:seq.index(2) + 1] if 2 in seq else seq
+        assert cut(got_seq) == cut(want_seq), b
+
+
+def test_layer_step_matches_teacher_forcing(rng):
+    """Incremental layer.step over positions == one full __call__."""
+    import jax
+    import jax.numpy as jnp
+    from hnet_mamba_asr_tpu.models.aed import DecoderLayerQKNorm, causal_mask, pad_mask
+
+    layer = DecoderLayerQKNorm(d_model=16, n_heads=2, d_ff=32, dropout=0.0)
+    x = jnp.asarray(rng.normal(size=(2, 5, 16)).astype(np.float32))
+    mem = jnp.asarray(rng.normal(size=(2, 7, 16)).astype(np.float32))
+    mlens = jnp.asarray([7, 4])
+    kpm = pad_mask(mlens, 7)
+    params = layer.init(jax.random.PRNGKey(0), x, mem, causal_mask(5), kpm)
+    full = np.asarray(layer.apply(params, x, mem, causal_mask(5), kpm))
+
+    cache = layer.apply(params, mem, 5, method="init_cache")
+    outs = []
+    for t in range(5):
+        y, cache = layer.apply(params, x[:, t:t + 1], cache, t, kpm,
+                               method="step")
+        outs.append(np.asarray(y)[:, 0])
+    np.testing.assert_allclose(np.stack(outs, axis=1), full, rtol=2e-4,
+                               atol=2e-4)
+
+
 def test_label_smoothing_matches_manual(rng):
     B, T, Vv = 1, 3, 5
     logits = jnp.asarray(rng.normal(size=(B, T, Vv)).astype(np.float32))
