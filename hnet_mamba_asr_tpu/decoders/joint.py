@@ -100,9 +100,14 @@ def joint_beam_search_nbest(memory, memory_lengths, *, aed_next_logprobs,
     """Acoustic-only joint beam; returns the top-nbest COMPLETE hypotheses per
     utterance (best first), each keeping its AED/CTC components for rescoring.
 
-    - ``aed_next_logprobs(b, token_lists) -> [n, V]``: next-token log-softmax
-      for utterance ``b`` given each hypothesis' bare tokens (the decode task
-      provides a padded/bucketed jitted implementation).
+    - ``aed_next_logprobs``: either a function ``(b, token_lists) -> [n, V]``
+      (next-token log-softmax for each hypothesis' bare tokens; full
+      recompute), or a STATEFUL stepper exposing ``start(b) -> [1, V]`` and
+      ``advance(parents, tokens) -> [n, V]`` — the KV-cached incremental
+      protocol (tasks/decode_task.CachedAEDStepper): the beam is label-
+      synchronous, so each step commits one (parent row, token) per surviving
+      hypothesis and costs one incremental attention instead of a full
+      decoder re-run.
     - ``ctc_log_probs``: [B, T, V+1] device/numpy array, or None when
       ctc_weight == 0 (pure AED beam).
     """
@@ -114,6 +119,8 @@ def joint_beam_search_nbest(memory, memory_lengths, *, aed_next_logprobs,
     if use_ctc and blank_id is None:
         blank_id = V
     lp_all = np.asarray(ctc_log_probs, dtype=np.float64) if use_ctc else None
+    stateful = hasattr(aed_next_logprobs, "start") \
+        and hasattr(aed_next_logprobs, "advance")
     results: list[list[Hypothesis]] = []
 
     for b in range(B):
@@ -124,16 +131,22 @@ def joint_beam_search_nbest(memory, memory_lengths, *, aed_next_logprobs,
         ended: list[Hypothesis] = []
         max_steps = min(max(1, int(max_len_ratio * Tf)), Tf - 1, max_decode_len)
         hit_cap = True
+        parents: list[int] = []
+        last_tokens: list[int] = []
 
         for _step in range(max_steps):
             if not beam:
                 hit_cap = False
                 break
-            aed_lp = np.asarray(aed_next_logprobs(b, [h.tokens for h in beam]),
-                                dtype=np.float64)          # [nb, V]
+            if stateful:
+                raw = (aed_next_logprobs.start(b) if _step == 0
+                       else aed_next_logprobs.advance(parents, last_tokens))
+            else:
+                raw = aed_next_logprobs(b, [h.tokens for h in beam])
+            aed_lp = np.asarray(raw, dtype=np.float64)     # [nb, V]
             aed_lp[:, bos_id] = LOG_ZERO                   # finite: no 0*inf NaN
             aed_lp[:, pad_id] = LOG_ZERO
-            expansions: list[tuple[float, bool, Hypothesis]] = []
+            expansions: list[tuple[float, bool, Hypothesis, int, int]] = []
             for i, h in enumerate(beam):
                 top = np.argpartition(aed_lp[i], -pre)[-pre:]
                 ids = np.unique(np.concatenate([top, [eos_id]]))
@@ -150,11 +163,17 @@ def joint_beam_search_nbest(memory, memory_lengths, *, aed_next_logprobs,
                     expansions.append((total, ends, Hypothesis(
                         tokens=toks, aed=aed_c, ctc=ctc_c,
                         ctc_state=(ctc_states[j] if (use_ctc and not ends) else None),
-                        score=total)))
+                        score=total), i, c))
             expansions.sort(key=lambda e: e[0], reverse=True)
             beam = []
-            for _total, ends, hyp in expansions[:beam_size]:
-                (ended if ends else beam).append(hyp)
+            parents, last_tokens = [], []
+            for _total, ends, hyp, parent, tok in expansions[:beam_size]:
+                if ends:
+                    ended.append(hyp)
+                else:
+                    beam.append(hyp)
+                    parents.append(parent)
+                    last_tokens.append(tok)
             # sound early stop (length_bonus <= 0): partial scores only fall as
             # they grow, so once the best partial can't beat the nbest-th
             # completion no future completion can enter the top-nbest.
@@ -168,8 +187,10 @@ def joint_beam_search_nbest(memory, memory_lengths, *, aed_next_logprobs,
             # cap reached with survivors (possible when length_bonus > 0 keeps
             # partials rising): finalize them with their own eos score so they
             # compete — otherwise a survivor would be silently discarded.
-            aed_lp = np.asarray(aed_next_logprobs(b, [h.tokens for h in beam]),
-                                dtype=np.float64)
+            aed_lp = np.asarray(
+                aed_next_logprobs.advance(parents, last_tokens) if stateful
+                else aed_next_logprobs(b, [h.tokens for h in beam]),
+                dtype=np.float64)
             eos_arr = np.asarray([eos_id])
             for i, h in enumerate(beam):
                 aed_c = h.aed + float(aed_lp[i, eos_id])

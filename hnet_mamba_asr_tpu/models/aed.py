@@ -259,6 +259,38 @@ class AEDHead(nn.Module):
         return label_smoothing_loss(logits, ys_out, out_lens, self.lsm_weight)
 
     # ---- greedy decode -----------------------------------------------------------
+    # ---- beam-facing incremental decode API ---------------------------------
+    def decode_start(self, memory: jax.Array, memory_lengths: jax.Array,
+                     cap: int):
+        """Prepare per-layer caches + the memory padding mask for decode_step."""
+        mem = self.mem_proj(memory) if self.mem_proj is not None \
+            else memory.astype(self.dtype)
+        kpm = pad_mask(memory_lengths, mem.shape[1])
+        caches = tuple(layer.init_cache(mem, cap) for layer in self.layers)
+        return caches, kpm
+
+    def decode_step(self, caches, kpm, parents: jax.Array, tokens: jax.Array,
+                    pos):
+        """One label-synchronous step for R rows: gather each row's self-attn
+        cache from its parent row, append the token at ``pos``, return
+        next-token log-probs [R, V] + updated caches."""
+        new_caches = []
+        gathered = []
+        for cache in caches:
+            gathered.append(dict(cache,
+                                 self_k=cache["self_k"][parents],
+                                 self_v=cache["self_v"][parents]))
+        emb = self.embed(tokens[:, None]) * math.sqrt(self.d_model)
+        x = (emb + jax.lax.dynamic_slice_in_dim(self.pe, pos, 1, axis=0)[None]
+             ).astype(self.dtype)
+        for layer, cache in zip(self.layers, gathered):
+            x, cache = layer.step(x, cache, pos, kpm)
+            new_caches.append(cache)
+        logits = self.out(self.final_norm(x))[:, 0].astype(jnp.float32)
+        logits = logits.at[:, self.bos_id].set(NEG_INF)
+        logits = logits.at[:, self.pad_id].set(NEG_INF)
+        return jax.nn.log_softmax(logits, axis=-1), tuple(new_caches)
+
     def greedy_decode(self, memory: jax.Array, memory_lengths: jax.Array,
                       max_len: int | None = None) -> jax.Array:
         """Batched KV-cached greedy decode (O(cap) per step, not O(cap^2)).

@@ -120,6 +120,84 @@ def length_bonus_for(decode_cfg: Mapping[str, Any]) -> float:
     return float((decode_cfg or {}).get("length_bonus", 0.0))
 
 
+class CachedAEDStepper:
+    """KV-cached incremental scorer for the label-synchronous beam.
+
+    The beam is label-synchronous, so every live hypothesis has the same
+    length — one scalar position drives all rows. Hypothesis survival is
+    communicated as parent-row indices: ``advance(parents, tokens)`` gathers
+    each row's cache from its parent, appends the new token's K/V, and returns
+    next-token log-probs. Cost per step: ONE incremental attention over
+    (pos + memory) instead of a full decoder re-run over the whole prefix
+    (the reference's method — reference joint.py:136-141). One compiled
+    executable per beam bucket, shared across utterances and steps.
+    """
+
+    def __init__(self, aed, params, features, lengths, *, beam_rows: int = 16):
+        self.aed = aed
+        self.params = {"params": params}
+        self.features = features
+        self.lengths = np.asarray(lengths)
+        self.rows = _bucket(beam_rows, lo=4)
+        self.cap = aed.max_decode_len + 1
+        self._caches = None
+        self._pos = 0
+        self._b = None
+
+        def start(params, mem, mlen):
+            mem = jnp.broadcast_to(mem, (self.rows,) + mem.shape[1:])
+            mlen = jnp.broadcast_to(mlen, (self.rows,))
+            return aed.apply(params, mem, mlen, self.cap, method="decode_start")
+
+        def step(params, caches, kpm, parents, tokens, pos):
+            return aed.apply(params, caches, kpm, parents, tokens, pos,
+                             method="decode_step")
+
+        self._start = jax.jit(start)
+        self._step = jax.jit(step)
+
+    def start(self, b: int) -> np.ndarray:
+        """Begin utterance b: feed bos, return log-probs [1, V] for step 0."""
+        mem = self.features[b:b + 1]
+        mlen = jnp.asarray([int(self.lengths[b])], jnp.int32)
+        caches, self._kpm = self._start(self.params, mem, mlen)
+        self._caches = caches
+        self._pos = 0
+        bos = np.full(self.rows, self.aed.bos_id, np.int32)
+        logp, self._caches = self._step(self.params, self._caches, self._kpm,
+                                        jnp.arange(self.rows, dtype=jnp.int32),
+                                        jnp.asarray(bos), 0)
+        self._pos = 1
+        return np.asarray(logp)[:1]
+
+    def advance(self, parents, tokens) -> np.ndarray:
+        """Commit (parent_row, token) per live row; return log-probs [n, V]."""
+        n = len(parents)
+        par = np.zeros(self.rows, np.int32)
+        tok = np.full(self.rows, self.aed.eos_id, np.int32)
+        par[:n] = parents
+        tok[:n] = tokens
+        logp, self._caches = self._step(self.params, self._caches, self._kpm,
+                                        jnp.asarray(par), jnp.asarray(tok),
+                                        self._pos)
+        self._pos += 1
+        return np.asarray(logp)[:n]
+
+
+class _UttStepper:
+    """Bind a CachedAEDStepper to one utterance row of the batch."""
+
+    def __init__(self, stepper: "CachedAEDStepper", i: int):
+        self._stepper = stepper
+        self._i = i
+
+    def start(self, _b: int) -> np.ndarray:
+        return self._stepper.start(self._i)
+
+    def advance(self, parents, tokens) -> np.ndarray:
+        return self._stepper.advance(parents, tokens)
+
+
 class AEDStepper:
     """Padded/bucketed jitted next-token scorer for the label-synchronous beam.
 
@@ -213,13 +291,14 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
             hyps.append(hyp)
     else:                                                # aed / joint beam
         ctc_w = 0.0 if cell["read_out"] == "aed" else float(dc.get("ctc_weight", 0.3))
-        stepper = AEDStepper(model.aed, params["aed"], enc.features, lengths)
+        stepper = CachedAEDStepper(model.aed, params["aed"], enc.features,
+                                   lengths, beam_rows=beam_size)
         ctc_logp = None
         if ctc_w > 0.0:
             ctc_logp = np.asarray(model.ctc.apply({"params": params["ctc"]},
                                                   enc.features, method="log_probs"))
         pre = int(pre_beam) if pre_beam else None
-        kw = dict(aed_next_logprobs=stepper, vocab_size=model.aed.vocab_size,
+        kw = dict(vocab_size=model.aed.vocab_size,
                   beam_size=beam_size, ctc_weight=ctc_w, bos_id=tokenizer.bos_id,
                   eos_id=tokenizer.eos_id, pad_id=tokenizer.pad_id,
                   blank_id=model.ctc.blank_id if model.ctc is not None else None,
@@ -228,17 +307,16 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
         for i in range(n_real):
             t0 = time.perf_counter()
             lp_i = ctc_logp[i:i + 1, :lengths[i]] if ctc_logp is not None else None
+            utt = _UttStepper(stepper, i)
             if cell["lm"]:
-                nbest = joint_beam_search_nbest(None, lengths[i:i + 1],
-                                                ctc_log_probs=lp_i, nbest=beam_size,
-                                                **{**kw, "aed_next_logprobs":
-                                                   lambda _b, tl, i=i: stepper(i, tl)})[0]
+                nbest = joint_beam_search_nbest(
+                    None, lengths[i:i + 1], ctc_log_probs=lp_i, nbest=beam_size,
+                    aed_next_logprobs=utt, **kw)[0]
                 hyp = lm_rescore(nbest, use_lm, rescore_weight, ctc_weight=ctc_w,
                                  length_bonus=rescore_length_bonus)
             else:
                 hyp = joint_beam_search(None, lengths[i:i + 1], ctc_log_probs=lp_i,
-                                        **{**kw, "aed_next_logprobs":
-                                           lambda _b, tl, i=i: stepper(i, tl)})[0]
+                                        aed_next_logprobs=utt, **kw)[0]
             times.append(time.perf_counter() - t0)
             hyps.append(hyp)
 

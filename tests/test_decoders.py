@@ -195,6 +195,47 @@ def test_joint_beam_with_ctc_anchoring(rng):
     assert nbest[0][0].score >= nbest[0][-1].score
 
 
+def test_cached_stepper_matches_full_recompute(rng):
+    """joint_beam_search with the KV-cached stateful stepper must emit the
+    SAME hypotheses as the full-recompute functional scorer."""
+    from hnet_mamba_asr_tpu.models.aed import AEDHead
+    from hnet_mamba_asr_tpu.tasks.decode_task import CachedAEDStepper, _UttStepper
+
+    V, DM, S = 12, 16, 9
+    head = AEDHead(vocab_size=V, d_model=DM, n_layers=2, n_heads=2, d_ff=32,
+                   dropout=0.0, max_decode_len=8)
+    mem = jnp.asarray(rng.normal(size=(2, S, DM)).astype(np.float32))
+    mlens = np.asarray([S, S - 3])
+    params = head.init(jax.random.PRNGKey(0), mem, jnp.asarray(mlens),
+                       jnp.zeros((2, 3), jnp.int32))["params"]
+
+    def functional(b, token_lists):
+        n = len(token_lists)
+        U = max(len(t) for t in token_lists) + 1
+        ys = np.full((n, U), 3, np.int32)
+        ys[:, 0] = 1
+        for i, toks in enumerate(token_lists):
+            ys[i, 1:1 + len(toks)] = toks
+        logits = head.apply({"params": params}, mem[b:b + 1].repeat(n, axis=0),
+                            jnp.full((n,), mlens[b]), jnp.asarray(ys))
+        lens = np.array([len(t) for t in token_lists])
+        last = np.asarray(logits)[np.arange(n), lens].astype(np.float64)
+        last = last - np.log(np.exp(last - last.max(-1, keepdims=True)).sum(-1,
+                             keepdims=True)) - last.max(-1, keepdims=True)
+        return last
+
+    kw = dict(vocab_size=V, beam_size=3, ctc_weight=0.0, max_decode_len=8)
+    for b in range(2):
+        ref = joint_beam_search(None, mlens[b:b + 1],
+                                aed_next_logprobs=lambda _b, tl, b=b: functional(b, tl),
+                                ctc_log_probs=None, **kw)[0]
+        stepper = CachedAEDStepper(head, params, mem, mlens, beam_rows=3)
+        got = joint_beam_search(None, mlens[b:b + 1],
+                                aed_next_logprobs=_UttStepper(stepper, b),
+                                ctc_log_probs=None, **kw)[0]
+        assert got == ref, (b, got, ref)
+
+
 def test_lm_rescore_semantics():
     h1 = Hypothesis(tokens=[1, 2], aed=-1.0, ctc=-2.0, score=0.0)
     h2 = Hypothesis(tokens=[3], aed=-1.5, ctc=-1.0, score=0.0)
