@@ -170,14 +170,20 @@ class BucketBatchSampler:
 
 class DataLoader:
     """Single-host loader: sampler -> fetch -> collate. Deterministic; exposes
-    ``set_epoch`` for both the sampler shuffle and augmentation keying."""
+    ``set_epoch`` for both the sampler shuffle and augmentation keying.
+
+    ``prefetch > 0`` overlaps host IO/collate with device compute via a
+    background thread and a bounded queue (order preserved; exceptions
+    re-raised on the consumer side)."""
 
     def __init__(self, dataset: ASRDataset, sampler: BucketBatchSampler, *,
-                 batch_multiple: int = 1, snap_lengths: bool = True):
+                 batch_multiple: int = 1, snap_lengths: bool = True,
+                 prefetch: int = 0):
         self.dataset = dataset
         self.sampler = sampler
         self.batch_multiple = batch_multiple
         self.snap_lengths = snap_lengths
+        self.prefetch = int(prefetch)
 
     def set_epoch(self, epoch: int) -> None:
         self.dataset.set_epoch(epoch)
@@ -186,20 +192,50 @@ class DataLoader:
     def __len__(self) -> int:
         return len(self.sampler)
 
+    def _make(self, batch_idx) -> dict:
+        samples = [self.dataset[i] for i in batch_idx]
+        return collate_batch(samples, pad_id=self.dataset.pad_id,
+                             seed=self.dataset.seed, epoch=self.dataset.epoch,
+                             batch_multiple=self.batch_multiple,
+                             snap_lengths=self.snap_lengths)
+
     def __iter__(self) -> Iterator[dict]:
-        for batch_idx in self.sampler:
-            samples = [self.dataset[i] for i in batch_idx]
-            yield collate_batch(samples, pad_id=self.dataset.pad_id,
-                                seed=self.dataset.seed, epoch=self.dataset.epoch,
-                                batch_multiple=self.batch_multiple,
-                                snap_lengths=self.snap_lengths)
+        if self.prefetch <= 0:
+            for batch_idx in self.sampler:
+                yield self._make(batch_idx)
+            return
+        import queue
+        import threading
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        SENTINEL = object()
+
+        def worker(indices):
+            try:
+                for batch_idx in indices:
+                    q.put(("ok", self._make(batch_idx)))
+            except BaseException as e:  # noqa: BLE001 - re-raised on consumer
+                q.put(("err", e))
+            finally:
+                q.put(("ok", SENTINEL))
+
+        t = threading.Thread(target=worker, args=(list(self.sampler),),
+                             daemon=True)
+        t.start()
+        while True:
+            kind, item = q.get()
+            if kind == "err":
+                raise item
+            if item is SENTINEL:
+                break
+            yield item
 
 
 def make_dataloader(dataset: ASRDataset, max_frames: int, *, shuffle: bool = False,
                     seed: int = 0, num_replicas: int = 1, rank: int = 0,
-                    batch_multiple: int = 1, snap_lengths: bool = True):
+                    batch_multiple: int = 1, snap_lengths: bool = True,
+                    prefetch: int = 0):
     sampler = BucketBatchSampler(dataset.lengths, max_frames, num_replicas, rank,
                                  shuffle=shuffle, seed=seed)
     loader = DataLoader(dataset, sampler, batch_multiple=batch_multiple,
-                        snap_lengths=snap_lengths)
+                        snap_lengths=snap_lengths, prefetch=prefetch)
     return loader, sampler

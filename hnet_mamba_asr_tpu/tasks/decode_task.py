@@ -281,14 +281,15 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
         jax.block_until_ready(logp)
         enc_s += time.perf_counter() - t0                # shared projection: amortized
         logp_np = np.asarray(logp)
-        for i in range(n_real):
-            t0 = time.perf_counter()
-            hyp = ctc_prefix_beam_search(
-                logp_np[i:i + 1], lengths[i:i + 1], blank_id=model.ctc.blank_id,
-                beam_size=beam_size, pre_beam=int(pre_beam or 30),
-                lm=use_lm, lm_weight=lm_weight)[0]
-            times.append(time.perf_counter() - t0)
-            hyps.append(hyp)
+        t0 = time.perf_counter()
+        # one lockstep search over the whole batch: with LM fusion every frame
+        # makes ONE batched next_logprobs call covering all live prefixes
+        hyps = ctc_prefix_beam_search(
+            logp_np[:n_real], lengths[:n_real], blank_id=model.ctc.blank_id,
+            beam_size=beam_size, pre_beam=int(pre_beam or 30),
+            lm=use_lm, lm_weight=lm_weight)
+        dt = time.perf_counter() - t0
+        times = [dt / max(n_real, 1)] * n_real           # amortized per utt
     else:                                                # aed / joint beam
         ctc_w = 0.0 if cell["read_out"] == "aed" else float(dc.get("ctc_weight", 0.3))
         stepper = CachedAEDStepper(model.aed, params["aed"], enc.features,

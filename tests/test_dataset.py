@@ -114,6 +114,29 @@ def test_dataset_items_and_loader(corpus):
                           "row_mask", "aug_ref", "item_index", "ids"}
 
 
+def test_prefetch_matches_sync(corpus):
+    manifest, tok = corpus
+    ds = ASRDataset(manifest, tok, augment=False)
+    sync_loader, _ = make_dataloader(ds, max_frames=400, batch_multiple=2)
+    pre_loader, _ = make_dataloader(ds, max_frames=400, batch_multiple=2,
+                                    prefetch=2)
+    sync_batches = list(sync_loader)
+    pre_batches = list(pre_loader)
+    assert len(sync_batches) == len(pre_batches)
+    for a, b in zip(sync_batches, pre_batches):
+        np.testing.assert_array_equal(a["wave"], b["wave"])
+        assert a["ids"] == b["ids"]
+
+
+def test_prefetch_propagates_errors(corpus):
+    manifest, tok = corpus
+    ds = ASRDataset(manifest, tok, augment=False)
+    ds.entries[0] = dict(ds.entries[0], audio="/nonexistent.wav")
+    loader, _ = make_dataloader(ds, max_frames=4000, prefetch=2)
+    with pytest.raises(Exception):
+        list(loader)
+
+
 def test_speed_perturb_expands_items(corpus):
     manifest, tok = corpus
     ds = ASRDataset(manifest, tok, augment=True, speed_perturb=[0.9, 1.0, 1.1])
