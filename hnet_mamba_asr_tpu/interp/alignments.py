@@ -1,21 +1,21 @@
-"""Forced-alignment plumbing: MFA corpus prep, TextGrid parsing, integrity checks.
+"""Forced-alignment plumbing: MFA corpus prep, TextGrid parsing, integrity.
 
-The Montreal Forced Aligner runs as an external CLI (host-side, unchanged from
-the reference architecture); this module holds everything testable around it
-(behavioral spec: reference src/dcasr/interp/alignments.py): corpus layout
-(<speaker>/<utt>.<ext> symlink + <utt>.lab transcript), a seeded hours-budget
-train subset, a dependency-free long-format TextGrid parser, and per-record
-integrity checks. Consumers: boundary_align (±20 ms F1) and probes (labels).
+The Montreal Forced Aligner runs as an external CLI (host-side); everything
+testable around it lives here (capability spec: reference
+src/dcasr/interp/alignments.py): laying a manifest out as an MFA corpus,
+seeded hours-budget subsets, a dependency-free TextGrid reader, and per-record
+integrity checks feeding boundary_align (±20 ms F1) and probes (labels).
 
-MFA marks silence EXCLUSIVELY with the empty label; matching word-like labels
-('sil', 'silence') would delete real words from the ground truth. OOV speech
-keeps its word with a single 'spn' phone.
+Silence handling: MFA marks silence EXCLUSIVELY with the empty interval label,
+so only "" is treated as silence — filtering word-like labels ('sil',
+'silence') would delete real words from the ground truth. OOV speech keeps its
+word with a single 'spn' phone and is kept here (probes exclude 'spn' later).
 """
 from __future__ import annotations
 
 import json
 import random
-import re
+from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Iterable, Mapping, Sequence
 
@@ -29,104 +29,124 @@ SILENCE_LABELS = {""}
 
 def speaker_of(utt_id: str) -> str:
     """LibriSpeech id '1272-128104-0000' -> speaker '1272'."""
-    return str(utt_id).split("-")[0]
+    return str(utt_id).split("-", 1)[0]
 
 
+# ── corpus layout ──────────────────────────────────────────────────────────────
 def prepare_corpus(entries: Sequence[Mapping], corpus_dir: str | Path) -> int:
-    """Lay out an MFA corpus: <speaker>/<utt>.<ext> symlink + <utt>.lab text."""
+    """MFA expects <corpus>/<speaker>/<utt>.<ext> + <utt>.lab transcripts.
+
+    Audio is symlinked (absolute targets — relative ones dangle when MFA
+    resolves paths from its own cwd); transcripts are written verbatim."""
     corpus_dir = Path(corpus_dir)
-    seen: set[str] = set()
-    for e in entries:
-        if e["id"] in seen:
-            raise ValueError(f"duplicate utterance id in manifest: {e['id']!r}")
-        seen.add(e["id"])
-        audio = Path(e["audio"])
-        if not audio.is_file():
-            raise FileNotFoundError(f"audio missing for {e['id']}: {audio}")
-        spk = corpus_dir / speaker_of(e["id"])
-        spk.mkdir(parents=True, exist_ok=True)
-        link = spk / f"{e['id']}{audio.suffix}"
-        if link.is_symlink() or link.exists():
-            link.unlink()
-        link.symlink_to(audio.resolve())
-        (spk / f"{e['id']}.lab").write_text(e["text"] + "\n", encoding="utf-8")
-    logger.info("prepared MFA corpus: %d utts -> %s", len(entries), corpus_dir)
-    return len(entries)
+    done: set[str] = set()
+    for entry in entries:
+        uid = entry["id"]
+        if uid in done:
+            raise ValueError(f"duplicate utterance id in manifest: {uid!r}")
+        done.add(uid)
+        src = Path(entry["audio"])
+        if not src.is_file():
+            raise FileNotFoundError(f"audio missing for {uid}: {src}")
+        spk_dir = corpus_dir / speaker_of(uid)
+        spk_dir.mkdir(parents=True, exist_ok=True)
+        audio_link = spk_dir / (uid + src.suffix)
+        if audio_link.is_symlink() or audio_link.exists():
+            audio_link.unlink()
+        audio_link.symlink_to(src.resolve())
+        (spk_dir / (uid + ".lab")).write_text(entry["text"] + "\n",
+                                              encoding="utf-8")
+    logger.info("prepared MFA corpus: %d utts -> %s", len(done), corpus_dir)
+    return len(done)
 
 
-def select_subset(entries: Sequence[Mapping], hours: float, seed: int = 1) -> list[dict]:
-    """Seeded random subset filling an audio-hours budget (deterministic)."""
+def select_subset(entries: Sequence[Mapping], hours: float,
+                  seed: int = 1) -> list[dict]:
+    """Deterministic random subset under an audio-hours budget, id-sorted."""
     if hours <= 0:
         raise ValueError(f"hours must be positive, got {hours}")
-    order = list(entries)
-    random.Random(seed).shuffle(order)
-    budget_s = hours * 3600.0
-    picked, total = [], 0.0
-    for e in order:
-        dur = e["frames"] / SAMPLE_RATE
-        if total + dur > budget_s and picked:
+    budget = hours * 3600.0
+    shuffled = list(entries)
+    random.Random(seed).shuffle(shuffled)
+    chosen: list[dict] = []
+    used = 0.0
+    for entry in shuffled:
+        seconds = entry["frames"] / SAMPLE_RATE
+        if used + seconds > budget and chosen:
             continue
-        picked.append(dict(e))
-        total += dur
-        if total >= budget_s:
+        chosen.append(dict(entry))
+        used += seconds
+        if used >= budget:
             break
-    picked.sort(key=lambda e: e["id"])
+    chosen.sort(key=lambda e: e["id"])
     logger.info("subset: %d utts, %.2f h (budget %.2f h, seed %d)",
-                len(picked), total / 3600, hours, seed)
-    return picked
+                len(chosen), used / 3600, hours, seed)
+    return chosen
 
 
-# ── TextGrid parsing (long format, no external deps) ──────────────────────────
-_ITEM_RE = re.compile(r"item\s*\[\d+\]:")
-_KV_RE = re.compile(r"^\s*(\w+)\s*=\s*(.+?)\s*$")
+# ── TextGrid reading (long format; no external deps) ──────────────────────────
+@dataclass
+class _TierState:
+    """Streaming parser state for one `item []` block."""
+    name: str | None = None
+    xmin: float | None = None
+    xmax: float | None = None
+    inside_interval: bool = False
+    intervals: list = field(default_factory=list)
 
 
-def _unquote(s: str) -> str:
-    s = s.strip()
-    if len(s) >= 2 and s.startswith('"') and s.endswith('"'):
-        s = s[1:-1]
-    return s.replace('""', '"')                      # Praat doubles embedded quotes
+def _strip_quotes(raw: str) -> str:
+    raw = raw.strip()
+    if len(raw) >= 2 and raw[0] == '"' and raw[-1] == '"':
+        raw = raw[1:-1]
+    return raw.replace('""', '"')            # Praat escapes quotes by doubling
 
 
 def parse_textgrid(text: str) -> dict[str, list[tuple[str, float, float]]]:
-    """Long-format TextGrid -> {tier: [(label, xmin, xmax), ...]} (keeps every
-    interval; silence filtering is the caller's decision)."""
-    head = text[:200]
-    if "ooTextFile" not in head or "TextGrid" not in head:
+    """Long-format TextGrid -> {tier: [(label, xmin, xmax), ...]}.
+
+    Every interval is kept, including empty-label silence — dropping it is the
+    caller's decision (see alignment_record). Line-oriented streaming parse:
+    `item [n]:` opens a tier, `name =` binds it, `intervals [n]:` opens an
+    interval, and xmin/xmax/text key-value lines fill it in.
+    """
+    if "ooTextFile" not in text[:200] or "TextGrid" not in text[:200]:
         raise ValueError('not a TextGrid (needs File type = "ooTextFile" + '
                          'Object class = "TextGrid" header)')
     tiers: dict[str, list[tuple[str, float, float]]] = {}
-    name = None
-    xmin = xmax = None
-    in_intervals = False
-    for raw in text.splitlines():
-        line = raw.strip()
-        if _ITEM_RE.match(line):
-            name, in_intervals = None, False
+    st = _TierState()
+    for raw_line in text.splitlines():
+        line = raw_line.strip()
+        if line.startswith("item") and line.rstrip(":").rstrip().endswith("]"):
+            st = _TierState()
             continue
-        m = _KV_RE.match(line)
-        if not m:
-            if line.startswith("intervals ["):
-                in_intervals = True
-                xmin = xmax = None
+        if line.startswith("intervals ["):
+            st.inside_interval = True
+            st.xmin = st.xmax = None
             continue
-        key, val = m.group(1), m.group(2)
+        key, eq, value = line.partition("=")
+        if not eq:
+            continue
+        key = key.strip()
+        value = value.strip()
         if key == "name":
-            name = _unquote(val)
-            tiers.setdefault(name, [])
-            in_intervals = False
-        elif in_intervals and name is not None:
+            st.name = _strip_quotes(value)
+            tiers.setdefault(st.name, [])
+            st.inside_interval = False
+        elif st.inside_interval and st.name is not None:
             if key == "xmin":
-                xmin = float(val)
+                st.xmin = float(value)
             elif key == "xmax":
-                xmax = float(val)
+                st.xmax = float(value)
             elif key == "text":
-                if val.startswith('"') and (len(val) < 2 or not val.endswith('"')):
-                    raise ValueError(f"unterminated label in tier {name!r} "
+                if value.startswith('"') and (len(value) < 2
+                                              or not value.endswith('"')):
+                    raise ValueError(f"unterminated label in tier {st.name!r} "
                                      "(multi-line labels unsupported)")
-                if xmin is None or xmax is None:
-                    raise ValueError(f"interval text before xmin/xmax in tier {name!r}")
-                tiers[name].append((_unquote(val), xmin, xmax))
+                if st.xmin is None or st.xmax is None:
+                    raise ValueError("interval text before xmin/xmax in tier "
+                                     f"{st.name!r}")
+                tiers[st.name].append((_strip_quotes(value), st.xmin, st.xmax))
     if not tiers:
         raise ValueError("no tiers found in TextGrid")
     return tiers
@@ -134,61 +154,71 @@ def parse_textgrid(text: str) -> dict[str, list[tuple[str, float, float]]]:
 
 def alignment_record(utt_id: str, tiers: Mapping[str, Sequence], *,
                      drop_silence: bool = True) -> dict:
-    """Parsed tiers -> {id, words, phones} with [label, start, end] triples."""
-    out: dict = {"id": utt_id, "words": [], "phones": []}
+    """{id, words, phones} with [label, start, end] triples (silence dropped)."""
+    record: dict = {"id": utt_id, "words": [], "phones": []}
     for tier in ("words", "phones"):
-        for label, s, e in tiers.get(tier, []):
-            if drop_silence and label in SILENCE_LABELS:
-                continue
-            out[tier].append([label, round(float(s), 6), round(float(e), 6)])
-    if not out["words"] or not out["phones"]:
+        record[tier] = [
+            [label, round(float(s), 6), round(float(e), 6)]
+            for label, s, e in tiers.get(tier, [])
+            if not (drop_silence and label in SILENCE_LABELS)]
+    if not record["words"] or not record["phones"]:
         raise ValueError(f"{utt_id}: TextGrid lacks words/phones intervals "
                          f"(tiers: {sorted(tiers)})")
-    return out
+    return record
+
+
+# ── integrity ─────────────────────────────────────────────────────────────────
+def _norm_word(w: str) -> str:
+    # MFA normalizes edge apostrophes (BUSH' -> bush); compare likewise
+    return w.lower().strip("'")
 
 
 def check_alignment(record: Mapping, text: str, duration_s: float,
                     tol: float = 0.05) -> list[str]:
-    """Integrity problems (empty list = clean): word sequence vs transcript
-    (case-insensitive, edge apostrophes stripped), monotone non-overlapping
-    tiers, times inside the audio."""
-    problems: list[str] = []
-    ref = [w.lower().strip("'") for w in text.split()]
-    hyp = [w.lower().strip("'") for w, _, _ in record["words"]]
-    if hyp != ref:
-        diff = next((i for i, (a, b) in enumerate(zip(ref, hyp)) if a != b),
-                    min(len(ref), len(hyp)))
-        problems.append(f"word sequence != transcript ({len(hyp)} vs {len(ref)} "
-                        f"words; first diff at {diff}: ref {ref[diff:diff + 1]} "
-                        f"vs hyp {hyp[diff:diff + 1]})")
+    """Return integrity problems (empty list == clean): the aligned word
+    sequence must equal the transcript, tiers must be monotone and
+    non-overlapping, and times must sit inside the audio."""
+    issues: list[str] = []
+    want = [_norm_word(w) for w in text.split()]
+    got = [_norm_word(label) for label, _, _ in record["words"]]
+    if got != want:
+        where = next((i for i, (a, b) in enumerate(zip(want, got)) if a != b),
+                     min(len(want), len(got)))
+        issues.append(
+            f"word sequence != transcript ({len(got)} vs {len(want)} words; "
+            f"first diff at {where}: ref {want[where:where + 1]} vs "
+            f"hyp {got[where:where + 1]})")
     for tier in ("words", "phones"):
-        prev_end = 0.0
-        for label, s, e in record[tier]:
-            if s < 0:
-                problems.append(f"{tier}: negative start {label!r} at {s}")
-            if e <= s:
-                problems.append(f"{tier}: non-positive interval {label!r} [{s}, {e}]")
-            if s < prev_end - 1e-6:
-                problems.append(f"{tier}: overlap at {label!r} ({s} < {prev_end})")
-            prev_end = max(prev_end, e)
+        horizon = 0.0
+        for label, start, end in record[tier]:
+            if start < 0:
+                issues.append(f"{tier}: negative start {label!r} at {start}")
+            if end <= start:
+                issues.append(f"{tier}: non-positive interval {label!r} "
+                              f"[{start}, {end}]")
+            if start < horizon - 1e-6:
+                issues.append(f"{tier}: overlap at {label!r} "
+                              f"({start} < {horizon})")
+            horizon = max(horizon, end)
         if record[tier] and record[tier][-1][2] > duration_s + tol:
-            problems.append(f"{tier}: end {record[tier][-1][2]} beyond audio "
-                            f"{duration_s:.2f}s")
-    return problems
+            issues.append(f"{tier}: end {record[tier][-1][2]} beyond audio "
+                          f"{duration_s:.2f}s")
+    return issues
 
 
+# ── JSONL persistence ─────────────────────────────────────────────────────────
 def write_alignments(records: Iterable[Mapping], path: str | Path) -> int:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    n = 0
-    with open(path, "w", encoding="utf-8") as w:
-        for r in records:
-            w.write(json.dumps(r) + "\n")
-            n += 1
-    logger.info("wrote %d alignment records -> %s", n, path)
-    return n
+    count = 0
+    with open(path, "w", encoding="utf-8") as sink:
+        for record in records:
+            sink.write(json.dumps(record) + "\n")
+            count += 1
+    logger.info("wrote %d alignment records -> %s", count, path)
+    return count
 
 
 def load_alignments(path: str | Path) -> list[dict]:
-    with open(path, encoding="utf-8") as f:
-        return [json.loads(line) for line in f if line.strip()]
+    with open(path, encoding="utf-8") as src:
+        return [json.loads(line) for line in src if line.strip()]

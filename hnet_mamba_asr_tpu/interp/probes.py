@@ -1,19 +1,19 @@
 """Linear probes on frozen representations: phone id / phone class / word id.
 
 A probe is a plain multinomial logistic regression — too weak to compute
-anything itself, so probe accuracy measures what is LINEARLY readable from a
-representation (behavioral spec: reference src/dcasr/interp/probes.py). Labels
-come from forced alignment: a 25 Hz frame gets the unit whose interval
-contains its center time (the verified 0.04*i + 0.0425 s geometry); a chunk
-gets the majority label over its fine-frame span. Stress digits collapse
-(AH0 -> AH); 'spn' (OOV) and silence positions are excluded; the word probe
-restricts to the top-K most frequent TRAINING words (coverage reported).
+anything itself, so its accuracy measures what is LINEARLY readable from a
+representation (capability spec: reference src/dcasr/interp/probes.py).
+Labeling geometry: a 25 Hz frame takes the unit whose interval contains its
+center time (0.04*i + 0.0425 s, the verified frontend+conv timing model); a
+chunk takes the majority label over its fine-frame span. ARPA stress digits
+collapse (AH0 -> AH); 'spn' (OOV) and silence stay unlabeled; the word probe
+restricts to the top-K most frequent TRAINING words with coverage reported.
 
-Backends: 'sklearn' (the verified reference) or 'lbfgs' — scipy L-BFGS-B on
-sklearn's EXACT convex objective 0.5*||W||^2 + C * sum CE_i (bias unpenalized,
-fp64, gtol 1e-4). The problem is convex with a unique optimum, so both reach
-the same solution; the lbfgs path avoids sklearn's per-class overhead at frame
-scale. ('jax'/'torch' config values alias to 'lbfgs'.)
+Backends: 'sklearn' (the verified reference implementation) or 'lbfgs' —
+scipy L-BFGS-B minimizing sklearn's EXACT convex objective
+0.5*||W||^2 + C * sum_i CE_i (bias unpenalized, fp64, gtol 1e-4). Convexity
+gives a unique optimum, so the two backends agree; 'jax'/'torch'/'scipy'
+config values alias to 'lbfgs'.
 """
 from __future__ import annotations
 
@@ -30,20 +30,23 @@ logger = get_logger(__name__)
 
 FRAME0_CENTER_S = BOUNDARY_OFFSET_S + FRAME_PERIOD_S / 2      # 0.0425
 
-_PHONE_CLASSES = {
-    **{p: "vowel" for p in ("AA", "AE", "AH", "AO", "AW", "AY", "EH", "ER", "EY",
-                            "IH", "IY", "OW", "OY", "UH", "UW")},
-    **{p: "stop" for p in ("B", "D", "G", "K", "P", "T")},
-    **{p: "affricate" for p in ("CH", "JH")},
-    **{p: "fricative" for p in ("DH", "F", "HH", "S", "SH", "TH", "V", "Z", "ZH")},
-    **{p: "nasal" for p in ("M", "N", "NG")},
-    **{p: "liquid" for p in ("L", "R")},
-    **{p: "glide" for p in ("W", "Y")},
+_MANNER = {
+    "vowel": "AA AE AH AO AW AY EH ER EY IH IY OW OY UH UW",
+    "stop": "B D G K P T",
+    "affricate": "CH JH",
+    "fricative": "DH F HH S SH TH V Z ZH",
+    "nasal": "M N NG",
+    "liquid": "L R",
+    "glide": "W Y",
 }
-EXCLUDED_PHONES = {"spn"}
+_PHONE_CLASSES = {phone: manner
+                  for manner, phones in _MANNER.items()
+                  for phone in phones.split()}
+EXCLUDED_PHONES = {"spn"}                         # OOV pseudo-phone
 
 
 def collapse_stress(phone: str) -> str:
+    """AH0/AH1/AH2 -> AH (MFA ARPA phones carry stress digits)."""
     return phone.rstrip("012")
 
 
@@ -52,13 +55,15 @@ def phone_class(phone: str) -> str | None:
 
 
 def to_classes(labels: Sequence[str]) -> list[str]:
-    out = []
-    for lab in labels:
-        c = phone_class(lab)
-        if c is None:
-            raise ValueError(f"phone {lab!r} has no manner class")
-        out.append(c)
-    return out
+    """Phones -> manner classes; raises on classless labels (a label reaching
+    here without a class is a wiring bug, not data)."""
+    classes = []
+    for label in labels:
+        manner = phone_class(label)
+        if manner is None:
+            raise ValueError(f"phone {label!r} has no manner class")
+        classes.append(manner)
+    return classes
 
 
 def frame_time(i: int) -> float:
@@ -66,41 +71,50 @@ def frame_time(i: int) -> float:
 
 
 def frame_labels(record: Mapping, n_frames: int, tier: str) -> list[str | None]:
-    """Per 25 Hz frame: the unit containing the frame CENTER (None = silence)."""
+    """Per 25 Hz frame: the unit whose interval contains the frame CENTER
+    (None where none does — silence / padding)."""
     units = record[tier]
-    out: list[str | None] = [None] * int(n_frames)
-    k = 0
-    for i in range(int(n_frames)):
-        t = frame_time(i)
-        while k < len(units) and float(units[k][2]) <= t:
-            k += 1
-        if k < len(units) and float(units[k][1]) <= t < float(units[k][2]):
-            label = str(units[k][0])
-            if tier == "phones":
-                if label in EXCLUDED_PHONES:
-                    continue
-                label = collapse_stress(label)
-            out[i] = label
-    return out
+    n = int(n_frames)
+    if not units or n <= 0:
+        return [None] * n
+    centers = FRAME_PERIOD_S * np.arange(n) + FRAME0_CENTER_S
+    starts = np.asarray([float(u[1]) for u in units])
+    ends = np.asarray([float(u[2]) for u in units])
+    # unit index whose start is the last one <= center; then verify coverage
+    slot = np.searchsorted(starts, centers, side="right") - 1
+    labels: list[str | None] = [None] * n
+    for i in range(n):
+        k = slot[i]
+        if k < 0 or not (centers[i] < ends[k]):
+            continue
+        text = str(units[k][0])
+        if tier == "phones":
+            if text in EXCLUDED_PHONES:
+                continue
+            text = collapse_stress(text)
+        labels[i] = text
+    return labels
 
 
 def chunk_spans(b_row: Sequence[float], length: int) -> list[tuple[int, int]]:
-    """Boundary vector -> [(start, end_exclusive)] per chunk. Frames before the
-    first boundary merge into chunk 0 (membership = clamp(cumsum(b)-1, 0))."""
-    if int(length) <= 0:
+    """Boundary vector -> per-chunk [start, end) frame spans, chunk order.
+
+    Mirrors membership = clamp(cumsum(b) - 1, 0): frames BEFORE the first
+    boundary merge into chunk 0 (only reachable with duck-typed encoders —
+    the production router forces b[0] = 1)."""
+    n = int(length)
+    if n <= 0:
         return []
-    starts = [i for i in range(int(length)) if float(b_row[i]) >= 0.5]
-    if not starts:
-        starts = [0]
-    elif starts[0] != 0:
+    starts = np.nonzero(np.asarray(b_row[:n], dtype=np.float32) >= 0.5)[0]
+    starts = starts.tolist() or [0]
+    if starts[0] != 0:
         starts[0] = 0
-    ends = starts[1:] + [int(length)]
-    return list(zip(starts, ends))
+    return list(zip(starts, starts[1:] + [n]))
 
 
 def majority_label(labels: Sequence[str | None]) -> str | None:
-    counts = Counter(l for l in labels if l is not None)
-    return counts.most_common(1)[0][0] if counts else None
+    tally = Counter(l for l in labels if l is not None)
+    return tally.most_common(1)[0][0] if tally else None
 
 
 def collect_probe_data(encode_fn, loader, alignments: Mapping[str, Mapping],
@@ -108,155 +122,155 @@ def collect_probe_data(encode_fn, loader, alignments: Mapping[str, Mapping],
                        stage: int = 0) -> tuple[list, list]:
     """Run the encoder; return (vectors, labels) for labeled positions only.
 
-    ``encode_fn(batch) -> EncoderOutput``. level='frames' uses the fine-rate
-    output; level='chunks' uses stage-N chunk embeddings labeled by majority
-    over the chunk's fine span (stage 1 spans map through stage-0 chunks).
+    level='frames': fine-rate outputs per frame. level='chunks': stage-N chunk
+    embeddings labeled by majority over the chunk's fine span (stage 1 spans
+    compose through stage-0 chunks).
 
-    CONTRACT: probe train/test loaders must cover DISJOINT utterances —
-    contamination silently inflates accuracy (+0.77 measured on a random
-    encoder in the reference's audit). The driver asserts this.
+    CONTRACT: probe train/test loaders must cover DISJOINT utterances — the
+    reference's audit measured +0.77 accuracy from contamination on a RANDOM
+    encoder. The driver asserts this on consumed ids.
     """
     if level not in ("frames", "chunks"):
         raise ValueError(f"level must be 'frames' or 'chunks', got {level!r}")
-    X, y = [], []
+    vectors, labels = [], []
     for batch in loader:
         ids = batch.get("ids", [])
         enc = encode_fn(batch)
         feats = np.asarray(enc.features, dtype=np.float32)
         lengths = np.asarray(enc.lengths)
-        for bi, uid in enumerate(ids):
+        for row, uid in enumerate(ids):
             if uid not in alignments:
                 continue
-            L = int(lengths[bi])
-            labels = frame_labels(alignments[uid], L, tier)
+            L = int(lengths[row])
+            frame_y = frame_labels(alignments[uid], L, tier)
             if level == "frames":
-                for i, lab in enumerate(labels):
+                for i, lab in enumerate(frame_y):
                     if lab is not None:
-                        X.append(feats[bi, i])
-                        y.append(lab)
+                        vectors.append(feats[row, i])
+                        labels.append(lab)
                 continue
-            b0 = np.asarray(enc.boundaries[0][1][bi], dtype=np.float32)
+            b0 = np.asarray(enc.boundaries[0][1][row], dtype=np.float32)
             spans = chunk_spans(b0, L)
             if stage == 0:
-                z = np.asarray(enc.chunk_embeddings[0][bi], dtype=np.float32)
+                z = np.asarray(enc.chunk_embeddings[0][row], dtype=np.float32)
             else:
                 if len(enc.chunk_embeddings) < 2:
                     raise ValueError("stage 1 requested but encoder has one stage")
-                z = np.asarray(enc.chunk_embeddings[1][bi], dtype=np.float32)
-                b1 = np.asarray(enc.boundaries[1][1][bi], dtype=np.float32)
-                s2 = chunk_spans(b1, len(spans))
-                spans = [(spans[a][0], spans[b - 1][1]) for a, b in s2
-                         if b <= len(spans)]
+                z = np.asarray(enc.chunk_embeddings[1][row], dtype=np.float32)
+                b1 = np.asarray(enc.boundaries[1][1][row], dtype=np.float32)
+                level2 = chunk_spans(b1, len(spans))      # spans over stage-0 chunks
+                spans = [(spans[a][0], spans[b - 1][1])
+                         for a, b in level2 if b <= len(spans)]
             for j, (a, b) in enumerate(spans):
                 if j >= z.shape[0]:
                     break
-                lab = majority_label(labels[a:b])
+                lab = majority_label(frame_y[a:b])
                 if lab is not None:
-                    X.append(z[j])
-                    y.append(lab)
+                    vectors.append(z[j])
+                    labels.append(lab)
     logger.info("probe data: level=%s tier=%s stage=%d -> %d labeled samples",
-                level, tier, stage, len(X))
-    return X, y
+                level, tier, stage, len(vectors))
+    return vectors, labels
 
 
 def subsample(X: Sequence, y: Sequence, cap: int, seed: int = 1):
+    """Seeded uniform subsample to at most ``cap`` (pairing preserved)."""
     if len(X) <= cap:
         return list(X), list(y)
-    idx = list(range(len(X)))
-    random.Random(seed).shuffle(idx)
-    idx = sorted(idx[:cap])
-    return [X[i] for i in idx], [y[i] for i in idx]
+    keep = list(range(len(X)))
+    random.Random(seed).shuffle(keep)
+    keep = sorted(keep[:cap])
+    return [X[i] for i in keep], [y[i] for i in keep]
 
 
 def top_k_filter(X: Sequence, y: Sequence, k: int):
-    """Restrict to the top-k most frequent labels; (X, y, kept fraction).
-    Call on the probe TRAINING side only."""
-    counts = Counter(y)
-    keep = {lab for lab, _ in counts.most_common(k)}
-    pairs = [(x, lab) for x, lab in zip(X, y) if lab in keep]
-    coverage = len(pairs) / max(1, len(y))
-    return [p[0] for p in pairs], [p[1] for p in pairs], coverage
+    """Keep only the k most frequent labels; returns (X, y, kept fraction).
+    Call on the TRAINING side only — the keep-set must come from train
+    frequencies (the test side follows via the unseen-class drop)."""
+    frequent = {label for label, _ in Counter(y).most_common(k)}
+    rows = [i for i, label in enumerate(y) if label in frequent]
+    return ([X[i] for i in rows], [y[i] for i in rows],
+            len(rows) / max(1, len(y)))
 
 
 def _lbfgs_fit(X_train, y_train, X_test, *, max_iter: int, C: float):
-    """scipy L-BFGS-B on sklearn's exact multinomial objective (fp64, W init 0,
-    bias unpenalized, gtol 1e-4). Returns (predicted labels, n_iter)."""
+    """scipy L-BFGS-B on sklearn's exact multinomial objective."""
     from scipy.optimize import minimize
 
     classes = sorted(set(y_train))
-    idx = {c: i for i, c in enumerate(classes)}
-    Xt = np.asarray(X_train, dtype=np.float64)
-    yt = np.asarray([idx[c] for c in y_train])
-    n, d = Xt.shape
+    index = {c: i for i, c in enumerate(classes)}
+    X = np.asarray(X_train, dtype=np.float64)
+    y = np.asarray([index[c] for c in y_train])
+    n, d = X.shape
     k = len(classes)
-    onehot = np.zeros((n, k))
-    onehot[np.arange(n), yt] = 1.0
+    Y = np.zeros((n, k))
+    Y[np.arange(n), y] = 1.0
 
-    def objective(theta):
+    def value_and_grad(theta):
         W = theta[:d * k].reshape(d, k)
-        b = theta[d * k:]
-        logits = Xt @ W + b
-        logits -= logits.max(axis=1, keepdims=True)
-        logZ = np.log(np.exp(logits).sum(axis=1))
-        ce = (logZ - logits[np.arange(n), yt]).sum()
-        loss = 0.5 * (W ** 2).sum() + C * ce
-        probs = np.exp(logits - logZ[:, None])
-        grad_logits = C * (probs - onehot)
-        gW = Xt.T @ grad_logits + W
-        gb = grad_logits.sum(axis=0)
-        return loss, np.concatenate([gW.ravel(), gb])
+        bias = theta[d * k:]
+        z = X @ W + bias
+        z -= z.max(axis=1, keepdims=True)
+        logZ = np.log(np.exp(z).sum(axis=1))
+        nll = (logZ - z[np.arange(n), y]).sum()
+        probs = np.exp(z - logZ[:, None])
+        g_logits = C * (probs - Y)
+        return (0.5 * (W ** 2).sum() + C * nll,
+                np.concatenate([(X.T @ g_logits + W).ravel(),
+                                g_logits.sum(axis=0)]))
 
-    theta0 = np.zeros(d * k + k)
-    res = minimize(objective, theta0, jac=True, method="L-BFGS-B",
+    sol = minimize(value_and_grad, np.zeros(d * k + k), jac=True,
+                   method="L-BFGS-B",
                    options={"maxiter": int(max_iter), "gtol": 1e-4})
-    W = res.x[:d * k].reshape(d, k)
-    b = res.x[d * k:]
-    pred_idx = (np.asarray(X_test, dtype=np.float64) @ W + b).argmax(axis=1)
-    return np.asarray([classes[i] for i in pred_idx]), int(res.nit)
+    W = sol.x[:d * k].reshape(d, k)
+    bias = sol.x[d * k:]
+    scores = np.asarray(X_test, dtype=np.float64) @ W + bias
+    return np.asarray([classes[i] for i in scores.argmax(axis=1)]), int(sol.nit)
+
+
+_BACKEND_ALIASES = {"jax": "lbfgs", "torch": "lbfgs", "scipy": "lbfgs"}
 
 
 def train_probe(X_train, y_train, X_test, y_test, *, max_iter: int = 200,
                 C: float = 1.0, seed: int = 1, backend: str = "sklearn") -> dict:
-    """Fit + score a probe; accuracy and balanced accuracy vs majority/chance.
+    """Fit + score a probe vs majority/chance baselines.
 
-    Test items of classes never seen in training are dropped and counted in
-    ``n_test_dropped_unseen`` — report it beside accuracy (on skewed labels the
-    headline can otherwise describe under half the frames)."""
+    Test items whose class never appears in training are dropped and counted
+    in ``n_test_dropped_unseen`` — report it beside accuracy (on skewed labels
+    the headline could otherwise describe under half the frames)."""
     from sklearn.metrics import balanced_accuracy_score
 
-    backend = {"jax": "lbfgs", "torch": "lbfgs", "scipy": "lbfgs"}.get(backend,
-                                                                       backend)
+    backend = _BACKEND_ALIASES.get(backend, backend)
     if backend not in ("sklearn", "lbfgs"):
         raise ValueError(f"backend must be 'sklearn' or 'lbfgs', got {backend!r}")
-    train_classes = set(y_train)
-    if len(train_classes) < 2:
-        raise ValueError(f"probe needs >= 2 training classes, got {len(train_classes)}")
-    kept = [i for i, lab in enumerate(y_test) if lab in train_classes]
-    dropped_test = len(y_test) - len(kept)
-    X_test = [X_test[i] for i in kept]
-    y_test = [y_test[i] for i in kept]
+    seen_classes = set(y_train)
+    if len(seen_classes) < 2:
+        raise ValueError(f"probe needs >= 2 training classes, got {len(seen_classes)}")
+    keep = [i for i, label in enumerate(y_test) if label in seen_classes]
+    dropped = len(y_test) - len(keep)
+    X_test = [X_test[i] for i in keep]
+    y_test = [y_test[i] for i in keep]
     if not y_train or not y_test:
         raise ValueError("empty probe train or test set")
-    if backend == "lbfgs" and len(train_classes) == 2:
-        # sklearn parameterizes 2 classes as a binary sigmoid — a different
-        # regularized optimum than a 2-column softmax. Binary fits are cheap:
-        # stay on the reference (production probes have >= 7 classes).
+    if backend == "lbfgs" and len(seen_classes) == 2:
+        # sklearn's 2-class model is a BINARY sigmoid (one penalized weight
+        # vector) — a different regularized optimum than a 2-column softmax.
+        # Binary fits are cheap; stay on the reference backend.
         backend = "sklearn"
     if backend == "sklearn":
         from sklearn.linear_model import LogisticRegression
-        clf = LogisticRegression(max_iter=max_iter, C=C, random_state=seed)
-        clf.fit(np.asarray(X_train), y_train)
-        pred = clf.predict(np.asarray(X_test))
-        n_iter = int(np.max(clf.n_iter_))
+        model = LogisticRegression(max_iter=max_iter, C=C, random_state=seed)
+        model.fit(np.asarray(X_train), y_train)
+        predictions = model.predict(np.asarray(X_test))
+        n_iter = int(np.max(model.n_iter_))
     else:
-        pred, n_iter = _lbfgs_fit(X_train, y_train, X_test,
-                                  max_iter=max_iter, C=C)
-    acc = float(np.mean(pred == np.asarray(y_test)))
+        predictions, n_iter = _lbfgs_fit(X_train, y_train, X_test,
+                                         max_iter=max_iter, C=C)
     majority = Counter(y_train).most_common(1)[0][0]
-    return {"accuracy": acc,
-            "balanced_accuracy": float(balanced_accuracy_score(y_test, pred)),
+    return {"accuracy": float(np.mean(predictions == np.asarray(y_test))),
+            "balanced_accuracy": float(balanced_accuracy_score(y_test, predictions)),
             "majority_baseline": sum(l == majority for l in y_test) / len(y_test),
-            "chance": 1.0 / len(train_classes), "n_classes": len(train_classes),
+            "chance": 1.0 / len(seen_classes), "n_classes": len(seen_classes),
             "n_train": len(y_train), "n_test": len(y_test),
-            "n_test_dropped_unseen": dropped_test,
+            "n_test_dropped_unseen": dropped,
             "n_iter": n_iter, "backend": backend}
