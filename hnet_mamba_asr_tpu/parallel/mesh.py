@@ -17,12 +17,19 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_devices: int | None = None, dp_axis: str = "dp") -> Mesh:
-    """1-axis data-parallel mesh over the first n (default: all) devices."""
+def make_mesh(n_devices: int | None = None, dp_axis: str = "dp",
+              tp: int = 1, tp_axis: str = "tp") -> Mesh:
+    """Device mesh: 1-axis data-parallel by default; ``tp > 1`` builds a
+    2-axis (dp, tp) mesh for tensor-sharded parameters (see tp_specs)."""
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
-    return Mesh(np.asarray(devs), (dp_axis,))
+    if tp <= 1:
+        return Mesh(np.asarray(devs), (dp_axis,))
+    if len(devs) % tp:
+        raise ValueError(f"{len(devs)} devices not divisible by tp={tp}")
+    grid = np.asarray(devs).reshape(len(devs) // tp, tp)
+    return Mesh(grid, (dp_axis, tp_axis))
 
 
 def batch_sharding(mesh: Mesh, dp_axis: str = "dp") -> NamedSharding:
@@ -32,6 +39,48 @@ def batch_sharding(mesh: Mesh, dp_axis: str = "dp") -> NamedSharding:
 
 def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+# ── tensor-parallel parameter rules ───────────────────────────────────────────
+# Megatron-style column/row split of the big projections. Mamba-2 is cleanly
+# TP-able because the SSD scan is per-head independent: sharding d_inner over
+# tp splits heads across chips, the depthwise conv is per-channel local, and
+# the only cross-chip reductions are the out_proj row-sum and the gated
+# RMSNorm mean — both inserted automatically by GSPMD from these annotations.
+_TP_COLUMN = ("in_proj", "linear1", "q_proj", "k_proj", "v_proj", "proj_in")
+_TP_ROW = ("out_proj", "linear2", "proj_out")
+
+
+def _tp_spec_for(path_keys: tuple[str, ...], leaf, tp_axis: str):
+    if getattr(leaf, "ndim", 0) != 2:
+        return P()
+    owner = path_keys[-2] if len(path_keys) >= 2 else ""
+    if owner in _TP_COLUMN:
+        return P(None, tp_axis)                  # split output features
+    if owner in _TP_ROW:
+        return P(tp_axis, None)                  # split input features
+    return P()
+
+
+def tp_specs(params, tp_axis: str = "tp"):
+    """PartitionSpec pytree for tensor-parallel parameter placement."""
+    def spec(path, leaf):
+        keys = tuple(getattr(k, "key", getattr(k, "name", str(k)))
+                     for k in path)
+        return _tp_spec_for(keys, leaf, tp_axis)
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def place_params(params, mesh: Mesh, tp_axis: str = "tp"):
+    """Replicate params on a 1-axis mesh; tensor-shard the big projections on
+    a (dp, tp) mesh."""
+    if tp_axis not in mesh.axis_names:
+        return jax.device_put(params, replicate(mesh))
+    specs = tp_specs(params, tp_axis)
+    return jax.tree_util.tree_map(
+        lambda leaf, sp: jax.device_put(leaf, NamedSharding(mesh, sp)),
+        params, specs)
 
 
 def shard_batch(batch: dict, mesh: Mesh, dp_axis: str = "dp",

@@ -34,7 +34,9 @@ import numpy as np
 import optax
 
 from hnet_mamba_asr_tpu.eval.metrics import char_errors, word_errors
-from hnet_mamba_asr_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from hnet_mamba_asr_tpu.parallel.mesh import (
+    make_mesh, place_params, replicate, shard_batch,
+)
 from hnet_mamba_asr_tpu.training import checkpoint as ckpt
 from hnet_mamba_asr_tpu.training.optim import build_optimizer
 from hnet_mamba_asr_tpu.utils.logging_utils import get_logger
@@ -86,11 +88,14 @@ class Trainer:
             g("optim", "adamw"), dict(g("optim_conf", {}) or {}),
             g("scheduler"), dict(g("scheduler_conf", {}) or {}),
             self.params, grad_clip=self.grad_clip)
-        self.opt_state = self.tx.init(self.params)
 
-        rep = replicate(self.mesh)
-        self.params = jax.device_put(self.params, rep)
-        self.opt_state = jax.device_put(self.opt_state, rep)
+        # replicated on a dp mesh; tensor-sharded projections on a (dp, tp)
+        # mesh (parallel/mesh.tp_specs). The optimizer state is created FROM
+        # the placed params, so its moments inherit the param shardings;
+        # scalar leaves (step counts) get replicated explicitly — tx.init
+        # leaves them on one device, which would mix committed device sets.
+        self.params = place_params(self.params, self.mesh)
+        self.opt_state = self._normalize_placement(self.tx.init(self.params))
 
         self.epoch, self.global_step = 0, 0
         self.metric_history: dict[tuple[str, str], dict[int, float]] = {}
@@ -101,6 +106,22 @@ class Trainer:
                     self.mesh.devices.size, jax.process_count(), n_params / 1e6,
                     self.accum_grad, g("optim", "adamw"), g("scheduler"),
                     list(self.dev_loaders))
+
+    def _normalize_placement(self, tree):
+        """Leaves already sharded over this mesh stay; everything else
+        (scalar counts, single-device leftovers) replicates over the mesh."""
+        from jax.sharding import NamedSharding
+
+        rep = replicate(self.mesh)
+
+        def place(leaf):
+            sh = getattr(leaf, "sharding", None)
+            if isinstance(sh, NamedSharding) and sh.mesh.devices.tolist() == \
+                    self.mesh.devices.tolist():
+                return leaf
+            return jax.device_put(leaf, rep)
+
+        return jax.tree_util.tree_map(place, tree)
 
     # ---- compiled steps -------------------------------------------------------
     def _build_steps(self):
@@ -414,11 +435,14 @@ class Trainer:
 
     def load_checkpoint(self, path) -> None:
         state = ckpt.load_checkpoint(path)
-        rep = replicate(self.mesh)
-        self.params = jax.device_put(
-            jax.tree_util.tree_map(jnp.asarray, state["params"]), rep)
-        self.opt_state = jax.device_put(
-            _restore_opt_state(self.opt_state, state["opt_state"]), rep)
+        self.params = place_params(
+            jax.tree_util.tree_map(jnp.asarray, state["params"]), self.mesh)
+        restored = _restore_opt_state(self.opt_state, state["opt_state"])
+        # each moment leaf takes the sharding its freshly-initialized
+        # counterpart already has (params-derived; scalars replicated)
+        self.opt_state = jax.tree_util.tree_map(
+            lambda tmpl, leaf: jax.device_put(leaf, tmpl.sharding),
+            self.opt_state, restored)
         self.global_step = state["global_step"]
         self.metric_history = state.get("metric_history", {})
         self.epoch = state["epoch"] + 1          # saved epoch completed

@@ -107,6 +107,7 @@ def flatten_config(cfg: Mapping[str, Any]) -> dict:
         "log_interval": train.get("log_interval", 50),
         "max_steps": train.get("max_steps"),
         "scan_steps": train.get("scan_steps", 1),
+        "tp": train.get("tp", 1),
         "accum_grad": c.get("accum_grad", 1),
         "valid_interval_epoch": ev.get("valid_interval_epoch", 10),
         "keep_nbest_models": c.get("keep_nbest_models", 5),

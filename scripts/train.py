@@ -55,6 +55,9 @@ def run(args) -> None:
     train_loader, _, dev_loaders = build_dataloaders(cfg, REPO_ROOT, tokenizer,
                                                      seed=seed)
     model = build_model(cfg, tokenizer.vocab_size, cmvn=cmvn)
+    from hnet_mamba_asr_tpu.parallel.mesh import make_mesh
+    flat = flatten_config(cfg)
+    mesh = make_mesh(tp=int(flat.get("tp", 1)))
     is_main = jax.process_index() == 0
     metrics = MetricsLogger(exp_dir, resume=args.resume is not None,
                             is_main=is_main)
@@ -62,10 +65,10 @@ def run(args) -> None:
                               n_devices=jax.device_count(), seed=seed,
                               artifacts={"tokenizer": cfg.get("bpemodel"),
                                          "train_manifest": None})
-    trainer = Trainer(model, train_loader, flatten_config(cfg),
+    trainer = Trainer(model, train_loader, flat,
                       dev_loaders=dev_loaders, tokenizer=tokenizer,
                       metrics=metrics, ckpt_dir=exp_dir / "checkpoints",
-                      seed=seed, provenance=prov)
+                      mesh=mesh, seed=seed, provenance=prov)
     logger.info("training %s -> %s", name, exp_dir)
     trainer.train(resume=args.resume)
     metrics.close()

@@ -249,6 +249,71 @@ def test_build_schedule_variants():
         build_schedule("nope", 1.0, {})
 
 
+def test_tensor_parallel_matches_dp(tmp_path):
+    """A (dp=4, tp=2) mesh with tensor-sharded projections must train to the
+    same parameters as the plain dp mesh (GSPMD inserts the collectives)."""
+    from hnet_mamba_asr_tpu.parallel.mesh import tp_specs
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+    from jax.sharding import PartitionSpec as P
+
+    cfg_model = {
+        "encoder": "dcasr", "head": "ctc",
+        "frontend_conf": {"n_mels": 20},
+        "encoder_conf": {"d_outer": 16, "d_main": 32, "n_enc": 1, "n_main": 1,
+                         "n_dec": 1, "arch_type": "A", "d_state": 8,
+                         "headdim": 8, "ssd_chunk_size": 16,
+                         "hnet": {"compression_N": 1}},
+        "model_conf": {"ctc_weight": 1.0, "aed_weight": 0.0},
+    }
+    model = build_model(cfg_model, 12)
+    params = model.init_params(jax.random.PRNGKey(0))
+    specs = tp_specs(params)
+    flat = jax.tree_util.tree_leaves_with_path(specs)
+    sharded = {jax.tree_util.keystr(p): s for p, s in flat if s != P()}
+    assert sharded, "no tensor-sharded parameters found"
+    assert any("in_proj" in k for k in sharded)
+    assert any("out_proj" in k for k in sharded)
+
+    rng_np = np.random.default_rng(0)
+    batch = {
+        "wave": rng_np.normal(size=(8, 4000)).astype(np.float32) * 0.1,
+        "wave_lens": np.full(8, 4000, np.int32),
+        "tokens": rng_np.integers(4, 12, size=(8, 8)).astype(np.int32),
+        "token_lens": np.full(8, 8, np.int32),
+        "row_mask": np.ones(8, bool),
+        "aug_ref": np.array([0, 0], np.int32),
+        "item_index": np.arange(8, dtype=np.int32),
+    }
+
+    class OneBatch:
+        def __init__(self, b):
+            self.b = b
+
+        def set_epoch(self, e):
+            pass
+
+        def __iter__(self):
+            return iter([dict(self.b)])
+
+        def __len__(self):
+            return 1
+
+    cfg = dict(CFG, max_epoch=1, optim_conf={"lr": 1e-2})
+    tr_dp = Trainer(model, OneBatch(batch), cfg, ckpt_dir=tmp_path / "dp",
+                    mesh=make_mesh())
+    tr_dp.train()
+    tr_tp = Trainer(model, OneBatch(batch), cfg, ckpt_dir=tmp_path / "tp",
+                    mesh=make_mesh(tp=2))
+    tr_tp.train()
+    a = jax.device_get(tr_dp.params)
+    b = jax.device_get(tr_tp.params)
+    for (pa, la), (pb, lb) in zip(jax.tree_util.tree_leaves_with_path(a),
+                                  jax.tree_util.tree_leaves_with_path(b)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(pa))
+
+
 def test_param_labels_router_and_ndim():
     params = {"encoder": {"chunk": {"router": {"W_q": {"kernel": np.zeros((4, 4))},
                                                "W_k": {"kernel": np.zeros((4, 4))}}},
