@@ -94,7 +94,7 @@ class DCASREncoder(nn.Module):
     chunker: str = "dynamic"
     d_state: int = 128
     headdim: int = 64
-    chunk_size: int = 128          # SSD scan chunk, not the H-Net N
+    chunk_size: int = 256          # SSD scan chunk, not the H-Net N
     dtype: Any = jnp.float32
     use_reference_scan: bool = False
 

@@ -57,7 +57,7 @@ class Mamba2(nn.Module):
     expand: int = 2
     headdim: int = 64
     ngroups: int = 1
-    chunk_size: int = 128
+    chunk_size: int = 256
     dtype: Any = jnp.float32
     a_init_range: tuple[float, float] = (1.0, 16.0)
     dt_min: float = 0.001

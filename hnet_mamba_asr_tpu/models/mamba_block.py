@@ -42,7 +42,7 @@ class MambaBlock(nn.Module):
     d_conv: int = 4
     expand: int = 2
     headdim: int = 64
-    chunk_size: int = 128
+    chunk_size: int = 256
     dtype: Any = jnp.float32
     use_reference_scan: bool = False
 
@@ -75,7 +75,7 @@ class MambaStack(nn.Module):
     d_conv: int = 4
     expand: int = 2
     headdim: int = 64
-    chunk_size: int = 128
+    chunk_size: int = 256
     dtype: Any = jnp.float32
     use_reference_scan: bool = False
     remat: bool = True

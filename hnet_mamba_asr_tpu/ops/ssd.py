@@ -71,7 +71,7 @@ def ssd_reference(x: jax.Array, dt: jax.Array, A: jax.Array, B: jax.Array,
 
 @partial(jax.jit, static_argnames=("chunk_size",))
 def ssd_chunked(x: jax.Array, dt: jax.Array, A: jax.Array, B: jax.Array,
-                C: jax.Array, chunk_size: int = 128) -> jax.Array:
+                C: jax.Array, chunk_size: int = 256) -> jax.Array:
     """Chunked SSD: identical outputs to ``ssd_reference`` (fp32-accumulated).
 
     L is padded up to a multiple of ``chunk_size`` internally (dt=0 padding is
@@ -148,7 +148,7 @@ def ssd_chunked(x: jax.Array, dt: jax.Array, A: jax.Array, B: jax.Array,
     return y[:, :L].astype(x.dtype)
 
 
-def ssd(x, dt, A, B, C, chunk_size: int = 128, use_reference: bool = False,
+def ssd(x, dt, A, B, C, chunk_size: int = 256, use_reference: bool = False,
         backend: str = "xla"):
     """Dispatch: 'xla' chunked (default; differentiable), 'pallas' fused
     forward kernel (serving path, no VJP), or the sequential reference."""

@@ -75,7 +75,7 @@ def _ssd_kernel(aux_ref, x_ref, b_ref, c_ref, o_ref, state):
 
 @partial(jax.jit, static_argnames=("chunk_size", "interpret"))
 def ssd_pallas(x: jax.Array, dt: jax.Array, A: jax.Array, B: jax.Array,
-               C: jax.Array, chunk_size: int = 128,
+               C: jax.Array, chunk_size: int = 256,
                interpret: bool = False) -> jax.Array:
     """Fused-forward SSD. Same contract as ops.ssd.ssd_chunked (no VJP).
 
