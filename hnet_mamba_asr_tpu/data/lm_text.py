@@ -86,11 +86,7 @@ def load_token_lengths(corpus_path: str | Path, tokenizer,
         except Exception:
             logger.warning("unreadable token-length cache %s; rebuilding", cache.name)
     t0 = time.time()
-    counts = np.empty(len(offsets), dtype=np.int32)
-    with open(corpus_path, "rb") as f:
-        for i, off in enumerate(offsets):
-            f.seek(int(off))
-            counts[i] = len(tokenizer.encode(f.readline().decode("utf-8").strip()))
+    counts = _count_tokens(corpus_path, tok_path, offsets)
     tmp = cache.with_suffix(f".tmp{os.getpid()}.npz")
     np.savez(tmp, lengths=counts, size=np.int64(stat.st_size),
              mtime_ns=np.int64(stat.st_mtime_ns), tok_size=np.int64(tok_stat.st_size),
@@ -98,6 +94,58 @@ def load_token_lengths(corpus_path: str | Path, tokenizer,
     os.replace(tmp, cache)
     logger.info("token lengths: %d lines in %.0f s -> %s",
                 len(counts), time.time() - t0, cache.name)
+    return counts
+
+
+_POOL_TOKENIZER = None
+
+
+def _pool_init(model_path: str) -> None:
+    global _POOL_TOKENIZER
+    from hnet_mamba_asr_tpu.data.tokenizer import Tokenizer
+    _POOL_TOKENIZER = Tokenizer(model_path)
+
+
+def _pool_count(lines: list[str]) -> list[int]:
+    return [len(_POOL_TOKENIZER.encode(line)) for line in lines]
+
+
+def _count_tokens(corpus_path: Path, tok_path: Path,
+                  offsets: np.ndarray) -> np.ndarray:
+    """Exact per-line token counts; a fork pool parallelizes the encode pass
+    over CPU cores (one pooled pass over a 40M-line corpus, mirroring the
+    reference's approach; falls back to in-process on single-core hosts)."""
+    import multiprocessing as mp
+
+    counts = np.empty(len(offsets), dtype=np.int32)
+    n_procs = min(12, os.cpu_count() or 1)
+    chunk = 20000
+
+    def line_chunks():
+        with open(corpus_path, "rb") as f:
+            buf = []
+            for off in offsets:
+                f.seek(int(off))
+                buf.append(f.readline().decode("utf-8").strip())
+                if len(buf) == chunk:
+                    yield buf
+                    buf = []
+            if buf:
+                yield buf
+
+    if n_procs <= 1 or len(offsets) < chunk:
+        _pool_init(str(tok_path))
+        pos = 0
+        for lines in line_chunks():
+            counts[pos:pos + len(lines)] = _pool_count(lines)
+            pos += len(lines)
+        return counts
+    with mp.get_context("fork").Pool(n_procs, _pool_init,
+                                     (str(tok_path),)) as pool:
+        pos = 0
+        for res in pool.imap(_pool_count, line_chunks()):
+            counts[pos:pos + len(res)] = res
+            pos += len(res)
     return counts
 
 

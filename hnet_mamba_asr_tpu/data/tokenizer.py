@@ -132,9 +132,48 @@ class Tokenizer:
         self.blank_id = self.vocab_size                 # CTC blank, beyond the vocab
         self._piece_to_id = {p: i for i, p in enumerate(self.pieces)}
         self._merge_rank = {m: r for r, m in enumerate(self.merges)}
-        self._segment_word = lru_cache(maxsize=1 << 18)(self._segment_word_uncached)
-        logger.debug("Tokenizer(%s) vocab=%d blank=%d", self.model_path,
-                     self.vocab_size, self.blank_id)
+        self._native = self._build_native_tables()
+        self._word_ids = lru_cache(maxsize=1 << 18)(self._word_ids_uncached)
+        logger.debug("Tokenizer(%s) vocab=%d blank=%d native=%s", self.model_path,
+                     self.vocab_size, self.blank_id, self._native is not None)
+
+    def _build_native_tables(self):
+        """Tables for the C++ greedy-merge hot loop (utils/native.py).
+
+        Symbols live in an EXTENDED id space: vocab pieces keep their ids, and
+        every merge component/result string outside the vocab (truncation can
+        drop them) gets a scratch id, so intermediate merges still fire exactly
+        as in the string-based Python algorithm. Duplicate pairs keep the LAST
+        rank (dict-comprehension semantics of _merge_rank)."""
+        from hnet_mamba_asr_tpu.utils import native
+        if native.lib is None or not hasattr(native.lib, "hmasr_bpe_segment"):
+            return None
+        import numpy as np
+        ext = dict(self._piece_to_id)
+        next_id = self.vocab_size
+
+        def ext_id(s: str) -> int:
+            nonlocal next_id
+            if s not in ext:
+                ext[s] = next_id
+                next_id += 1
+            return ext[s]
+
+        table: dict[tuple[int, int], tuple[int, int]] = {}
+        for rank, (a, b) in enumerate(self.merges):
+            table[(ext_id(a), ext_id(b))] = (rank, ext_id(a + b))
+        mult = next_id + 1
+        items = sorted((a * mult + b, rk, em)
+                       for (a, b), (rk, em) in table.items())
+        return {
+            "keys": np.asarray([k for k, _, _ in items], np.int64),
+            "ranks": np.asarray([r for _, r, _ in items], np.int64),
+            "merged": np.asarray([m for _, _, m in items], np.int64),
+            "mult": mult,
+            "char_ext": {c: ext.get(c, -1)
+                         for c in {ch for p in ext for ch in p} | set(ext)},
+            "ext": ext,
+        }
 
     # ---- training ------------------------------------------------------------
     @classmethod
@@ -214,7 +253,9 @@ class Tokenizer:
         return cls(model_file)
 
     # ---- encode / decode -------------------------------------------------------
-    def _segment_word_uncached(self, word: str) -> tuple[str, ...]:
+    def _segment_word(self, word: str) -> tuple[str, ...]:
+        """Pure-Python greedy merge (the reference algorithm; also the
+        parity oracle for the native path)."""
         syms = list(_word_symbols(word))
         rank = self._merge_rank
         while len(syms) > 1:
@@ -228,13 +269,27 @@ class Tokenizer:
             syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
         return tuple(syms)
 
+    def _word_ids_uncached(self, word: str) -> tuple[int, ...]:
+        if self._native is not None:
+            from hnet_mamba_asr_tpu.utils import native
+            import numpy as np
+            t = self._native
+            char_ext = t["char_ext"]
+            syms = np.asarray([char_ext.get(s, -1) for s in _word_symbols(word)],
+                              np.int64)
+            out = native.bpe_segment(syms, t["keys"], t["ranks"], t["merged"],
+                                     t["mult"])
+            return tuple(int(e) if 0 <= e < self.vocab_size else self.unk_id
+                         for e in out)
+        lookup = self._piece_to_id
+        return tuple(lookup.get(piece, self.unk_id)
+                     for piece in self._segment_word(word))
+
     def encode(self, text: str, bos: bool = False, eos: bool = False) -> list[int]:
         """text -> piece ids in [0, vocab_size); optional bos/eos wrapping."""
         ids: list[int] = []
-        lookup = self._piece_to_id
         for w in _words(text):
-            for piece in self._segment_word(w):
-                ids.append(lookup.get(piece, self.unk_id))
+            ids.extend(self._word_ids(w))
         if bos:
             ids = [self.bos_id] + ids
         if eos:

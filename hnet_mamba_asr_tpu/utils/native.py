@@ -40,6 +40,13 @@ def _try_load(path: Path):
     lib.hmasr_resample_poly.argtypes = [_F64, ctypes.c_int64, _F64,
                                         ctypes.c_int64, ctypes.c_int64,
                                         ctypes.c_int64, _F64, ctypes.c_int64]
+    try:
+        lib.hmasr_bpe_segment.restype = ctypes.c_int64
+        lib.hmasr_bpe_segment.argtypes = [_I64, ctypes.c_int64, _I64, _I64,
+                                          _I64, ctypes.c_int64,
+                                          ctypes.c_int64, _I64]
+    except AttributeError:                      # stale prebuilt .so
+        return None
     return lib
 
 
@@ -97,6 +104,19 @@ def levenshtein_counts(ref, hyp) -> tuple[int, int, int, int]:
                                  hyp.ctypes.data_as(_I64), len(hyp),
                                  out.ctypes.data_as(_I64))
     return int(out[0]), int(out[1]), int(out[2]), int(out[3])
+
+
+def bpe_segment(syms: np.ndarray, keys: np.ndarray, ranks: np.ndarray,
+                merged: np.ndarray, mult: int) -> np.ndarray:
+    """Greedy BPE merge of one word's extended-symbol ids (lib required)."""
+    syms = _as_i64(syms)
+    out = np.empty(len(syms), dtype=np.int64)
+    n = lib.hmasr_bpe_segment(syms.ctypes.data_as(_I64), len(syms),
+                              keys.ctypes.data_as(_I64),
+                              ranks.ctypes.data_as(_I64),
+                              merged.ctypes.data_as(_I64), len(keys),
+                              mult, out.ctypes.data_as(_I64))
+    return out[:n]
 
 
 def resample_poly(x: np.ndarray, kern: np.ndarray, up: int, down: int,

@@ -96,4 +96,41 @@ void hmasr_resample_poly(const double* x, int64_t n, const double* kern,
   }
 }
 
+// Greedy BPE word segmentation: repeatedly merge the lowest-rank adjacent
+// pair. Symbols are ids in an EXTENDED table (vocab pieces + merge-result
+// strings that fell outside the vocab, so intermediate merges still apply —
+// exact parity with the string-based Python algorithm). The pair table is
+// passed as parallel arrays sorted by key = a * mult + b for binary search.
+// Negative symbols (unknown characters) never merge. Returns the output
+// length; `out` must hold n elements.
+int64_t hmasr_bpe_segment(const int64_t* syms_in, int64_t n,
+                          const int64_t* keys, const int64_t* ranks,
+                          const int64_t* merged, int64_t n_pairs,
+                          int64_t mult, int64_t* out) {
+  std::vector<int64_t> s(syms_in, syms_in + n);
+  auto find = [&](int64_t a, int64_t b) -> int64_t {
+    if (a < 0 || b < 0) return -1;
+    const int64_t key = a * mult + b;
+    const int64_t* it = std::lower_bound(keys, keys + n_pairs, key);
+    return (it != keys + n_pairs && *it == key) ? (it - keys) : -1;
+  };
+  while (s.size() > 1) {
+    int64_t best_rank = INT64_MAX;
+    int64_t best_i = -1, best_slot = -1;
+    for (size_t i = 0; i + 1 < s.size(); ++i) {
+      const int64_t slot = find(s[i], s[i + 1]);
+      if (slot >= 0 && ranks[slot] < best_rank) {
+        best_rank = ranks[slot];
+        best_i = static_cast<int64_t>(i);
+        best_slot = slot;
+      }
+    }
+    if (best_i < 0) break;
+    s[best_i] = merged[best_slot];
+    s.erase(s.begin() + best_i + 1);
+  }
+  std::copy(s.begin(), s.end(), out);
+  return static_cast<int64_t>(s.size());
+}
+
 }  // extern "C"

@@ -61,6 +61,29 @@ def test_resample_matches_numpy(rng):
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
 
 
+def test_bpe_native_matches_python(rng, tmp_path):
+    """Native greedy-merge segmentation == the pure-Python string algorithm,
+    fuzzed over random words (incl. unknown characters)."""
+    from hnet_mamba_asr_tpu.data.tokenizer import Tokenizer
+
+    corpus = ["the cat sat on the mat", "a dog ran fast and far",
+              "she sells sea shells", "peter piper picked peppers"] * 6
+    tok = Tokenizer.train(corpus, tmp_path / "bpe", vocab_size=72,
+                          hard_vocab_limit=False)
+    assert tok._native is not None
+    alphabet = "abcdefghijklmnopqrstuvwxyz#!"          # incl. unknown chars
+    for _ in range(300):
+        n = int(rng.integers(1, 14))
+        word = "".join(alphabet[i] for i in rng.integers(0, len(alphabet), n))
+        native_ids = tok._word_ids_uncached(word)
+        py_ids = tuple(tok._piece_to_id.get(p, tok.unk_id)
+                       for p in tok._segment_word(word))
+        assert native_ids == py_ids, word
+    # full-sentence round trip still exact
+    for text in corpus[:4]:
+        assert tok.decode(tok.encode(text)) == text
+
+
 def test_metrics_uses_native_end_to_end():
     from hnet_mamba_asr_tpu.eval.metrics import word_error_rate
 
