@@ -13,9 +13,11 @@ completed n-best, so it can never truncate or over-generate (reference design
 note: src/dcasr/decoders/joint.py:1-16, lm_fusion.py:8-17). Early-stop is sound
 only when length_bonus <= 0 (partials can only fall); with a positive bonus
 the search runs to the cap and survivors are finalized with their own eos
-score. Per-utterance host loop; the AED forward over all live hypotheses is
-one batched device call per step (supplied as a callable so the decode task
-can pad/bucket it for compile reuse).
+score. Two drivers share one per-utterance engine (``_UttBeam``):
+``joint_beam_search_nbest`` walks utterances serially (functional or stateful
+KV-cached steppers), and ``joint_beam_search_nbest_lockstep`` advances every
+utterance's beam in LOCKSTEP so each global step is ONE batched device call
+over B x beam rows — per-utterance results are identical by construction.
 """
 from __future__ import annotations
 
@@ -113,97 +115,203 @@ def joint_beam_search_nbest(memory, memory_lengths, *, aed_next_logprobs,
     """
     lens = np.asarray(memory_lengths)
     B = lens.shape[0]
-    V = vocab_size
-    pre = min(V, pre_beam if pre_beam is not None else max(2 * beam_size, 15))
     use_ctc = ctc_weight > 0.0 and ctc_log_probs is not None
     if use_ctc and blank_id is None:
-        blank_id = V
+        blank_id = vocab_size
     lp_all = np.asarray(ctc_log_probs, dtype=np.float64) if use_ctc else None
     stateful = hasattr(aed_next_logprobs, "start") \
         and hasattr(aed_next_logprobs, "advance")
+    engine_kw = dict(vocab_size=vocab_size, beam_size=beam_size,
+                     ctc_weight=ctc_weight, bos_id=bos_id, eos_id=eos_id,
+                     pad_id=pad_id, max_len_ratio=max_len_ratio,
+                     length_bonus=length_bonus, pre_beam=pre_beam, nbest=nbest,
+                     max_decode_len=max_decode_len)
     results: list[list[Hypothesis]] = []
-
     for b in range(B):
         Tf = int(lens[b])
         scorer = CTCPrefixScorer(lp_all[b, :Tf], blank_id, eos_id) if use_ctc else None
-        beam = [Hypothesis(tokens=[], aed=0.0, ctc=0.0,
-                           ctc_state=scorer.initial_state() if use_ctc else None)]
-        ended: list[Hypothesis] = []
-        max_steps = min(max(1, int(max_len_ratio * Tf)), Tf - 1, max_decode_len)
-        hit_cap = True
-        parents: list[int] = []
-        last_tokens: list[int] = []
-
-        for _step in range(max_steps):
-            if not beam:
-                hit_cap = False
-                break
+        engine = _UttBeam(Tf, scorer, **engine_kw)
+        first = True
+        while engine.state != "done":
             if stateful:
-                raw = (aed_next_logprobs.start(b) if _step == 0
-                       else aed_next_logprobs.advance(parents, last_tokens))
+                raw = (aed_next_logprobs.start(b) if first
+                       else aed_next_logprobs.advance(*engine.request()))
             else:
-                raw = aed_next_logprobs(b, [h.tokens for h in beam])
-            aed_lp = np.asarray(raw, dtype=np.float64)     # [nb, V]
-            aed_lp[:, bos_id] = LOG_ZERO                   # finite: no 0*inf NaN
-            aed_lp[:, pad_id] = LOG_ZERO
-            expansions: list[tuple[float, bool, Hypothesis, int, int]] = []
-            for i, h in enumerate(beam):
-                top = np.argpartition(aed_lp[i], -pre)[-pre:]
-                ids = np.unique(np.concatenate([top, [eos_id]]))
-                ids = ids[(ids != bos_id) & (ids != pad_id)]
-                if use_ctc:
-                    ctc_scores, ctc_states = scorer.score(h.tokens, ids, h.ctc_state)
-                for j, c in enumerate(ids.tolist()):
-                    ends = c == eos_id
-                    toks = h.tokens if ends else h.tokens + [c]
-                    aed_c = h.aed + float(aed_lp[i, c])
-                    ctc_c = float(ctc_scores[j]) if use_ctc else 0.0
-                    total = ((1.0 - ctc_weight) * aed_c + ctc_weight * ctc_c
-                             + length_bonus * len(toks))
-                    expansions.append((total, ends, Hypothesis(
-                        tokens=toks, aed=aed_c, ctc=ctc_c,
-                        ctc_state=(ctc_states[j] if (use_ctc and not ends) else None),
-                        score=total), i, c))
-            expansions.sort(key=lambda e: e[0], reverse=True)
-            beam = []
-            parents, last_tokens = [], []
-            for _total, ends, hyp, parent, tok in expansions[:beam_size]:
-                if ends:
-                    ended.append(hyp)
-                else:
-                    beam.append(hyp)
-                    parents.append(parent)
-                    last_tokens.append(tok)
-            # sound early stop (length_bonus <= 0): partial scores only fall as
-            # they grow, so once the best partial can't beat the nbest-th
-            # completion no future completion can enter the top-nbest.
-            if length_bonus <= 0.0 and beam and len(ended) >= nbest:
-                nth_best = sorted((e.score for e in ended), reverse=True)[nbest - 1]
-                if max(x.score for x in beam) <= nth_best:
-                    hit_cap = False
-                    break
-
-        if hit_cap and beam:
-            # cap reached with survivors (possible when length_bonus > 0 keeps
-            # partials rising): finalize them with their own eos score so they
-            # compete — otherwise a survivor would be silently discarded.
-            aed_lp = np.asarray(
-                aed_next_logprobs.advance(parents, last_tokens) if stateful
-                else aed_next_logprobs(b, [h.tokens for h in beam]),
-                dtype=np.float64)
-            eos_arr = np.asarray([eos_id])
-            for i, h in enumerate(beam):
-                aed_c = h.aed + float(aed_lp[i, eos_id])
-                ctc_c = (float(scorer.score(h.tokens, eos_arr, h.ctc_state)[0][0])
-                         if use_ctc else 0.0)
-                ended.append(Hypothesis(
-                    tokens=h.tokens, aed=aed_c, ctc=ctc_c,
-                    score=((1.0 - ctc_weight) * aed_c + ctc_weight * ctc_c
-                           + length_bonus * len(h.tokens))))
-
-        pool = ended if ended else beam
-        results.append(sorted(pool, key=lambda x: x.score, reverse=True)[:nbest])
+                raw = aed_next_logprobs(b, [h.tokens for h in engine.beam])
+            first = False
+            engine.consume(np.asarray(raw, dtype=np.float64))
+        results.append(engine.result())
     return results
+
+
+class _UttBeam:
+    """One utterance's label-synchronous beam as an explicit state machine.
+
+    ``state`` walks running -> [need_final] -> done; ``consume(aed_lp)`` takes
+    next-token log-probs for the CURRENT beam rows (expansion step, or the
+    final eos-scoring pass when state == need_final) and ``request()`` yields
+    the (parents, tokens) pairs a KV-cached stepper must commit before the
+    next consume. Both the serial and the lockstep drivers run this engine,
+    so batching across utterances cannot change per-utterance results.
+    """
+
+    def __init__(self, Tf: int, scorer, *, vocab_size: int, beam_size: int,
+                 ctc_weight: float, bos_id: int, eos_id: int, pad_id: int,
+                 max_len_ratio: float, length_bonus: float,
+                 pre_beam: int | None, nbest: int, max_decode_len: int):
+        self.scorer = scorer
+        self.use_ctc = scorer is not None
+        self.beam_size = beam_size
+        self.ctc_weight = ctc_weight
+        self.bos_id, self.eos_id, self.pad_id = bos_id, eos_id, pad_id
+        self.length_bonus = length_bonus
+        self.nbest = nbest
+        self.pre = min(vocab_size,
+                       pre_beam if pre_beam is not None else max(2 * beam_size, 15))
+        self.max_steps = min(max(1, int(max_len_ratio * Tf)), Tf - 1,
+                             max_decode_len)
+        self.beam = [Hypothesis(tokens=[], aed=0.0, ctc=0.0,
+                                ctc_state=(scorer.initial_state()
+                                           if self.use_ctc else None))]
+        self.ended: list[Hypothesis] = []
+        self.steps_done = 0
+        self.state = "running"
+        self._parents: list[int] = []
+        self._tokens: list[int] = []
+
+    def request(self) -> tuple[list[int], list[int]]:
+        """(parent rows, committed tokens) the stepper must apply before the
+        next consume — identity for the very first step (handled by start)."""
+        return self._parents, self._tokens
+
+    def consume(self, aed_lp: np.ndarray) -> None:
+        if self.state == "need_final":
+            self._finalize(aed_lp)
+            return
+        aed_lp = aed_lp.copy()
+        aed_lp[:, self.bos_id] = LOG_ZERO          # finite: no 0*inf NaN
+        aed_lp[:, self.pad_id] = LOG_ZERO
+        expansions: list[tuple[float, bool, Hypothesis, int, int]] = []
+        for i, h in enumerate(self.beam):
+            top = np.argpartition(aed_lp[i], -self.pre)[-self.pre:]
+            ids = np.unique(np.concatenate([top, [self.eos_id]]))
+            ids = ids[(ids != self.bos_id) & (ids != self.pad_id)]
+            if self.use_ctc:
+                ctc_scores, ctc_states = self.scorer.score(h.tokens, ids,
+                                                           h.ctc_state)
+            for j, c in enumerate(ids.tolist()):
+                ends = c == self.eos_id
+                toks = h.tokens if ends else h.tokens + [c]
+                aed_c = h.aed + float(aed_lp[i, c])
+                ctc_c = float(ctc_scores[j]) if self.use_ctc else 0.0
+                total = ((1.0 - self.ctc_weight) * aed_c
+                         + self.ctc_weight * ctc_c
+                         + self.length_bonus * len(toks))
+                expansions.append((total, ends, Hypothesis(
+                    tokens=toks, aed=aed_c, ctc=ctc_c,
+                    ctc_state=(ctc_states[j] if (self.use_ctc and not ends)
+                               else None),
+                    score=total), i, c))
+        expansions.sort(key=lambda e: e[0], reverse=True)
+        self.beam = []
+        self._parents, self._tokens = [], []
+        for _total, ends, hyp, parent, tok in expansions[:self.beam_size]:
+            if ends:
+                self.ended.append(hyp)
+            else:
+                self.beam.append(hyp)
+                self._parents.append(parent)
+                self._tokens.append(tok)
+        self.steps_done += 1
+        if not self.beam:
+            self.state = "done"
+            return
+        # sound early stop (length_bonus <= 0): partial scores only fall as
+        # they grow, so once the best partial can't beat the nbest-th
+        # completion no future completion can enter the top-nbest.
+        if (self.length_bonus <= 0.0 and len(self.ended) >= self.nbest):
+            nth_best = sorted((e.score for e in self.ended),
+                              reverse=True)[self.nbest - 1]
+            if max(x.score for x in self.beam) <= nth_best:
+                self.state = "done"
+                return
+        if self.steps_done >= self.max_steps:
+            # cap reached with survivors (possible when length_bonus > 0 keeps
+            # partials rising): they still need their own eos score so they
+            # compete — otherwise a survivor is silently discarded.
+            self.state = "need_final"
+
+    def _finalize(self, aed_lp: np.ndarray) -> None:
+        eos_arr = np.asarray([self.eos_id])
+        for i, h in enumerate(self.beam):
+            aed_c = h.aed + float(aed_lp[i, self.eos_id])
+            ctc_c = (float(self.scorer.score(h.tokens, eos_arr,
+                                             h.ctc_state)[0][0])
+                     if self.use_ctc else 0.0)
+            self.ended.append(Hypothesis(
+                tokens=h.tokens, aed=aed_c, ctc=ctc_c,
+                score=((1.0 - self.ctc_weight) * aed_c
+                       + self.ctc_weight * ctc_c
+                       + self.length_bonus * len(h.tokens))))
+        self.state = "done"
+
+    def result(self) -> list[Hypothesis]:
+        pool = self.ended if self.ended else self.beam
+        return sorted(pool, key=lambda x: x.score, reverse=True)[:self.nbest]
+
+
+def joint_beam_search_nbest_lockstep(memory_lengths, *, batch_stepper,
+                                     ctc_log_probs=None, vocab_size: int,
+                                     beam_size: int = 10, ctc_weight: float = 0.3,
+                                     bos_id: int = 1, eos_id: int = 2,
+                                     pad_id: int = 3, blank_id: int | None = None,
+                                     max_len_ratio: float = 1.0,
+                                     length_bonus: float = 0.0,
+                                     pre_beam: int | None = None, nbest: int = 1,
+                                     max_decode_len: int = 512
+                                     ) -> list[list[Hypothesis]]:
+    """All utterances' beams advance in LOCKSTEP: every global step makes ONE
+    batched device call covering B x beam rows (``batch_stepper`` protocol:
+    ``start() -> [B, 1, V]``, ``advance(parents [B, R], tokens [B, R]) ->
+    [B, R, V]``). Per-utterance results are IDENTICAL to the serial search —
+    both drivers run the same _UttBeam engine (equivalence-tested)."""
+    lens = np.asarray(memory_lengths)
+    B = lens.shape[0]
+    use_ctc = ctc_weight > 0.0 and ctc_log_probs is not None
+    if use_ctc and blank_id is None:
+        blank_id = vocab_size
+    lp_all = np.asarray(ctc_log_probs, dtype=np.float64) if use_ctc else None
+    engines = []
+    for b in range(B):
+        Tf = int(lens[b])
+        scorer = CTCPrefixScorer(lp_all[b, :Tf], blank_id, eos_id) if use_ctc else None
+        engines.append(_UttBeam(
+            Tf, scorer, vocab_size=vocab_size, beam_size=beam_size,
+            ctc_weight=ctc_weight, bos_id=bos_id, eos_id=eos_id, pad_id=pad_id,
+            max_len_ratio=max_len_ratio, length_bonus=length_bonus,
+            pre_beam=pre_beam, nbest=nbest, max_decode_len=max_decode_len))
+
+    R = beam_size
+    lp = np.asarray(batch_stepper.start())           # [B, 1, V]
+    for b, eng in enumerate(engines):
+        eng.consume(lp[b, :1].astype(np.float64))
+    while any(eng.state != "done" for eng in engines):
+        parents = np.zeros((B, R), np.int32)
+        tokens = np.full((B, R), eos_id, np.int32)
+        rows_used = []
+        for b, eng in enumerate(engines):
+            if eng.state == "done":
+                rows_used.append(0)
+                continue
+            p, t = eng.request()
+            parents[b, :len(p)] = p
+            tokens[b, :len(t)] = t
+            rows_used.append(len(p))
+        lp = np.asarray(batch_stepper.advance(parents, tokens))   # [B, R, V]
+        for b, eng in enumerate(engines):
+            if eng.state != "done":
+                eng.consume(lp[b, :rows_used[b]].astype(np.float64))
+    return [eng.result() for eng in engines]
 
 
 def joint_beam_search(memory, memory_lengths, **kw) -> list[list[int]]:

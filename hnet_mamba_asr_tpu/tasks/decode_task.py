@@ -30,7 +30,8 @@ import numpy as np
 
 from hnet_mamba_asr_tpu.decoders.ctc_decode import ctc_prefix_beam_search
 from hnet_mamba_asr_tpu.decoders.joint import (
-    joint_beam_search, joint_beam_search_nbest, lm_rescore,
+    joint_beam_search, joint_beam_search_nbest,
+    joint_beam_search_nbest_lockstep, lm_rescore,
 )
 from hnet_mamba_asr_tpu.decoders.lm_scorer import CausalLMScorer, _bucket
 from hnet_mamba_asr_tpu.models.ctc_head import greedy_decode as ctc_host_greedy
@@ -184,6 +185,88 @@ class CachedAEDStepper:
         return np.asarray(logp)[:n]
 
 
+class BatchedCachedAEDStepper:
+    """KV-cached scorer advancing ALL utterances' beams in one device call.
+
+    Row layout: utterance b owns rows [b*R, (b+1)*R) of a (B*R)-row cache;
+    the memory K/V and padding mask are projected once per utterance and
+    repeated across that utterance's R rows, so ``decode_step``'s parent
+    gathers (which only touch the self-attn rings) can never mix memories.
+    Satisfies joint_beam_search_nbest_lockstep's batch protocol:
+    ``start() -> [n, 1, V]``, ``advance(parents [n, r], tokens [n, r]) ->
+    [n, r, V]`` with LOCAL parent indices (converted to global rows here).
+    Per global step the whole batch costs ONE jitted call — the reference
+    decodes utterance-by-utterance with full-prefix re-runs (reference
+    joint.py:136-141); here B x beam rows share one incremental attention.
+    """
+
+    def __init__(self, aed, params, features, lengths, *, beam_rows: int = 16,
+                 n_utts: int | None = None):
+        self.aed = aed
+        self.params = {"params": params}
+        self.R = _bucket(beam_rows, lo=4)
+        self.B = int(features.shape[0])
+        self.n = int(n_utts) if n_utts is not None else self.B
+        self.cap = aed.max_decode_len + 1
+        self.features = features
+        self.lengths = np.asarray(lengths)
+        rows = self.B * self.R
+        R = self.R
+
+        def start(params, mem, mlen):
+            caches, kpm = aed.apply(params, mem, mlen, self.cap,
+                                    method="decode_start")
+            def expand(cache):                # mem K/V repeat; fresh ring rows
+                out = {}
+                for k, v in cache.items():
+                    if k in ("self_k", "self_v"):
+                        out[k] = jnp.zeros((rows,) + v.shape[1:], v.dtype)
+                    else:
+                        out[k] = jnp.repeat(v, R, axis=0)
+                return out
+            return tuple(expand(c) for c in caches), jnp.repeat(kpm, R, axis=0)
+
+        def step(params, caches, kpm, parents, tokens, pos):
+            return aed.apply(params, caches, kpm, parents, tokens, pos,
+                             method="decode_step")
+
+        self._start = jax.jit(start)
+        self._step = jax.jit(step)
+        self._caches = None
+        self._kpm = None
+        self._pos = 0
+
+    def start(self) -> np.ndarray:
+        """Feed bos on every row; log-probs [n, 1, V] for each utt's step 0."""
+        rows = self.B * self.R
+        self._caches, self._kpm = self._start(
+            self.params, self.features,
+            jnp.asarray(self.lengths, jnp.int32))
+        logp, self._caches = self._step(
+            self.params, self._caches, self._kpm,
+            jnp.arange(rows, dtype=jnp.int32),
+            jnp.full((rows,), self.aed.bos_id, jnp.int32), 0)
+        self._pos = 1
+        return np.asarray(logp).reshape(self.B, self.R, -1)[:self.n, :1]
+
+    def advance(self, parents, tokens) -> np.ndarray:
+        """Commit (local parent row, token) per utt row; log-probs [n, r, V]."""
+        parents = np.asarray(parents, np.int32)
+        tokens = np.asarray(tokens, np.int32)
+        n, r = parents.shape
+        par = np.zeros((self.B, self.R), np.int32)
+        tok = np.full((self.B, self.R), self.aed.eos_id, np.int32)
+        par[:n, :r] = parents
+        tok[:n, :r] = tokens
+        gpar = par + np.arange(self.B, dtype=np.int32)[:, None] * self.R
+        logp, self._caches = self._step(
+            self.params, self._caches, self._kpm,
+            jnp.asarray(gpar.reshape(-1)), jnp.asarray(tok.reshape(-1)),
+            self._pos)
+        self._pos += 1
+        return np.asarray(logp).reshape(self.B, self.R, -1)[:n, :r]
+
+
 class _UttStepper:
     """Bind a CachedAEDStepper to one utterance row of the batch."""
 
@@ -292,8 +375,6 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
         times = [dt / max(n_real, 1)] * n_real           # amortized per utt
     else:                                                # aed / joint beam
         ctc_w = 0.0 if cell["read_out"] == "aed" else float(dc.get("ctc_weight", 0.3))
-        stepper = CachedAEDStepper(model.aed, params["aed"], enc.features,
-                                   lengths, beam_rows=beam_size)
         ctc_logp = None
         if ctc_w > 0.0:
             ctc_logp = np.asarray(model.ctc.apply({"params": params["ctc"]},
@@ -305,21 +386,49 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
                   blank_id=model.ctc.blank_id if model.ctc is not None else None,
                   length_bonus=length_bonus, pre_beam=pre,
                   max_decode_len=model.aed.max_decode_len)
-        for i in range(n_real):
+        if bool(dc.get("batch_beams", True)):
+            # lockstep engine: one batched stepper call per global step covers
+            # every live beam row in the batch (results identical to the
+            # serial path — both run the same _UttBeam engine)
+            stepper = BatchedCachedAEDStepper(
+                model.aed, params["aed"], enc.features, lengths,
+                beam_rows=beam_size, n_utts=n_real)
             t0 = time.perf_counter()
-            lp_i = ctc_logp[i:i + 1, :lengths[i]] if ctc_logp is not None else None
-            utt = _UttStepper(stepper, i)
-            if cell["lm"]:
-                nbest = joint_beam_search_nbest(
-                    None, lengths[i:i + 1], ctc_log_probs=lp_i, nbest=beam_size,
-                    aed_next_logprobs=utt, **kw)[0]
-                hyp = lm_rescore(nbest, use_lm, rescore_weight, ctc_weight=ctc_w,
-                                 length_bonus=rescore_length_bonus)
-            else:
-                hyp = joint_beam_search(None, lengths[i:i + 1], ctc_log_probs=lp_i,
-                                        aed_next_logprobs=utt, **kw)[0]
-            times.append(time.perf_counter() - t0)
-            hyps.append(hyp)
+            nbest_all = joint_beam_search_nbest_lockstep(
+                lengths[:n_real], batch_stepper=stepper,
+                ctc_log_probs=(ctc_logp[:n_real] if ctc_logp is not None
+                               else None),
+                nbest=(beam_size if cell["lm"] else 1), **kw)
+            for nb in nbest_all:
+                if cell["lm"]:
+                    hyps.append(lm_rescore(nb, use_lm, rescore_weight,
+                                           ctc_weight=ctc_w,
+                                           length_bonus=rescore_length_bonus))
+                else:
+                    hyps.append(nb[0].tokens if nb else [])
+            dt = time.perf_counter() - t0
+            times = [dt / max(n_real, 1)] * n_real       # amortized per utt
+        else:                                            # serial fallback
+            stepper = CachedAEDStepper(model.aed, params["aed"], enc.features,
+                                       lengths, beam_rows=beam_size)
+            for i in range(n_real):
+                t0 = time.perf_counter()
+                lp_i = (ctc_logp[i:i + 1, :lengths[i]]
+                        if ctc_logp is not None else None)
+                utt = _UttStepper(stepper, i)
+                if cell["lm"]:
+                    nbest = joint_beam_search_nbest(
+                        None, lengths[i:i + 1], ctc_log_probs=lp_i,
+                        nbest=beam_size, aed_next_logprobs=utt, **kw)[0]
+                    hyp = lm_rescore(nbest, use_lm, rescore_weight,
+                                     ctc_weight=ctc_w,
+                                     length_bonus=rescore_length_bonus)
+                else:
+                    hyp = joint_beam_search(None, lengths[i:i + 1],
+                                            ctc_log_probs=lp_i,
+                                            aed_next_logprobs=utt, **kw)[0]
+                times.append(time.perf_counter() - t0)
+                hyps.append(hyp)
 
     per_utt_enc = enc_s / max(n_real, 1)
     tokens = np.asarray(batch["tokens"])

@@ -236,6 +236,72 @@ def test_cached_stepper_matches_full_recompute(rng):
         assert got == ref, (b, got, ref)
 
 
+def test_lockstep_batched_matches_serial(rng):
+    """joint_beam_search_nbest_lockstep + BatchedCachedAEDStepper must emit
+    per-utterance n-bests IDENTICAL to the serial search with the per-utt
+    cached stepper — with and without the CTC joint term."""
+    from hnet_mamba_asr_tpu.decoders.joint import joint_beam_search_nbest_lockstep
+    from hnet_mamba_asr_tpu.models.aed import AEDHead
+    from hnet_mamba_asr_tpu.tasks.decode_task import (
+        BatchedCachedAEDStepper, CachedAEDStepper, _UttStepper,
+    )
+
+    V, DM, S, B = 12, 16, 9, 3
+    head = AEDHead(vocab_size=V, d_model=DM, n_layers=2, n_heads=2, d_ff=32,
+                   dropout=0.0, max_decode_len=8)
+    mem = jnp.asarray(rng.normal(size=(B, S, DM)).astype(np.float32))
+    mlens = np.asarray([S, S - 3, S - 1])
+    params = head.init(jax.random.PRNGKey(1), mem, jnp.asarray(mlens),
+                       jnp.zeros((B, 3), jnp.int32))["params"]
+    # CTC log-probs over V+1 classes (blank = V), normalized rows
+    raw = rng.normal(size=(B, S, V + 1))
+    ctc_lp = raw - np.log(np.exp(raw).sum(-1, keepdims=True))
+
+    for ctc_w in (0.0, 0.3):
+        kw = dict(vocab_size=V, beam_size=3, ctc_weight=ctc_w, blank_id=V,
+                  nbest=3, max_decode_len=8)
+        serial = []
+        stepper = CachedAEDStepper(head, params, mem, mlens, beam_rows=3)
+        for b in range(B):
+            lp_b = ctc_lp[b:b + 1, :mlens[b]] if ctc_w > 0 else None
+            serial.append(joint_beam_search_nbest(
+                None, mlens[b:b + 1], ctc_log_probs=lp_b,
+                aed_next_logprobs=_UttStepper(stepper, b), **kw)[0])
+        batched = joint_beam_search_nbest_lockstep(
+            mlens, batch_stepper=BatchedCachedAEDStepper(
+                head, params, mem, mlens, beam_rows=3),
+            ctc_log_probs=ctc_lp if ctc_w > 0 else None, **kw)
+        for b in range(B):
+            assert [h.tokens for h in batched[b]] == \
+                   [h.tokens for h in serial[b]], (ctc_w, b)
+            np.testing.assert_allclose([h.score for h in batched[b]],
+                                       [h.score for h in serial[b]],
+                                       rtol=0, atol=1e-6)
+
+
+def test_lockstep_partial_batch_rows(rng):
+    """n_utts < padded B: the stepper slices its returns to the real utts and
+    the padded rows never leak into results."""
+    from hnet_mamba_asr_tpu.decoders.joint import joint_beam_search_nbest_lockstep
+    from hnet_mamba_asr_tpu.models.aed import AEDHead
+    from hnet_mamba_asr_tpu.tasks.decode_task import BatchedCachedAEDStepper
+
+    V, DM, S = 10, 16, 7
+    head = AEDHead(vocab_size=V, d_model=DM, n_layers=1, n_heads=2, d_ff=32,
+                   dropout=0.0, max_decode_len=6)
+    mem = jnp.asarray(rng.normal(size=(4, S, DM)).astype(np.float32))
+    mlens = np.asarray([S, S - 2, S, S])                 # rows 2-3 are padding
+    params = head.init(jax.random.PRNGKey(2), mem, jnp.asarray(mlens),
+                       jnp.zeros((4, 2), jnp.int32))["params"]
+    out = joint_beam_search_nbest_lockstep(
+        mlens[:2], batch_stepper=BatchedCachedAEDStepper(
+            head, params, mem, mlens, beam_rows=3, n_utts=2),
+        ctc_log_probs=None, vocab_size=V, beam_size=3, ctc_weight=0.0,
+        nbest=2, max_decode_len=6)
+    assert len(out) == 2
+    assert all(len(nb) >= 1 for nb in out)
+
+
 def test_lm_rescore_semantics():
     h1 = Hypothesis(tokens=[1, 2], aed=-1.0, ctc=-2.0, score=0.0)
     h2 = Hypothesis(tokens=[3], aed=-1.5, ctc=-1.0, score=0.0)
