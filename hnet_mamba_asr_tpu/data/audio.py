@@ -1,12 +1,12 @@
-"""Host-side audio IO: WAV read/write + polyphase speed perturbation.
+"""Host-side audio IO: WAV + FLAC read, WAV write, polyphase speed perturb.
 
 The reference reads FLAC via soundfile (C lib) and speed-perturbs via
 torchaudio's C++ resampler (reference: src/dcasr/data/librispeech.py:35-42,
 119). Neither is a device op — audio IO belongs on the host feeding the TPU —
-so this module is numpy-only: a dependency-free RIFF/WAVE reader/writer
-(PCM16/24/32 + float32) and a Kaldi-style speed perturbation implemented as
-windowed-sinc polyphase resampling. FLAC support can plug in behind
-``read_audio`` when a decoder is available.
+so this module is dependency-free: a RIFF/WAVE reader/writer (PCM16/24/32 +
+float32), the in-repo FLAC codec (data/flac.py oracle + native C++ fast
+path), and Kaldi-style speed perturbation implemented as windowed-sinc
+polyphase resampling.
 """
 from __future__ import annotations
 
@@ -57,21 +57,29 @@ def write_wav(path: str | Path, wave_f: np.ndarray, sample_rate: int) -> None:
 
 def audio_info(path: str | Path) -> dict:
     """{frames, sample_rate, duration_s} without decoding the payload."""
-    with wave.open(str(path), "rb") as w:
-        frames, sr = w.getnframes(), w.getframerate()
+    p = Path(path)
+    if p.suffix.lower() == ".flac":
+        from hnet_mamba_asr_tpu.data.flac import flac_info
+        si = flac_info(p)
+        frames, sr = si["total_samples"], si["sample_rate"]
+    else:
+        with wave.open(str(p), "rb") as w:
+            frames, sr = w.getnframes(), w.getframerate()
     return {"frames": frames, "sample_rate": sr, "duration_s": frames / sr}
 
 
 def read_audio(path: str | Path) -> tuple[np.ndarray, int]:
-    """Dispatch on extension. WAV native; FLAC raises with guidance (decode to
-    WAV offline — no FLAC decoder is bundled)."""
+    """Dispatch on extension: WAV and FLAC both decode in-repo."""
     p = Path(path)
     suffix = p.suffix.lower()
     if suffix in (".wav", ".wave"):
         return read_wav(p)
+    if suffix == ".flac":
+        from hnet_mamba_asr_tpu.data.flac import read_flac
+        return read_flac(p)
     raise ValueError(
-        f"{path}: unsupported audio container {suffix!r} (WAV supported natively; "
-        "transcode FLAC to WAV in data prep)")
+        f"{path}: unsupported audio container {suffix!r} (WAV and FLAC "
+        "supported natively)")
 
 
 # ── speed perturbation (polyphase windowed-sinc resampling) ───────────────────

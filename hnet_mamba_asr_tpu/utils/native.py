@@ -23,6 +23,8 @@ _SRC = Path(__file__).resolve().parent.parent.parent / "native" / "hmasr_native.
 _PREBUILT = _SRC.parent / "libhmasr_native.so"
 
 _I64 = ctypes.POINTER(ctypes.c_int64)
+_I32 = ctypes.POINTER(ctypes.c_int32)
+_U8 = ctypes.POINTER(ctypes.c_uint8)
 _F64 = ctypes.POINTER(ctypes.c_double)
 
 
@@ -44,6 +46,9 @@ def _try_load(path: Path):
         lib.hmasr_bpe_segment.restype = ctypes.c_int64
         lib.hmasr_bpe_segment.argtypes = [_I64, ctypes.c_int64, _I64, _I64,
                                           _I64, ctypes.c_int64,
+                                          ctypes.c_int64, _I64]
+        lib.hmasr_flac_decode.restype = ctypes.c_int64
+        lib.hmasr_flac_decode.argtypes = [_U8, ctypes.c_int64, _I32,
                                           ctypes.c_int64, _I64]
     except AttributeError:                      # stale prebuilt .so
         return None
@@ -117,6 +122,29 @@ def bpe_segment(syms: np.ndarray, keys: np.ndarray, ranks: np.ndarray,
                               merged.ctypes.data_as(_I64), len(keys),
                               mult, out.ctypes.data_as(_I64))
     return out[:n]
+
+
+def flac_decode(data: bytes) -> tuple[np.ndarray, int, int] | None:
+    """Native FLAC decode -> (samples int32 [n, ch], sample_rate, bps), or
+    None if the stream needs the Python oracle (unsupported layout/capacity
+    unknown) — callers fall back to data/flac.py."""
+    buf = np.frombuffer(data, dtype=np.uint8)
+    info = np.zeros(4, dtype=np.int64)
+    # probe STREAMINFO for capacity; total==0 (unknown) -> Python fallback
+    probe = lib.hmasr_flac_decode(buf.ctypes.data_as(_U8), len(buf),
+                                  None, 0, info.ctypes.data_as(_I64))
+    channels, total = int(info[0]), int(info[3])
+    if total <= 0 or channels not in (1, 2):
+        return None
+    del probe                                   # capacity-0 call: -4 expected
+    out = np.empty(total * channels, dtype=np.int32)
+    n = lib.hmasr_flac_decode(buf.ctypes.data_as(_U8), len(buf),
+                              out.ctypes.data_as(_I32), out.size,
+                              info.ctypes.data_as(_I64))
+    if n < 0:
+        return None
+    return (out[:n * channels].reshape(-1, channels), int(info[1]),
+            int(info[2]))
 
 
 def resample_poly(x: np.ndarray, kern: np.ndarray, up: int, down: int,
