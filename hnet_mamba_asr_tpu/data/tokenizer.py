@@ -61,6 +61,10 @@ def train_bpe(word_freqs: Counter, n_merges_budget: int) -> tuple[list[str], lis
             char_freq[s] += f
     alphabet = [c for c, _ in sorted(char_freq.items(), key=lambda kv: (-kv[1], kv[0]))]
 
+    native_merges = _train_bpe_native(segs, alphabet, n_merges_budget)
+    if native_merges is not None:
+        return alphabet, native_merges
+
     pair_freq: Counter = Counter()
     pair_words: dict[tuple[str, str], set] = {}
     seg_list = list(segs.items())          # [(symbols, freq)]
@@ -109,6 +113,37 @@ def train_bpe(word_freqs: Counter, n_merges_budget: int) -> tuple[list[str], lis
                 pair_freq[(a, b)] += f
                 pair_words.setdefault((a, b), set()).add(widx)
     return alphabet, merges
+
+
+def _train_bpe_native(segs: dict, alphabet: list[str],
+                      n_merges_budget: int) -> list[tuple[str, str]] | None:
+    """C++ fast path for the greedy-merge training loop (LM-corpus scale);
+    returns None when the native library is unavailable. Produces the exact
+    merge sequence of the Python loop above (same tie-break: highest count,
+    then lexicographically largest (a, b) — fuzz-tested equivalence)."""
+    from hnet_mamba_asr_tpu.utils import native
+    if (native.lib is None or not hasattr(native.lib, "hmasr_bpe_train")
+            or not segs or n_merges_budget <= 0):
+        return None                        # Python loop handles these fine
+    import numpy as np
+    char_id = {c: i for i, c in enumerate(alphabet)}
+    flat: list[int] = []
+    offsets = [0]
+    freqs: list[int] = []
+    for syms, f in segs.items():
+        flat.extend(char_id[s] for s in syms)
+        offsets.append(len(flat))
+        freqs.append(f)
+    pairs = native.bpe_train(np.asarray(flat, np.int64),
+                             np.asarray(offsets, np.int64),
+                             np.asarray(freqs, np.int64), alphabet,
+                             n_merges_budget)
+    sym_strs = list(alphabet)
+    merges: list[tuple[str, str]] = []
+    for a, b in pairs.tolist():
+        merges.append((sym_strs[a], sym_strs[b]))
+        sym_strs.append(sym_strs[a] + sym_strs[b])
+    return merges
 
 
 class Tokenizer:

@@ -50,6 +50,10 @@ def _try_load(path: Path):
         lib.hmasr_flac_decode.restype = ctypes.c_int64
         lib.hmasr_flac_decode.argtypes = [_U8, ctypes.c_int64, _I32,
                                           ctypes.c_int64, _I64]
+        lib.hmasr_bpe_train.restype = ctypes.c_int64
+        lib.hmasr_bpe_train.argtypes = [_I64, _I64, _I64, ctypes.c_int64,
+                                        _U8, _I64, ctypes.c_int64,
+                                        ctypes.c_int64, _I64]
     except AttributeError:                      # stale prebuilt .so
         return None
     return lib
@@ -121,6 +125,26 @@ def bpe_segment(syms: np.ndarray, keys: np.ndarray, ranks: np.ndarray,
                               ranks.ctypes.data_as(_I64),
                               merged.ctypes.data_as(_I64), len(keys),
                               mult, out.ctypes.data_as(_I64))
+    return out[:n]
+
+
+def bpe_train(syms_flat: np.ndarray, offsets: np.ndarray, freqs: np.ndarray,
+              alphabet: list[str], budget: int) -> np.ndarray:
+    """Native greedy BPE training -> merge id pairs [n_merges, 2] (ids >=
+    len(alphabet) are earlier merge results, in rank order)."""
+    syms_flat = _as_i64(syms_flat)
+    offsets = _as_i64(offsets)
+    freqs = _as_i64(freqs)
+    enc = [a.encode("utf-8") for a in alphabet]
+    alpha_buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    alpha_off = np.zeros(len(enc) + 1, dtype=np.int64)
+    np.cumsum([len(e) for e in enc], out=alpha_off[1:])
+    out = np.empty((max(budget, 1), 2), dtype=np.int64)
+    n = lib.hmasr_bpe_train(
+        syms_flat.ctypes.data_as(_I64), offsets.ctypes.data_as(_I64),
+        freqs.ctypes.data_as(_I64), len(freqs),
+        alpha_buf.ctypes.data_as(_U8), alpha_off.ctypes.data_as(_I64),
+        len(enc), budget, out.ctypes.data_as(_I64))
     return out[:n]
 
 

@@ -12,6 +12,10 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <queue>
+#include <string>
+#include <unordered_map>
+#include <unordered_set>
 #include <vector>
 
 extern "C" {
@@ -131,6 +135,118 @@ int64_t hmasr_bpe_segment(const int64_t* syms_in, int64_t n,
   }
   std::copy(s.begin(), s.end(), out);
   return static_cast<int64_t>(s.size());
+}
+
+// Greedy BPE TRAINING over pre-segmented words (the reference trains its
+// vocabulary with sentencepiece's C++ trainer — reference scripts/
+// build_tokenizer.py; this is the in-repo equivalent for LM-corpus scale).
+// Inputs: each unique word as a sequence of alphabet ids (syms_flat +
+// offsets), its corpus frequency, and the alphabet strings (UTF-8, for the
+// deterministic tie-break). Repeatedly merges the most frequent adjacent
+// pair — ties broken by the lexicographically LARGEST (a, b) strings, byte
+// order == code-point order under UTF-8 — until `budget` merges or the best
+// pair count drops below 2. Merge k creates symbol id n_alpha + k. Writes
+// (a, b) id pairs to out_pairs[2k], out_pairs[2k+1]; returns merge count.
+// Exact-equivalence with the Python train_bpe is fuzz-tested.
+int64_t hmasr_bpe_train(const int64_t* syms_flat, const int64_t* offsets,
+                        const int64_t* freqs, int64_t n_words,
+                        const uint8_t* alpha_buf, const int64_t* alpha_off,
+                        int64_t n_alpha, int64_t budget, int64_t* out_pairs) {
+  std::vector<std::string> syms;
+  syms.reserve(n_alpha + (size_t)budget);
+  syms.resize(n_alpha);
+  for (int64_t i = 0; i < n_alpha; ++i)
+    syms[i].assign((const char*)alpha_buf + alpha_off[i],
+                   alpha_off[i + 1] - alpha_off[i]);
+  std::vector<std::vector<int32_t>> words(n_words);
+  for (int64_t w = 0; w < n_words; ++w) {
+    words[w].assign(syms_flat + offsets[w], syms_flat + offsets[w + 1]);
+  }
+
+  auto key_of = [](int32_t a, int32_t b) -> uint64_t {
+    return ((uint64_t)(uint32_t)a << 32) | (uint32_t)b;
+  };
+  std::unordered_map<uint64_t, int64_t> cnt;
+  std::unordered_map<uint64_t, std::unordered_set<int32_t>> where;
+  for (int64_t w = 0; w < n_words; ++w) {
+    const auto& s = words[w];
+    for (size_t i = 0; i + 1 < s.size(); ++i) {
+      uint64_t k = key_of(s[i], s[i + 1]);
+      cnt[k] += freqs[w];
+      where[k].insert((int32_t)w);
+    }
+  }
+
+  struct Entry { int64_t count; int32_t a, b; };
+  auto less = [&syms](const Entry& x, const Entry& y) {
+    if (x.count != y.count) return x.count < y.count;
+    int c = syms[x.a].compare(syms[y.a]);
+    if (c != 0) return c < 0;
+    return syms[x.b].compare(syms[y.b]) < 0;
+  };
+  std::priority_queue<Entry, std::vector<Entry>, decltype(less)> heap(less);
+  for (const auto& kv : cnt)
+    heap.push({kv.second, (int32_t)(kv.first >> 32), (int32_t)kv.first});
+
+  int64_t n_merges = 0;
+  std::vector<uint64_t> touched;
+  while (n_merges < budget && !heap.empty()) {
+    Entry top = heap.top();
+    heap.pop();
+    uint64_t bk = key_of(top.a, top.b);
+    auto it = cnt.find(bk);
+    if (it == cnt.end() || it->second != top.count) continue;   // stale
+    if (top.count < 2) break;                  // singleton merges add no value
+    const int32_t A = top.a, B = top.b;
+    const int32_t merged_id = (int32_t)(n_alpha + n_merges);
+    out_pairs[2 * n_merges] = A;
+    out_pairs[2 * n_merges + 1] = B;
+    syms.push_back(syms[A] + syms[B]);
+    ++n_merges;
+
+    touched.clear();
+    auto wit = where.find(bk);
+    if (wit == where.end()) continue;
+    std::vector<int32_t> affected(wit->second.begin(), wit->second.end());
+    for (int32_t w : affected) {
+      auto& s = words[w];
+      const int64_t f = freqs[w];
+      for (size_t i = 0; i + 1 < s.size(); ++i) {   // remove old pair counts
+        uint64_t k = key_of(s[i], s[i + 1]);
+        auto ci = cnt.find(k);
+        if (ci != cnt.end() && (ci->second -= f) <= 0) cnt.erase(ci);
+        auto pw = where.find(k);
+        if (pw != where.end()) pw->second.erase(w);
+        touched.push_back(k);
+      }
+      std::vector<int32_t> out;                      // apply merge in the word
+      out.reserve(s.size());
+      for (size_t i = 0; i < s.size();) {
+        if (i + 1 < s.size() && s[i] == A && s[i + 1] == B) {
+          out.push_back(merged_id);
+          i += 2;
+        } else {
+          out.push_back(s[i]);
+          ++i;
+        }
+      }
+      s.swap(out);
+      for (size_t i = 0; i + 1 < s.size(); ++i) {    // add new pair counts
+        uint64_t k = key_of(s[i], s[i + 1]);
+        cnt[k] += f;
+        where[k].insert(w);
+        touched.push_back(k);
+      }
+    }
+    std::sort(touched.begin(), touched.end());       // push each once, settled
+    touched.erase(std::unique(touched.begin(), touched.end()), touched.end());
+    for (uint64_t k : touched) {
+      auto ci = cnt.find(k);
+      if (ci != cnt.end())
+        heap.push({ci->second, (int32_t)(k >> 32), (int32_t)k});
+    }
+  }
+  return n_merges;
 }
 
 }  // extern "C"

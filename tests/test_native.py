@@ -84,6 +84,49 @@ def test_bpe_native_matches_python(rng, tmp_path):
         assert tok.decode(tok.encode(text)) == text
 
 
+def test_bpe_train_native_matches_python(rng):
+    """Native greedy BPE TRAINING must emit the exact merge sequence of the
+    Python loop (same counts, same (count, a, b) lexicographic tie-break),
+    fuzzed over random corpora and budgets."""
+    from collections import Counter
+
+    from hnet_mamba_asr_tpu.data import tokenizer as tk
+
+    orig = tk._train_bpe_native
+    try:
+        for trial in range(25):
+            n_words = int(rng.integers(2, 60))
+            words = ["".join("abcdefg"[i]
+                             for i in rng.integers(0, 7, rng.integers(1, 9)))
+                     for _ in range(n_words)]
+            wf = Counter()
+            for w in words:
+                wf[w] += int(rng.integers(1, 20))
+            budget = int(rng.integers(1, 40))
+            alpha_n, merges_n = tk.train_bpe(wf, budget)
+            assert tk._train_bpe_native(
+                {}, [], 1) is None                  # empty segs -> Python path
+            tk._train_bpe_native = lambda *a: None  # force pure Python
+            alpha_p, merges_p = tk.train_bpe(wf, budget)
+            tk._train_bpe_native = orig
+            assert alpha_n == alpha_p
+            assert merges_n == merges_p, (trial, merges_n[:5], merges_p[:5])
+    finally:
+        tk._train_bpe_native = orig
+
+
+def test_bpe_train_native_end_to_end(tmp_path):
+    """Tokenizer.train through the native trainer stays round-trip exact."""
+    from hnet_mamba_asr_tpu.data.tokenizer import Tokenizer
+
+    corpus = ["the cat sat on the mat", "a dog ran fast and far",
+              "she sells sea shells by the shore"] * 5
+    tok = Tokenizer.train(corpus, tmp_path / "bpe", vocab_size=64,
+                          hard_vocab_limit=False)
+    for text in corpus[:3]:
+        assert tok.decode(tok.encode(text)) == text
+
+
 def test_metrics_uses_native_end_to_end():
     from hnet_mamba_asr_tpu.eval.metrics import word_error_rate
 
