@@ -323,9 +323,19 @@ class AEDStepper:
 
 
 def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
-                 decode_cfg: Mapping[str, Any], lm=None) -> list[dict]:
-    """One collated batch through one cell -> per-utt {id, ref, hyp, decode_s}."""
+                 decode_cfg: Mapping[str, Any], lm=None, mesh=None) -> list[dict]:
+    """One collated batch through one cell -> per-utt {id, ref, hyp, decode_s}.
+
+    ``mesh``: optional jax.sharding.Mesh — the batch is dp-sharded across it
+    so the encoder forward (the FLOPs-heavy stage) runs SPMD over all chips;
+    with tensor-sharded params (decode.tp > 1) the projections split too.
+    GSPMD propagates shardings through the CTC/AED heads and the beam
+    steppers, so search results are identical to single-device decode
+    (equivalence-tested on a virtual mesh)."""
     dc = dict(decode_cfg or {})
+    if mesh is not None:
+        from hnet_mamba_asr_tpu.parallel.mesh import shard_batch
+        batch = shard_batch(batch, mesh)         # id lists pass through on host
     beam_size = int(dc.get("beam_size", 10))
     pre_beam = dc.get("pre_beam")
     lm_weight = float(dc.get("lm_weight", 0.0)) if cell["lm"] else 0.0
@@ -444,19 +454,22 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
 
 def decode_split(model, params, tokenizer, loader, cell, decode_cfg, *,
                  audio_seconds: Mapping[str, float], out_path: str | Path,
-                 lm=None) -> dict:
+                 lm=None, mesh=None) -> dict:
     """Decode one split through one cell; write per-utt JSONL; return summary."""
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     warm = next(iter(loader), None)                      # untimed warmup compile
     if warm is not None:
         warm.pop("ids", None)
+        if mesh is not None:
+            from hnet_mamba_asr_tpu.parallel.mesh import shard_batch
+            warm = shard_batch(warm, mesh)
         jax.block_until_ready(model.encode(params, warm, train=False).features)
     n, dec_s, aud_s = 0, 0.0, 0.0
     with open(out_path, "w", encoding="utf-8") as w:
         for batch in loader:
             for r in decode_batch(model, params, tokenizer, batch, cell,
-                                  decode_cfg, lm=lm):
+                                  decode_cfg, lm=lm, mesh=mesh):
                 r["audio_s"] = round(audio_seconds.get(r["id"], 0.0), 3)
                 w.write(json.dumps(r) + "\n")
                 n += 1

@@ -58,6 +58,17 @@ def run(args) -> None:
     params, meta = load_model_params(args.checkpoint)
     cells = expand_cells(dc)
     check_heads(model, cells)
+
+    # multi-chip decode: dp-shard batches (+ optional tensor parallelism)
+    mesh = None
+    tp = int(dc.get("tp", 1))
+    if dc.get("mesh") or tp > 1 or dc.get("n_devices"):
+        from hnet_mamba_asr_tpu.parallel.mesh import make_mesh, place_params
+        n_dev = dc.get("n_devices")
+        mesh = make_mesh(int(n_dev) if n_dev else None, tp=tp)
+        params = place_params(params, mesh)
+        logger.info("decode mesh: %s (tp=%d)", dict(zip(mesh.axis_names,
+                                                        mesh.devices.shape)), tp)
     lm = None
     if any(c["lm"] for c in cells):
         lm = load_lm_scorer(dc, REPO_ROOT, tokenizer)
@@ -79,7 +90,7 @@ def run(args) -> None:
             out_path = out_dir / cell["name"] / f"{split}.jsonl"
             summaries.append({"split": split, **decode_split(
                 model, params, tokenizer, loader, cell, dc,
-                audio_seconds=audio_s, out_path=out_path, lm=lm)})
+                audio_seconds=audio_s, out_path=out_path, lm=lm, mesh=mesh)})
 
     summary = {"checkpoint": str(args.checkpoint), "weights_meta": meta,
                "cells": summaries,
