@@ -18,6 +18,7 @@ TEXTS = ["aa bb cc", "bb aa", "cc cc bb", "aa", "bb cc", "cc aa aa bb"]
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):
     from hnet_mamba_asr_tpu.data.audio import write_wav
+    from hnet_mamba_asr_tpu.data.flac import write_flac
     from hnet_mamba_asr_tpu.data.manifests import write_manifest
 
     root = tmp_path_factory.mktemp("e2e")
@@ -26,8 +27,15 @@ def workspace(tmp_path_factory):
     entries = []
     for i, text in enumerate(TEXTS):
         n = int(rng.integers(4000, 9000))
-        write_wav(root / f"u{i}.wav", rng.normal(size=n) * 0.1, 16000)
-        entries.append({"id": f"u{i}", "audio": str(root / f"u{i}.wav"),
+        wave = rng.normal(size=n) * 0.1
+        # alternate containers: the pipeline must consume WAV and FLAC alike
+        if i % 2:
+            path = root / f"u{i}.flac"
+            write_flac(path, wave, 16000)
+        else:
+            path = root / f"u{i}.wav"
+            write_wav(path, wave, 16000)
+        entries.append({"id": f"u{i}", "audio": str(path),
                         "text": text, "frames": n})
     write_manifest(entries[:4], root / "manifests" / "train-960.jsonl")
     write_manifest(entries[4:], root / "manifests" / "dev-clean.jsonl")
