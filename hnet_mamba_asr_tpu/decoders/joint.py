@@ -39,10 +39,14 @@ class CTCPrefixScorer:
     """
 
     def __init__(self, logp, blank_id: int, eos_id: int):
-        self.logp = np.asarray(logp, dtype=np.float64)     # [T, V+1]
+        self.logp = np.ascontiguousarray(logp, dtype=np.float64)   # [T, V+1]
         self.T = self.logp.shape[0]
         self.blank = blank_id
         self.eos = eos_id
+        from hnet_mamba_asr_tpu.utils import native
+        self._native = native if (
+            native.lib is not None
+            and hasattr(native.lib, "hmasr_ctc_prefix_score")) else None
 
     def initial_state(self) -> np.ndarray:
         """Empty prefix: only the all-blank path exists."""
@@ -55,6 +59,12 @@ class CTCPrefixScorer:
         cand = np.asarray(cand_ids, dtype=np.int64)
         T, C = self.T, cand.shape[0]
         out_len = len(prefix)
+        if self._native is not None:
+            # C++ twin of the recursion below (numpy-logaddexp-compatible
+            # arithmetic; identical outputs fuzz-tested in tests/test_native)
+            return self._native.ctc_prefix_score(
+                self.logp, self.blank, self.eos,
+                prefix[-1] if prefix else -1, out_len, r_prev, cand)
         # eos may sit outside the CTC class dim; its column is replaced below
         xs = self.logp[:, np.minimum(cand, self.logp.shape[1] - 1)]   # [T, C]
         r = np.full((T, 2, C), LOG_ZERO)

@@ -54,6 +54,11 @@ def _try_load(path: Path):
         lib.hmasr_bpe_train.argtypes = [_I64, _I64, _I64, ctypes.c_int64,
                                         _U8, _I64, ctypes.c_int64,
                                         ctypes.c_int64, _I64]
+        lib.hmasr_ctc_prefix_score.restype = None
+        lib.hmasr_ctc_prefix_score.argtypes = [
+            _F64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _F64, _I64,
+            ctypes.c_int64, _F64, _F64]
     except AttributeError:                      # stale prebuilt .so
         return None
     return lib
@@ -126,6 +131,24 @@ def bpe_segment(syms: np.ndarray, keys: np.ndarray, ranks: np.ndarray,
                               merged.ctypes.data_as(_I64), len(keys),
                               mult, out.ctypes.data_as(_I64))
     return out[:n]
+
+
+def ctc_prefix_score(logp: np.ndarray, blank: int, eos: int, last: int,
+                     out_len: int, r_prev: np.ndarray, cand: np.ndarray
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Native CTC prefix scoring -> (log_psi [C], r_new [C, T, 2]); arithmetic
+    matches numpy.logaddexp (lib must be loaded)."""
+    T, W = logp.shape
+    cand = _as_i64(cand)
+    C = len(cand)
+    log_psi = np.empty(C, dtype=np.float64)
+    r_new = np.empty((C, T, 2), dtype=np.float64)
+    lib.hmasr_ctc_prefix_score(
+        logp.ctypes.data_as(_F64), T, W, blank, eos, last, out_len,
+        np.ascontiguousarray(r_prev, dtype=np.float64).ctypes.data_as(_F64),
+        cand.ctypes.data_as(_I64), C,
+        log_psi.ctypes.data_as(_F64), r_new.ctypes.data_as(_F64))
+    return log_psi, r_new
 
 
 def bpe_train(syms_flat: np.ndarray, offsets: np.ndarray, freqs: np.ndarray,

@@ -10,6 +10,7 @@
 // Build: make -C native      (g++ -O3 -shared -fPIC)
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <queue>
@@ -135,6 +136,58 @@ int64_t hmasr_bpe_segment(const int64_t* syms_in, int64_t n,
   }
   std::copy(s.begin(), s.end(), out);
   return static_cast<int64_t>(s.size());
+}
+
+// CTC prefix scoring (Graves forward recursion over the blank/label lattice)
+// for C candidate extensions of one prefix — the inner loop of the joint
+// CTC+AED beam (behavioral spec: decoders/joint.py CTCPrefixScorer.score,
+// itself mirroring reference src/dcasr/decoders/joint.py). The T-step
+// recursion is a Python-level loop in the oracle; at decode scale (T ~ 400,
+// C ~ 20 per live hypothesis per step) it dominates joint_beam wall time, so
+// this C++ twin reproduces it with numpy-logaddexp-compatible arithmetic
+// (same max + log1p(exp(-|a-b|)) form, same a == b shortcut).
+//
+// logp: [T, W] row-major log-probs (W = vocab + 1, blank included);
+// r_prev: [T, 2]; cand: [C] ids (clamped to W-1 for lookup; eos scores the
+// prefix itself); out: log_psi [C] and r_new [C, T, 2].
+static inline double lae(double a, double b) {
+  if (a == b) return a + 0.6931471805599453094172321214581766;  // ln 2
+  const double m = a > b ? a : b;
+  const double d = a > b ? b - a : a - b;
+  return m + log1p(exp(d));
+}
+
+void hmasr_ctc_prefix_score(const double* logp, int64_t T, int64_t W,
+                            int64_t blank, int64_t eos, int64_t last,
+                            int64_t out_len, const double* r_prev,
+                            const int64_t* cand, int64_t C,
+                            double* log_psi, double* r_new) {
+  const double LOG_ZERO = -1e10;
+  std::vector<double> r_sum(T);
+  for (int64_t t = 0; t < T; ++t)
+    r_sum[t] = lae(r_prev[t * 2 + 0], r_prev[t * 2 + 1]);
+  const int64_t start = out_len > 1 ? out_len : 1;
+  for (int64_t j = 0; j < C; ++j) {
+    const int64_t c = cand[j] < W - 1 ? cand[j] : W - 1;
+    const bool same = out_len > 0 && cand[j] == last;
+    double* r = r_new + j * T * 2;               // [T, 2] for this candidate
+    for (int64_t t = 0; t < T; ++t) {
+      r[t * 2 + 0] = LOG_ZERO;
+      r[t * 2 + 1] = LOG_ZERO;
+    }
+    if (out_len == 0) r[0] = logp[c];            // label may start at frame 0
+    double psi = r[(start - 1) * 2 + 0];
+    for (int64_t t = start; t < T; ++t) {
+      const double phi_prev =
+          same ? r_prev[(t - 1) * 2 + 1] : r_sum[t - 1];
+      const double x_t = logp[t * W + c];
+      r[t * 2 + 0] = lae(r[(t - 1) * 2 + 0], phi_prev) + x_t;
+      r[t * 2 + 1] = lae(r[(t - 1) * 2 + 0], r[(t - 1) * 2 + 1])
+                     + logp[t * W + blank];
+      psi = lae(psi, phi_prev + x_t);
+    }
+    log_psi[j] = (cand[j] == eos) ? r_sum[T - 1] : psi;
+  }
 }
 
 // Greedy BPE TRAINING over pre-segmented words (the reference trains its

@@ -84,6 +84,38 @@ def test_bpe_native_matches_python(rng, tmp_path):
         assert tok.decode(tok.encode(text)) == text
 
 
+def test_ctc_prefix_score_native_bit_equal(rng):
+    """Native CTC prefix scorer must be bit-equal to the numpy recursion
+    (same logaddexp arithmetic), fuzzed over random lattices and prefixes."""
+    from hnet_mamba_asr_tpu.decoders.joint import CTCPrefixScorer
+
+    def softmax_rows(T, C):
+        x = rng.normal(size=(T, C))
+        e = np.exp(x - x.max(-1, keepdims=True))
+        return np.log(e / e.sum(-1, keepdims=True))
+
+    for trial in range(60):
+        T = int(rng.integers(2, 25))
+        V = int(rng.integers(3, 9))
+        logp = softmax_rows(T, V + 1)
+        nat = CTCPrefixScorer(logp, blank_id=V, eos_id=2)
+        assert nat._native is not None
+        py = CTCPrefixScorer(logp, blank_id=V, eos_id=2)
+        py._native = None
+        st_n, st_p = nat.initial_state(), py.initial_state()
+        prefix: list[int] = []
+        for _step in range(int(rng.integers(1, 6))):
+            cand = np.unique(rng.integers(0, V, rng.integers(1, V + 1)))
+            cand = np.concatenate([cand, [2]])           # always include eos
+            s_n, r_n = nat.score(prefix, cand, st_n)
+            s_p, r_p = py.score(prefix, cand, st_p)
+            np.testing.assert_array_equal(s_n, s_p, err_msg=str(trial))
+            np.testing.assert_array_equal(r_n, r_p, err_msg=str(trial))
+            j = int(rng.integers(0, len(cand) - 1))      # extend by a label
+            prefix = prefix + [int(cand[j])]
+            st_n, st_p = r_n[j], r_p[j]
+
+
 def test_bpe_train_native_matches_python(rng):
     """Native greedy BPE TRAINING must emit the exact merge sequence of the
     Python loop (same counts, same (count, a, b) lexicographic tie-break),
