@@ -396,7 +396,27 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
                   blank_id=model.ctc.blank_id if model.ctc is not None else None,
                   length_bonus=length_bonus, pre_beam=pre,
                   max_decode_len=model.aed.max_decode_len)
-        if bool(dc.get("batch_beams", True)):
+        if ctc_w == 0.0 and bool(dc.get("device_beam", True)):
+            # pure-AED beam: no host state at all, so the whole search runs
+            # on-device (lax.scan + top_k) — ONE jitted call per batch
+            from hnet_mamba_asr_tpu.decoders.device_beam import (
+                aed_beam_search_device,
+            )
+            t0 = time.perf_counter()
+            nbest_all = aed_beam_search_device(
+                model.aed, params["aed"], enc.features, lengths,
+                beam_size=beam_size, nbest=(beam_size if cell["lm"] else 1),
+                length_bonus=length_bonus, pre_beam=pre, n_utts=n_real)
+            for nb in nbest_all:
+                if cell["lm"]:
+                    hyps.append(lm_rescore(nb, use_lm, rescore_weight,
+                                           ctc_weight=0.0,
+                                           length_bonus=rescore_length_bonus))
+                else:
+                    hyps.append(nb[0].tokens if nb else [])
+            dt = time.perf_counter() - t0
+            times = [dt / max(n_real, 1)] * n_real
+        elif bool(dc.get("batch_beams", True)):
             # lockstep engine: one batched stepper call per global step covers
             # every live beam row in the batch (results identical to the
             # serial path — both run the same _UttBeam engine)

@@ -279,6 +279,37 @@ def test_lockstep_batched_matches_serial(rng):
                                        rtol=0, atol=1e-6)
 
 
+def test_device_beam_matches_host(rng):
+    """The fully on-device AED beam (lax.scan + top_k) must produce the same
+    n-best hypotheses as the host-driven search — incl. a positive length
+    bonus (which exercises the cap-survivor finalization path)."""
+    from hnet_mamba_asr_tpu.decoders.device_beam import aed_beam_search_device
+    from hnet_mamba_asr_tpu.models.aed import AEDHead
+    from hnet_mamba_asr_tpu.tasks.decode_task import CachedAEDStepper, _UttStepper
+
+    V, DM, S, B = 12, 16, 9, 4
+    head = AEDHead(vocab_size=V, d_model=DM, n_layers=2, n_heads=2, d_ff=32,
+                   dropout=0.0, max_decode_len=8)
+    mem = jnp.asarray(rng.normal(size=(B, S, DM)).astype(np.float32))
+    mlens = np.asarray([S, S - 3, S - 1, S - 4])
+    params = head.init(jax.random.PRNGKey(1), mem, jnp.asarray(mlens),
+                       jnp.zeros((B, 3), jnp.int32))["params"]
+    for bonus in (0.0, 0.4):
+        dev = aed_beam_search_device(head, params, mem, mlens, beam_size=3,
+                                     nbest=3, length_bonus=bonus)
+        stepper = CachedAEDStepper(head, params, mem, mlens, beam_rows=3)
+        for b in range(B):
+            host = joint_beam_search_nbest(
+                None, mlens[b:b + 1], ctc_log_probs=None, vocab_size=V,
+                beam_size=3, ctc_weight=0.0, nbest=3, max_decode_len=8,
+                length_bonus=bonus,
+                aed_next_logprobs=_UttStepper(stepper, b))[0]
+            assert [h.tokens for h in dev[b]] == [h.tokens for h in host], \
+                (bonus, b)
+            np.testing.assert_allclose([h.score for h in dev[b]],
+                                       [h.score for h in host], atol=1e-4)
+
+
 def test_lockstep_partial_batch_rows(rng):
     """n_utts < padded B: the stepper slices its returns to the real utts and
     the padded rows never leak into results."""
