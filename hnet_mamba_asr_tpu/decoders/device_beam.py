@@ -1,27 +1,33 @@
-"""Fully device-side AED beam search: one jitted call per batch.
+"""Fully device-side label-synchronous beam search: one jitted call per batch.
 
-The host-driven label-synchronous beam (decoders/joint.py) makes one device
-round trip per global step; that is the right engine for the joint cell
-(whose CTC prefix scorer is host state), but the pure-AED beam has no host
-state at all — so here the ENTIRE search lives on the device as a
-``lax.scan`` over KV-cached decode steps with ``lax.top_k`` selection:
+The host-driven beam (decoders/joint.py) makes one device round trip per
+global step. Here the ENTIRE search lives on the device as a ``lax.scan``
+over KV-cached decode steps with ``lax.top_k`` selection — for BOTH the
+pure-AED beam and the joint CTC+AED beam (the Graves prefix-score recursion
+runs as an inner masked scan over frames, carrying each alive row's CTC
+forward state ``r`` as a tensor):
 
   - alive beam: R rows per utterance, scores -inf-padded, so the beam can
     shrink (eos retirements) exactly like the host search's Python list;
   - ended pool: running top-``nbest`` completions per utterance, updated by
     concat + top_k whenever eos expansions win beam slots;
+  - joint scoring: candidates = top-``pre`` AED tokens + an eos slot (masked
+    when eos already won a slot, so candidate sets match the host's
+    ``unique(top-pre ∪ eos)``); each candidate's CTC prefix score comes from
+    the in-scan recursion over the utterance's frames;
   - per-utterance step caps ``min(max(1, ratio*Tf), Tf-1, max_decode_len)``
     and the sound early stop (length_bonus <= 0: best alive <= nbest-th
     completion) as per-utterance active masks;
-  - cap survivors are finalized with their own eos score in the same scan
-    iteration their cap is hit (the host search's need_final pass).
+  - cap survivors are finalized with their own eos score (AED from the next
+    decode step, CTC from their carried forward state) in the iteration
+    their cap is hit — the host search's need_final pass.
 
-Search semantics mirror joint_beam_search_nbest with ctc_weight = 0
-(behavioral spec: reference src/dcasr/decoders/joint.py); the one numeric
-difference is float32 on-device score accumulation vs the host's float64 —
-hypotheses can differ only on score ties inside ~1e-6 (equivalence-fuzzed in
-tests). The win is dispatch: B x beam x steps of search costs ONE device
-call, vs one call per step for the host loop.
+Search semantics mirror joint_beam_search_nbest (behavioral spec: reference
+src/dcasr/decoders/joint.py); the one numeric difference is float32 on-device
+score accumulation vs the host's float64 — hypotheses can differ only on
+score ties inside the float32 noise floor (equivalence-fuzzed in tests). The
+win is dispatch: B x beam x steps of search costs ONE device call, vs one
+call per step for the host loop.
 """
 from __future__ import annotations
 
@@ -32,7 +38,8 @@ import jax.numpy as jnp
 
 from hnet_mamba_asr_tpu.decoders.joint import Hypothesis
 
-NEG_INF = -1.0e9
+NEG_INF = -1.0e9                 # beam/pool padding
+CTC_LOG0 = -1.0e10               # CTC lattice log-zero (host LOG_ZERO)
 _JIT_CACHE: dict = {}
 
 
@@ -43,19 +50,70 @@ def _pow2_bucket(n: int, lo: int = 8) -> int:
     return b
 
 
-def _beam_scan(aed, params, memory, memory_lengths, max_steps, *,
+def _ctc_prefix_batch(ctc_logp, r_prev, cand, last_tok, t, blank):
+    """In-scan CTC prefix scoring for every (row, candidate) at beam step t.
+
+    ctc_logp [B, T, W] (frames past each utterance's length are padded to
+    blank=0 / labels=CTC_LOG0, which freezes the recursion); r_prev
+    [B, R, T, 2] per-row forward state; cand [B, R, C]. Returns
+    (psi [B, R, C] absolute prefix scores, r_new [B, R, C, T, 2]).
+    Mirrors CTCPrefixScorer.score (decoders/joint.py) with out_len = t."""
+    B, T, W = ctc_logp.shape
+    R, C = cand.shape[1], cand.shape[2]
+    idx = jnp.broadcast_to(cand.reshape(B, 1, R * C), (B, T, R * C))
+    xs = jnp.take_along_axis(ctc_logp, jnp.minimum(idx, W - 1), 2)
+    xs = xs.reshape(B, T, R, C).transpose(0, 2, 3, 1)          # [B, R, C, T]
+    r_sum = jnp.logaddexp(r_prev[..., 0], r_prev[..., 1])      # [B, R, T]
+    same = (cand == last_tok[..., None]) & (t > 0)             # [B, R, C]
+    phi = jnp.where(same[..., None], r_prev[:, :, None, :, 1],
+                    r_sum[:, :, None, :])                      # [B, R, C, T]
+    blank_lp = ctc_logp[:, :, blank]                           # [B, T]
+
+    start = jnp.maximum(t, 1)
+    r0_0 = jnp.where(t == 0, xs[..., 0], CTC_LOG0)             # [B, R, C]
+    r1_0 = jnp.full_like(r0_0, CTC_LOG0)
+    psi_0 = r0_0
+
+    xs_t = jnp.moveaxis(xs, -1, 0)                             # [T, B, R, C]
+    phi_t = jnp.moveaxis(phi, -1, 0)
+    blank_t = jnp.moveaxis(blank_lp, -1, 0)                    # [T, B]
+
+    def step(carry, inp):
+        r0p, r1p, psi = carry
+        tt, x_t, phi_prev, b_t = inp
+        act = tt >= start
+        r0t = jnp.where(act, jnp.logaddexp(r0p, phi_prev) + x_t, CTC_LOG0)
+        r1t = jnp.where(act, jnp.logaddexp(r0p, r1p)
+                        + b_t[:, None, None], CTC_LOG0)
+        psi = jnp.where(act, jnp.logaddexp(psi, phi_prev + x_t), psi)
+        return (r0t, r1t, psi), (r0t, r1t)
+
+    (_, _, psi), (r0s, r1s) = jax.lax.scan(
+        step, (r0_0, r1_0, psi_0),
+        (jnp.arange(1, T), xs_t[1:], phi_t[:-1], blank_t[1:]))
+    r0 = jnp.concatenate([r0_0[None], r0s], 0)                 # [T, B, R, C]
+    r1 = jnp.concatenate([r1_0[None], r1s], 0)
+    r_new = jnp.stack([r0, r1], -1).transpose(1, 2, 3, 0, 4)   # [B,R,C,T,2]
+    psi = jnp.where(cand == -1, CTC_LOG0, psi)                 # unused slots
+    eos_psi = r_sum[:, :, -1]                                  # prefix itself
+    return psi, r_new, eos_psi
+
+
+def _beam_scan(aed, params, memory, memory_lengths, max_steps, ctc_logp, *,
                beam_size: int, nbest: int, length_bonus: float, pre: int,
-               N_ITERS: int):
-    """Jittable core. memory [B, S, d]; max_steps [B] int32 (per-utt cap).
-    Returns pool (scores/aed/len/tokens), alive (ditto) after the scan.
-    N_ITERS (static, bucketed) bounds the scan; iterations past every
-    utterance's cap are inert (all active flags false)."""
+               N_ITERS: int, ctc_weight: float, blank: int):
+    """Jittable core. memory [B, S, d]; max_steps [B] int32 (per-utt cap);
+    ctc_logp [B, T, W] or None (pure AED). Returns pool + alive state after
+    the scan. N_ITERS (static, bucketed) bounds the scan; iterations past
+    every utterance's cap are inert."""
     B = memory.shape[0]
     R = beam_size
     P = nbest
     V = aed.vocab_size
     cap = aed.max_decode_len + 1
     rows = B * R
+    use_ctc = ctc_logp is not None
+    w = float(ctc_weight) if use_ctc else 0.0
 
     def apply(method, *a):
         return aed.apply(params, *a, method=method)
@@ -83,45 +141,84 @@ def _beam_scan(aed, params, memory, memory_lengths, max_steps, *,
         alive_tok=jnp.zeros((B, R, cap), jnp.int32),
         pool_score=jnp.full((B, P), NEG_INF, jnp.float32),
         pool_aed=jnp.zeros((B, P), jnp.float32),
+        pool_ctc=jnp.zeros((B, P), jnp.float32),
         pool_len=jnp.zeros((B, P), jnp.int32),
         pool_tok=jnp.zeros((B, P, cap), jnp.int32),
         pool_n=jnp.zeros((B,), jnp.int32),
         active=jnp.ones((B,), bool),
     )
+    if use_ctc:
+        T = ctc_logp.shape[1]
+        r_init = jnp.stack(
+            [jnp.full((B, T), CTC_LOG0),
+             jnp.cumsum(ctc_logp[:, :, blank], axis=1)], -1)   # [B, T, 2]
+        state["r_state"] = jnp.broadcast_to(r_init[:, None], (B, R, T, 2)
+                                            ).astype(jnp.float32)
+        state["alive_ctc"] = jnp.zeros((B, R), jnp.float32)
+        state["last_tok"] = jnp.full((B, R), -1, jnp.int32)
 
     eos = aed.eos_id
 
     def body(state, t):
         lp = state["logp"]                                   # [B, R, V]
-        # pre-beam pruning per row (eos always kept), as in the host search
-        if pre < V:
-            thresh = jax.lax.top_k(lp, pre)[0][..., -1:]
-            keep = (lp >= thresh) | (jnp.arange(V) == eos)[None, None, :]
-            lp = jnp.where(keep, lp, NEG_INF)
         dead = state["alive_score"] <= NEG_INF / 2           # [B, R]
-        new_aed = state["alive_aed"][..., None] + lp          # [B, R, V]
-        is_eos_col = (jnp.arange(V) == eos)[None, None, :]
-        new_len = t + jnp.where(is_eos_col, 0, 1)            # eos keeps length
-        total = new_aed + length_bonus * new_len
-        total = jnp.where(dead[..., None], NEG_INF, total)
-        flat = total.reshape(B, R * V)
+
+        if use_ctc:
+            # candidates: top-pre AED tokens + an eos slot (masked when dup)
+            lp_top, cand = jax.lax.top_k(lp, pre)            # [B, R, pre]
+            has_eos = (cand == eos).any(-1)
+            cand = jnp.concatenate(
+                [cand, jnp.full((B, R, 1), eos, cand.dtype)], -1)
+            lp_c = jnp.concatenate([lp_top, lp[:, :, eos][..., None]], -1)
+            C = pre + 1
+            dup = has_eos[..., None] & (jnp.arange(C) == pre)
+            psi, r_new, eos_psi = _ctc_prefix_batch(
+                ctc_logp, state["r_state"], cand, state["last_tok"], t, blank)
+            psi = jnp.where(cand == eos, eos_psi[..., None], psi)
+            new_aed = state["alive_aed"][..., None] + lp_c
+            new_len = t + jnp.where(cand == eos, 0, 1)
+            total = (1.0 - w) * new_aed + w * psi + length_bonus * new_len
+            total = jnp.where(dup | dead[..., None], NEG_INF, total)
+            flat_tok = cand.reshape(B, R * C)
+            sel_space = R * C
+        else:
+            # candidate space = the full vocabulary (pre-beam only prunes)
+            if pre < V:
+                thresh = jax.lax.top_k(lp, pre)[0][..., -1:]
+                keep = (lp >= thresh) | (jnp.arange(V) == eos)[None, None, :]
+                lp = jnp.where(keep, lp, NEG_INF)
+            new_aed = state["alive_aed"][..., None] + lp
+            is_eos_col = (jnp.arange(V) == eos)[None, None, :]
+            new_len = t + jnp.where(is_eos_col, 0, 1)
+            total = new_aed + length_bonus * new_len
+            total = jnp.where(dead[..., None], NEG_INF, total)
+            flat_tok = None
+            sel_space = R * V
+
+        flat = total.reshape(B, sel_space)
         top_val, top_idx = jax.lax.top_k(flat, R)            # [B, R]
-        parent = (top_idx // V).astype(jnp.int32)
-        tok = (top_idx % V).astype(jnp.int32)
-        sel_aed = jnp.take_along_axis(new_aed.reshape(B, R * V), top_idx, 1)
+        parent = (top_idx // (sel_space // R)).astype(jnp.int32)
+        if use_ctc:
+            tok = jnp.take_along_axis(flat_tok, top_idx, 1).astype(jnp.int32)
+            sel_ctc = jnp.take_along_axis(psi.reshape(B, sel_space), top_idx, 1)
+        else:
+            tok = (top_idx % V).astype(jnp.int32)
+            sel_ctc = jnp.zeros((B, R), jnp.float32)
+        sel_aed = jnp.take_along_axis(new_aed.reshape(B, sel_space), top_idx, 1)
         is_end = (tok == eos) | (top_val <= NEG_INF / 2)
 
         # retire eos winners into the pool (concat + re-top_k keeps top-P)
         end_score = jnp.where(tok == eos, top_val, NEG_INF)
         gat = jnp.take_along_axis(state["alive_tok"], parent[..., None], 1)
-        cand_tok = gat                                        # eos not stored
         ps = jnp.concatenate([state["pool_score"], end_score], 1)
         pa = jnp.concatenate([state["pool_aed"], sel_aed], 1)
+        pc = jnp.concatenate([state["pool_ctc"], sel_ctc], 1)
         pl = jnp.concatenate([state["pool_len"],
                               jnp.broadcast_to(t, (B, R)).astype(jnp.int32)], 1)
-        pt = jnp.concatenate([state["pool_tok"], cand_tok], 1)
+        pt = jnp.concatenate([state["pool_tok"], gat], 1)
         pool_val, pool_idx = jax.lax.top_k(ps, P)
         pool_aed = jnp.take_along_axis(pa, pool_idx, 1)
+        pool_ctc = jnp.take_along_axis(pc, pool_idx, 1)
         pool_len = jnp.take_along_axis(pl, pool_idx, 1)
         pool_tok = jnp.take_along_axis(pt, pool_idx[..., None], 1)
         pool_n = state["pool_n"] + (end_score > NEG_INF / 2).sum(1)
@@ -129,6 +226,7 @@ def _beam_scan(aed, params, memory, memory_lengths, max_steps, *,
         # surviving beam rows: non-eos winners; others become dead slots
         alive_score = jnp.where(is_end, NEG_INF, top_val)
         alive_aed = jnp.where(is_end, 0.0, sel_aed)
+        alive_ctc = jnp.where(is_end, 0.0, sel_ctc)
         alive_tok = gat.at[:, :, t].set(jnp.where(is_end, 0, tok))
 
         # termination per utt (host semantics, in order):
@@ -146,17 +244,29 @@ def _beam_scan(aed, params, memory, memory_lengths, max_steps, *,
                               gpar.reshape(-1), commit_tok.reshape(-1), t + 1)
         logp2 = logp2.reshape(B, R, V)
 
-        # cap finalization: survivors score their own eos from logp2
+        if use_ctc:
+            r_sel = jnp.take_along_axis(
+                r_new.reshape(B, sel_space, *r_new.shape[3:]),
+                top_idx[..., None, None], 1)                  # [B, R, T, 2]
+            fin_ctc = jnp.logaddexp(r_sel[:, :, -1, 0], r_sel[:, :, -1, 1])
+        else:
+            fin_ctc = jnp.zeros((B, R), jnp.float32)
+
+        # cap finalization: survivors score their own eos from logp2 (+ the
+        # CTC full-sequence probability from their carried forward state)
+        fin_aed = alive_aed + logp2[:, :, eos]
+        fin_total = ((1.0 - w) * fin_aed + w * fin_ctc
+                     + length_bonus * (t + 1))
         fin_score = jnp.where(
-            (alive_score > NEG_INF / 2) & hit_cap[:, None],
-            alive_aed + logp2[:, :, eos] + length_bonus * (t + 1), NEG_INF)
+            (alive_score > NEG_INF / 2) & hit_cap[:, None], fin_total, NEG_INF)
         ps = jnp.concatenate([pool_val, fin_score], 1)
-        pa = jnp.concatenate([pool_aed, alive_aed + logp2[:, :, eos]], 1)
-        pl = jnp.concatenate([pool_len,
-                              jnp.full((B, R), t + 1, jnp.int32)], 1)
+        pa = jnp.concatenate([pool_aed, fin_aed], 1)
+        pc = jnp.concatenate([pool_ctc, fin_ctc], 1)
+        pl = jnp.concatenate([pool_len, jnp.full((B, R), t + 1, jnp.int32)], 1)
         pt = jnp.concatenate([pool_tok, alive_tok], 1)
         pool_val2, pool_idx2 = jax.lax.top_k(ps, P)
         pool_aed2 = jnp.take_along_axis(pa, pool_idx2, 1)
+        pool_ctc2 = jnp.take_along_axis(pc, pool_idx2, 1)
         pool_len2 = jnp.take_along_axis(pl, pool_idx2, 1)
         pool_tok2 = jnp.take_along_axis(pt, pool_idx2[..., None], 1)
         pool_n2 = pool_n + jnp.where(
@@ -178,6 +288,8 @@ def _beam_scan(aed, params, memory, memory_lengths, max_steps, *,
                            state["pool_score"]),
             pool_aed=upd(jnp.where(use_fin, pool_aed2, pool_aed),
                          state["pool_aed"]),
+            pool_ctc=upd(jnp.where(use_fin, pool_ctc2, pool_ctc),
+                         state["pool_ctc"]),
             pool_len=upd(jnp.where(use_fin, pool_len2, pool_len),
                          state["pool_len"]),
             pool_tok=upd(jnp.where(use_fin[..., None], pool_tok2, pool_tok),
@@ -185,25 +297,35 @@ def _beam_scan(aed, params, memory, memory_lengths, max_steps, *,
             pool_n=upd(jnp.where(hit_cap, pool_n2, pool_n), state["pool_n"]),
             active=act & ~(beam_empty | early | hit_cap),
         )
+        if use_ctc:
+            new_state["r_state"] = upd(r_sel, state["r_state"])
+            new_state["alive_ctc"] = upd(alive_ctc, state["alive_ctc"])
+            new_state["last_tok"] = upd(jnp.where(is_end, -1, tok),
+                                        state["last_tok"])
         return new_state, ()
 
     state, _ = jax.lax.scan(body, state, jnp.arange(N_ITERS))
-    return {k: state[k] for k in ("alive_score", "alive_aed", "alive_tok",
-                                  "pool_score", "pool_aed", "pool_len",
-                                  "pool_tok", "pool_n")}
+    keep = ("alive_score", "alive_aed", "alive_tok", "pool_score", "pool_aed",
+            "pool_ctc", "pool_len", "pool_tok", "pool_n")
+    out = {k: state[k] for k in keep}
+    if use_ctc:
+        out["alive_ctc"] = state["alive_ctc"]
+    return out
 
 
-def aed_beam_search_device(aed, params, features, lengths, *,
-                           beam_size: int = 10, nbest: int = 1,
-                           length_bonus: float = 0.0,
-                           max_len_ratio: float = 1.0,
-                           pre_beam: int | None = None,
-                           n_utts: int | None = None
-                           ) -> list[list[Hypothesis]]:
-    """Pure-AED n-best beam, entirely on-device (ONE jitted call per batch).
-
-    Returns per-utterance Hypothesis lists compatible with lm_rescore (the
-    aed_beam / aed_beam_lm cells of the decode matrix)."""
+def beam_search_device(aed, params, features, lengths, *,
+                       beam_size: int = 10, nbest: int = 1,
+                       length_bonus: float = 0.0,
+                       max_len_ratio: float = 1.0,
+                       pre_beam: int | None = None,
+                       n_utts: int | None = None,
+                       ctc_log_probs=None, blank_id: int | None = None,
+                       ctc_weight: float = 0.0
+                       ) -> list[list[Hypothesis]]:
+    """AED or joint CTC+AED n-best beam, entirely on-device (ONE jitted call
+    per batch). ``ctc_log_probs`` [B, T, V+1] + ``ctc_weight`` > 0 enables
+    joint scoring. Returns per-utterance Hypothesis lists compatible with
+    lm_rescore (the aed_beam* / joint_beam* cells of the decode matrix)."""
     lens = np.asarray(lengths)
     B = features.shape[0]
     n = int(n_utts) if n_utts is not None else B
@@ -213,20 +335,34 @@ def aed_beam_search_device(aed, params, features, lengths, *,
         aed.max_decode_len).astype(np.int32)
     pre = min(aed.vocab_size,
               pre_beam if pre_beam else max(2 * beam_size, 15))
+    use_ctc = ctc_weight > 0.0 and ctc_log_probs is not None
     # bucket the static trip count so executables are reused across batches
     worst = int(max_steps[:n].max()) if n else 1
     n_iters = min(_pow2_bucket(worst), int(aed.max_decode_len))
 
-    key = (aed, beam_size, nbest, float(length_bonus), pre, n_iters)
+    ctc_arg = None
+    if use_ctc:
+        lp = np.asarray(ctc_log_probs, dtype=np.float32)
+        T, W = lp.shape[1], lp.shape[2]
+        # freeze the recursion past each utterance's frames: blank prob 1
+        pad = np.full((W,), CTC_LOG0, np.float32)
+        pad[blank_id] = 0.0
+        tmask = np.arange(T)[None, :, None] < lens[:, None, None]
+        ctc_arg = jnp.asarray(np.where(tmask, lp, pad))
+
+    key = (aed, beam_size, nbest, float(length_bonus), pre, n_iters,
+           use_ctc, float(ctc_weight), blank_id)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         import functools
         fn = jax.jit(functools.partial(
             _beam_scan, aed, beam_size=beam_size, nbest=nbest,
-            length_bonus=length_bonus, pre=pre, N_ITERS=n_iters))
+            length_bonus=length_bonus, pre=pre, N_ITERS=n_iters,
+            ctc_weight=float(ctc_weight) if use_ctc else 0.0,
+            blank=int(blank_id) if use_ctc else 0))
         _JIT_CACHE[key] = fn
     out = fn({"params": params}, features, jnp.asarray(lens, jnp.int32),
-             jnp.asarray(max_steps))
+             jnp.asarray(max_steps), ctc_arg)
     out = {k: np.asarray(v) for k, v in out.items()}
 
     results: list[list[Hypothesis]] = []
@@ -237,7 +373,8 @@ def aed_beam_search_device(aed, params, features, lengths, *,
                 L = int(out["pool_len"][b, p])
                 hyps.append(Hypothesis(
                     tokens=out["pool_tok"][b, p, :L].tolist(),
-                    aed=float(out["pool_aed"][b, p]), ctc=0.0,
+                    aed=float(out["pool_aed"][b, p]),
+                    ctc=float(out["pool_ctc"][b, p]),
                     score=float(out["pool_score"][b, p])))
         if not hyps:                                  # pool empty: alive best
             order = np.argsort(-out["alive_score"][b])
@@ -246,8 +383,17 @@ def aed_beam_search_device(aed, params, features, lengths, *,
                     L = int(max_steps[b])
                     hyps.append(Hypothesis(
                         tokens=out["alive_tok"][b, r, :L].tolist(),
-                        aed=float(out["alive_aed"][b, r]), ctc=0.0,
+                        aed=float(out["alive_aed"][b, r]),
+                        ctc=float(out.get("alive_ctc",
+                                          np.zeros_like(out["alive_aed"])
+                                          )[b, r]),
                         score=float(out["alive_score"][b, r])))
         hyps.sort(key=lambda h: h.score, reverse=True)
         results.append(hyps[:nbest])
     return results
+
+
+def aed_beam_search_device(aed, params, features, lengths, **kw
+                           ) -> list[list[Hypothesis]]:
+    """Back-compat alias: pure-AED device beam."""
+    return beam_search_device(aed, params, features, lengths, **kw)

@@ -396,21 +396,23 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
                   blank_id=model.ctc.blank_id if model.ctc is not None else None,
                   length_bonus=length_bonus, pre_beam=pre,
                   max_decode_len=model.aed.max_decode_len)
-        if ctc_w == 0.0 and bool(dc.get("device_beam", True)):
-            # pure-AED beam: no host state at all, so the whole search runs
-            # on-device (lax.scan + top_k) — ONE jitted call per batch
+        if bool(dc.get("device_beam", True)):
+            # the whole search runs on-device (lax.scan + top_k; the CTC
+            # prefix recursion is an inner scan) — ONE jitted call per batch
             from hnet_mamba_asr_tpu.decoders.device_beam import (
-                aed_beam_search_device,
+                beam_search_device,
             )
             t0 = time.perf_counter()
-            nbest_all = aed_beam_search_device(
+            nbest_all = beam_search_device(
                 model.aed, params["aed"], enc.features, lengths,
                 beam_size=beam_size, nbest=(beam_size if cell["lm"] else 1),
-                length_bonus=length_bonus, pre_beam=pre, n_utts=n_real)
+                length_bonus=length_bonus, pre_beam=pre, n_utts=n_real,
+                ctc_log_probs=ctc_logp, ctc_weight=ctc_w,
+                blank_id=model.ctc.blank_id if model.ctc is not None else None)
             for nb in nbest_all:
                 if cell["lm"]:
                     hyps.append(lm_rescore(nb, use_lm, rescore_weight,
-                                           ctc_weight=0.0,
+                                           ctc_weight=ctc_w,
                                            length_bonus=rescore_length_bonus))
                 else:
                     hyps.append(nb[0].tokens if nb else [])

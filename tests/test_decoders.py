@@ -310,6 +310,41 @@ def test_device_beam_matches_host(rng):
                                        [h.score for h in host], atol=1e-4)
 
 
+def test_device_joint_beam_matches_host(rng):
+    """The on-device JOINT beam (CTC prefix recursion as an inner scan) must
+    match the host joint search — across ctc weights and a positive bonus."""
+    from hnet_mamba_asr_tpu.decoders.device_beam import beam_search_device
+    from hnet_mamba_asr_tpu.models.aed import AEDHead
+    from hnet_mamba_asr_tpu.tasks.decode_task import CachedAEDStepper, _UttStepper
+
+    V, DM, S, B = 12, 16, 9, 4
+    head = AEDHead(vocab_size=V, d_model=DM, n_layers=2, n_heads=2, d_ff=32,
+                   dropout=0.0, max_decode_len=8)
+    mem = jnp.asarray(rng.normal(size=(B, S, DM)).astype(np.float32))
+    mlens = np.asarray([S, S - 3, S - 1, S - 4])
+    params = head.init(jax.random.PRNGKey(1), mem, jnp.asarray(mlens),
+                       jnp.zeros((B, 3), jnp.int32))["params"]
+    raw = rng.normal(size=(B, S, V + 1))
+    ctc_lp = raw - np.log(np.exp(raw).sum(-1, keepdims=True))
+
+    for w, bonus in ((0.3, 0.0), (0.5, 0.0), (0.3, 0.4)):
+        dev = beam_search_device(head, params, mem, mlens, beam_size=3,
+                                 nbest=3, length_bonus=bonus,
+                                 ctc_log_probs=ctc_lp, ctc_weight=w,
+                                 blank_id=V)
+        stepper = CachedAEDStepper(head, params, mem, mlens, beam_rows=3)
+        for b in range(B):
+            host = joint_beam_search_nbest(
+                None, mlens[b:b + 1], ctc_log_probs=ctc_lp[b:b + 1, :mlens[b]],
+                vocab_size=V, beam_size=3, ctc_weight=w, blank_id=V, nbest=3,
+                max_decode_len=8, length_bonus=bonus,
+                aed_next_logprobs=_UttStepper(stepper, b))[0]
+            assert [h.tokens for h in dev[b]] == \
+                   [h.tokens for h in host], (w, bonus, b)
+            np.testing.assert_allclose([h.score for h in dev[b]],
+                                       [h.score for h in host], atol=2e-4)
+
+
 def test_lockstep_partial_batch_rows(rng):
     """n_utts < padded B: the stepper slices its returns to the real utts and
     the padded rows never leak into results."""
