@@ -330,6 +330,33 @@ def joint_beam_search(memory, memory_lengths, **kw) -> list[list[int]]:
     return [hyps[0].tokens if hyps else [] for hyps in nbest]
 
 
+def lm_rescore_batch(nbests: list[list[Hypothesis]], lm, lm_weight: float, *,
+                     ctc_weight: float, length_bonus: float = 0.0
+                     ) -> list[list[int]]:
+    """lm_rescore over a whole batch with ONE LM call: every utterance's
+    n-best flattens into a single sequence_logprob, then the per-utterance
+    re-rank is identical to lm_rescore (same formula, same tie behavior)."""
+    flat = [h.tokens for nb in nbests for h in nb]
+    if not flat:
+        return [[] for _ in nbests]
+    lm_scores = np.asarray(lm.sequence_logprob(flat))
+    out: list[list[int]] = []
+    k = 0
+    for nb in nbests:
+        if not nb:
+            out.append([])
+            continue
+        best, best_score = nb[0], float("-inf")
+        for h, lms in zip(nb, lm_scores[k:k + len(nb)].tolist()):
+            s = ((1.0 - ctc_weight) * h.aed + ctc_weight * h.ctc
+                 + lm_weight * lms + length_bonus * len(h.tokens))
+            if s > best_score:
+                best_score, best = s, h
+        k += len(nb)
+        out.append(best.tokens)
+    return out
+
+
 def lm_rescore(nbest: list[Hypothesis], lm, lm_weight: float, *, ctc_weight: float,
                length_bonus: float = 0.0) -> list[int]:
     """Second-pass re-rank of a COMPLETE n-best by

@@ -31,7 +31,7 @@ import numpy as np
 from hnet_mamba_asr_tpu.decoders.ctc_decode import ctc_prefix_beam_search
 from hnet_mamba_asr_tpu.decoders.joint import (
     joint_beam_search, joint_beam_search_nbest,
-    joint_beam_search_nbest_lockstep, lm_rescore,
+    joint_beam_search_nbest_lockstep, lm_rescore, lm_rescore_batch,
 )
 from hnet_mamba_asr_tpu.decoders.lm_scorer import CausalLMScorer, _bucket
 from hnet_mamba_asr_tpu.models.ctc_head import greedy_decode as ctc_host_greedy
@@ -409,13 +409,13 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
                 length_bonus=length_bonus, pre_beam=pre, n_utts=n_real,
                 ctc_log_probs=ctc_logp, ctc_weight=ctc_w,
                 blank_id=model.ctc.blank_id if model.ctc is not None else None)
-            for nb in nbest_all:
-                if cell["lm"]:
-                    hyps.append(lm_rescore(nb, use_lm, rescore_weight,
-                                           ctc_weight=ctc_w,
-                                           length_bonus=rescore_length_bonus))
-                else:
-                    hyps.append(nb[0].tokens if nb else [])
+            if cell["lm"]:
+                # one LM call rescoring every utterance's n-best at once
+                hyps.extend(lm_rescore_batch(
+                    nbest_all, use_lm, rescore_weight, ctc_weight=ctc_w,
+                    length_bonus=rescore_length_bonus))
+            else:
+                hyps.extend(nb[0].tokens if nb else [] for nb in nbest_all)
             dt = time.perf_counter() - t0
             times = [dt / max(n_real, 1)] * n_real
         elif bool(dc.get("batch_beams", True)):

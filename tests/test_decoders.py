@@ -368,6 +368,35 @@ def test_lockstep_partial_batch_rows(rng):
     assert all(len(nb) >= 1 for nb in out)
 
 
+def test_lm_rescore_batch_matches_per_utt():
+    """Batched rescoring (one LM call for the whole batch) must re-rank
+    identically to per-utterance lm_rescore."""
+    from hnet_mamba_asr_tpu.decoders.joint import lm_rescore_batch
+
+    class CountingLM:
+        def __init__(self):
+            self.calls = 0
+
+        def sequence_logprob(self, seqs):
+            self.calls += 1
+            return np.asarray([-0.5 * len(s) - 0.01 * sum(s) for s in seqs])
+
+    nbests = [
+        [Hypothesis(tokens=[1, 2], aed=-1.0, ctc=-2.0),
+         Hypothesis(tokens=[3], aed=-1.5, ctc=-1.0)],
+        [],
+        [Hypothesis(tokens=[4, 5, 6], aed=-2.0, ctc=-1.5)],
+    ]
+    lm = CountingLM()
+    got = lm_rescore_batch(nbests, lm, 0.7, ctc_weight=0.3, length_bonus=0.1)
+    assert lm.calls == 1                              # one call for the batch
+    want = [lm_rescore(nb, CountingLM(), 0.7, ctc_weight=0.3,
+                       length_bonus=0.1) if nb else [] for nb in nbests]
+    assert got == want
+    assert lm_rescore_batch([[], []], CountingLM(), 1.0,
+                            ctc_weight=0.3) == [[], []]
+
+
 def test_lm_rescore_semantics():
     h1 = Hypothesis(tokens=[1, 2], aed=-1.0, ctc=-2.0, score=0.0)
     h2 = Hypothesis(tokens=[3], aed=-1.5, ctc=-1.0, score=0.0)
