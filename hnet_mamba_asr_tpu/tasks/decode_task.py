@@ -11,10 +11,13 @@ joint_beam_lm.
 
 TPU timing discipline: device work is fenced with ``jax.block_until_ready``
 before reading the clock (the analog of the reference's cuda-synchronize
-fencing), encoder cost is amortized per utterance, and per-cell search time is
-measured per utterance. Device calls from the per-utterance host beams go
-through padded/bucketed jitted helpers so the whole split reuses a handful of
-compiled executables.
+fencing) and per-cell search time is amortized per utterance. Decode engines,
+fastest first: the aed/joint cells default to the fully ON-DEVICE beam
+(decoders/device_beam.py, one jitted call per batch); decode.device_beam=false
+falls back to the host lockstep engine (one batched device call per global
+step, exact float64); decode.batch_beams=false falls back further to the
+serial per-utterance host loop. All three produce the same transcripts
+(equivalence-tested).
 """
 from __future__ import annotations
 
