@@ -345,6 +345,39 @@ def test_device_joint_beam_matches_host(rng):
                                        [h.score for h in host], atol=2e-4)
 
 
+def test_device_beam_short_utterances(rng):
+    """Tf=2 gives max_steps=1 — the cap-finalization fires on the very first
+    scan iteration; device and host must still agree (both ctc weights)."""
+    from hnet_mamba_asr_tpu.decoders.device_beam import beam_search_device
+    from hnet_mamba_asr_tpu.models.aed import AEDHead
+    from hnet_mamba_asr_tpu.tasks.decode_task import CachedAEDStepper, _UttStepper
+
+    V, DM, S, B = 10, 16, 6, 3
+    head = AEDHead(vocab_size=V, d_model=DM, n_layers=1, n_heads=2, d_ff=32,
+                   dropout=0.0, max_decode_len=6)
+    mem = jnp.asarray(rng.normal(size=(B, S, DM)).astype(np.float32))
+    mlens = np.asarray([2, 3, 6])
+    params = head.init(jax.random.PRNGKey(0), mem, jnp.asarray(mlens),
+                       jnp.zeros((B, 2), jnp.int32))["params"]
+    raw = rng.normal(size=(B, S, V + 1))
+    ctc_lp = raw - np.log(np.exp(raw).sum(-1, keepdims=True))
+    for w in (0.0, 0.3):
+        dev = beam_search_device(head, params, mem, mlens, beam_size=2,
+                                 nbest=2,
+                                 ctc_log_probs=ctc_lp if w else None,
+                                 ctc_weight=w, blank_id=V)
+        stepper = CachedAEDStepper(head, params, mem, mlens, beam_rows=2)
+        for b in range(B):
+            host = joint_beam_search_nbest(
+                None, mlens[b:b + 1],
+                ctc_log_probs=ctc_lp[b:b + 1, :mlens[b]] if w else None,
+                vocab_size=V, beam_size=2, ctc_weight=w, blank_id=V, nbest=2,
+                max_decode_len=6,
+                aed_next_logprobs=_UttStepper(stepper, b))[0]
+            assert [h.tokens for h in dev[b]] == \
+                   [h.tokens for h in host], (w, b)
+
+
 def test_lockstep_partial_batch_rows(rng):
     """n_utts < padded B: the stepper slices its returns to the real utts and
     the padded rows never leak into results."""
