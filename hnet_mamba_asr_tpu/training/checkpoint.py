@@ -45,6 +45,52 @@ def load_checkpoint(path: str | Path) -> dict:
         return pickle.load(f)
 
 
+def tree_to_path_dict(tree) -> dict[str, np.ndarray]:
+    """Flatten a pytree to ``{keystr(path): ndarray}`` — a structure-free,
+    library-version-independent serialization. Optax states are NamedTuple
+    chains whose *class identity* changes across optax versions and whose
+    *leaf order* changes if the chain is reordered; keying every leaf by its
+    tree path makes the checkpoint immune to both (reference kept full torch
+    state_dicts, which are path-keyed for the same reason:
+    src/dcasr/training/trainer.py:515-519)."""
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    out: dict[str, np.ndarray] = {}
+    for path, leaf in flat:
+        key = jax.tree_util.keystr(path)
+        if key in out:
+            raise ValueError(f"duplicate tree path {key!r} while flattening")
+        out[key] = np.asarray(jax.device_get(leaf))
+    return out
+
+
+def path_dict_to_tree(template, saved: dict):
+    """Rebuild ``template``'s structure from a path-keyed leaf dict.
+
+    Fails loudly (listing the offending paths) if the saved state and the
+    freshly-built template disagree — a reordered/extended optax chain or an
+    optax version that changed the state tree must never load garbage."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(template)
+    tmpl_keys = [jax.tree_util.keystr(p) for p, _ in flat]
+    missing = [k for k in tmpl_keys if k not in saved]
+    extra = [k for k in saved if k not in set(tmpl_keys)]
+    if missing or extra:
+        raise ValueError(
+            "checkpoint optimizer state does not match the configured "
+            f"optimizer chain.\n  missing from checkpoint: {missing[:8]}"
+            f"{' …' if len(missing) > 8 else ''}\n  unexpected in checkpoint: "
+            f"{extra[:8]}{' …' if len(extra) > 8 else ''}\n"
+            "Rebuild with the original optimizer config or start fresh.")
+    leaves = []
+    for key, (_, tmpl_leaf) in zip(tmpl_keys, flat):
+        leaf = saved[key]
+        if tuple(np.shape(leaf)) != tuple(np.shape(tmpl_leaf)):
+            raise ValueError(
+                f"checkpoint optimizer leaf {key!r} has shape "
+                f"{tuple(np.shape(leaf))}, expected {tuple(np.shape(tmpl_leaf))}")
+        leaves.append(np.asarray(leaf))
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def average_checkpoints(paths: list[str | Path]) -> dict:
     """fp32 parameter average of several checkpoints -> {"params", "averaged"}."""
     if not paths:

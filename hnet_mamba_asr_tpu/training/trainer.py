@@ -426,7 +426,9 @@ class Trainer:
     def save_checkpoint(self) -> None:
         if not self.is_main:
             return
-        state = {"params": self.params, "opt_state": self.opt_state,
+        state = {"params": self.params,
+                 "opt_state": ckpt.tree_to_path_dict(self.opt_state),
+                 "opt_state_format": "path_dict",
                  "epoch": self.epoch, "global_step": self.global_step,
                  "metric_history": self.metric_history, "config": self.cfg,
                  "seed": self.seed}
@@ -437,7 +439,10 @@ class Trainer:
         state = ckpt.load_checkpoint(path)
         self.params = place_params(
             jax.tree_util.tree_map(jnp.asarray, state["params"]), self.mesh)
-        restored = _restore_opt_state(self.opt_state, state["opt_state"])
+        if state.get("opt_state_format") == "path_dict":
+            restored = ckpt.path_dict_to_tree(self.opt_state, state["opt_state"])
+        else:                                    # legacy raw-pytree checkpoint
+            restored = _restore_opt_state(self.opt_state, state["opt_state"])
         # each moment leaf takes the sharding its freshly-initialized
         # counterpart already has (params-derived; scalars replicated)
         self.opt_state = jax.tree_util.tree_map(
@@ -494,8 +499,21 @@ class Trainer:
 
 
 def _restore_opt_state(template, saved):
-    """Rebuild the optax state pytree (NamedTuple structure) from saved leaves."""
+    """Legacy (pre-path-dict) restore: rebuild the optax state pytree from the
+    saved leaves IN ORDER, with loud leaf-count/shape validation. New
+    checkpoints carry a path-keyed dict (checkpoint.tree_to_path_dict) which
+    is immune to chain reordering; this path only handles old files."""
     leaves = jax.tree_util.tree_leaves(saved)
-    treedef = jax.tree_util.tree_structure(template)
+    tmpl_leaves, treedef = jax.tree_util.tree_flatten(template)
+    if len(leaves) != len(tmpl_leaves):
+        raise ValueError(
+            f"legacy optimizer checkpoint has {len(leaves)} leaves but the "
+            f"configured optimizer expects {len(tmpl_leaves)} — the optax "
+            "chain changed since the save; start fresh or rebuild the chain")
+    for i, (s, t) in enumerate(zip(leaves, tmpl_leaves)):
+        if tuple(np.shape(s)) != tuple(np.shape(t)):
+            raise ValueError(
+                f"legacy optimizer checkpoint leaf {i} has shape "
+                f"{tuple(np.shape(s))}, expected {tuple(np.shape(t))}")
     return jax.tree_util.tree_unflatten(
         treedef, [jnp.asarray(x) for x in leaves])

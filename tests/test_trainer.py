@@ -195,6 +195,59 @@ def test_checkpoint_roundtrip_and_average(tmp_path):
     np.testing.assert_array_equal(avg["params"]["w"], 2.0)
 
 
+def test_opt_state_restore_rejects_changed_chain(tmp_path, mesh):
+    """A checkpoint saved under one optax chain must FAIL LOUDLY when loaded
+    into a trainer built with a different chain (different state tree), never
+    silently map moments onto the wrong slots."""
+    tr1 = Trainer(ToyModel(), ToyLoader(), dict(CFG, max_epoch=1),
+                  ckpt_dir=tmp_path / "ck", mesh=mesh)
+    tr1.train()
+    tr2 = Trainer(ToyModel(), ToyLoader(),
+                  dict(CFG, optim="sgd", optim_conf={"lr": 0.1, "momentum": 0.9}),
+                  ckpt_dir=tmp_path / "ck", mesh=mesh)
+    with pytest.raises(ValueError, match="does not match"):
+        tr2.load_checkpoint(tmp_path / "ck" / "latest.ckpt")
+
+
+def test_opt_state_path_dict_roundtrip(tmp_path, mesh):
+    """New checkpoints store the optimizer state as a path-keyed leaf dict;
+    load must restore it bit-exactly into the rebuilt optax structure."""
+    from hnet_mamba_asr_tpu.training.checkpoint import (
+        path_dict_to_tree, tree_to_path_dict,
+    )
+    tr = Trainer(ToyModel(), ToyLoader(), dict(CFG, max_epoch=1),
+                 ckpt_dir=tmp_path / "ck", mesh=mesh)
+    tr.train()
+    state = load_checkpoint(tmp_path / "ck" / "latest.ckpt")
+    assert state.get("opt_state_format") == "path_dict"
+    assert isinstance(state["opt_state"], dict)
+    restored = path_dict_to_tree(tr.opt_state, state["opt_state"])
+    live = tree_to_path_dict(tr.opt_state)
+    for k, v in tree_to_path_dict(restored).items():
+        np.testing.assert_array_equal(v, live[k], err_msg=k)
+
+
+def test_opt_state_legacy_leaf_order_still_loads(tmp_path, mesh):
+    """Old raw-pytree checkpoints load when the structure matches, and raise
+    on a leaf-count mismatch instead of loading garbage."""
+    tr = Trainer(ToyModel(), ToyLoader(), dict(CFG, max_epoch=1),
+                 ckpt_dir=tmp_path / "ck", mesh=mesh)
+    tr.train()
+    legacy = {"params": jax.device_get(tr.params),
+              "opt_state": jax.device_get(tr.opt_state),   # raw pytree, no format tag
+              "epoch": 0, "global_step": tr.global_step,
+              "metric_history": {}, "config": dict(CFG), "seed": 0}
+    save_checkpoint(tmp_path / "legacy.ckpt", legacy)
+    tr2 = Trainer(ToyModel(), ToyLoader(), dict(CFG), ckpt_dir=tmp_path / "ck2",
+                  mesh=mesh)
+    tr2.load_checkpoint(tmp_path / "legacy.ckpt")          # structure matches: OK
+    tr3 = Trainer(ToyModel(), ToyLoader(),
+                  dict(CFG, optim="sgd", optim_conf={"lr": 0.1, "momentum": 0.9}),
+                  ckpt_dir=tmp_path / "ck3", mesh=mesh)
+    with pytest.raises(ValueError):
+        tr3.load_checkpoint(tmp_path / "legacy.ckpt")
+
+
 def test_early_stop_min_delta_on_real_wer_series(tmp_path, mesh):
     """The reference's documented case: valid WER 6.118 -> 6.098 over 35 epochs
     (0.02 improvement, a quarter of the noise sd) must NOT keep the run alive
