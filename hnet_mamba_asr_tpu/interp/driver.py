@@ -1,7 +1,8 @@
 """Interp orchestration: boundary reports, probes, robustness, emergence.
 
-Capability spec: reference src/dcasr/interp/driver.py. The audit mandates from
-the reference's verification history are enforced structurally:
+Capability spec: reference src/dcasr/interp/driver.py (same mandates, same
+report schema; the organization here is its own). The audit mandates from the
+reference's verification history are enforced structurally:
 
 (a) probe train/test disjointness is asserted on the utterance ids ACTUALLY
     consumed from the loaders — contamination silently inflates accuracy;
@@ -11,14 +12,17 @@ the reference's verification history are enforced structurally:
 (d) a random-baseline floor is computed and stored beside every boundary
     metric block.
 
-Waveform perturbations run on the host (numpy) and each carries the time-
-coordinate transform that maps CLEAN-time instants into perturbed time — it is
-applied to the MFA truth AND to the clean boundaries, so robustness can
-separate "boundaries moved" from "truth moved".
+Design: all clean-time -> perturbed-time bookkeeping lives in ONE place, a
+monotone piecewise-linear ``TimeMap``. A perturbation contributes exactly two
+things — a waveform edit and a ``TimeMap`` for a given utterance duration —
+and every coordinate transform (truth records, clean boundaries, durations,
+sample counts) is derived from that map by the shared base class. Robustness
+and clean boundary scoring share one tier-scoring core; probe fitting is a
+single closure applied across a task plan.
 """
 from __future__ import annotations
 
-import zlib
+import hashlib
 from pathlib import Path
 from typing import Callable, Mapping, Sequence
 
@@ -28,8 +32,8 @@ from hnet_mamba_asr_tpu.data.audio import apply_speed_perturb, read_audio
 from hnet_mamba_asr_tpu.data.dataset import ASRDataset
 from hnet_mamba_asr_tpu.data.manifests import SAMPLE_RATE, feat_frames
 from hnet_mamba_asr_tpu.interp.boundary_align import (
-    DEFAULT_TOL_S, aggregate, collect_boundaries, match_boundaries,
-    random_baseline, score_utterances,
+    DEFAULT_TOL_S, aggregate, collect_boundaries, random_baseline,
+    score_utterances,
 )
 from hnet_mamba_asr_tpu.interp.probes import (
     collect_probe_data, subsample, to_classes, top_k_filter, train_probe,
@@ -39,47 +43,97 @@ from hnet_mamba_asr_tpu.utils.logging_utils import get_logger
 logger = get_logger(__name__)
 
 
-# ═══ waveform perturbations ═══════════════════════════════════════════════════
 def utt_seed(seed: int, uid: str) -> int:
-    """Stable per-utterance RNG seed (crc32-based; python hash() is salted)."""
-    return (zlib.crc32(str(uid).encode("utf-8"))
-            ^ (int(seed) * 0x9E3779B9)) & 0x7FFFFFFF
+    """Stable per-utterance RNG seed (blake2s digest; python hash() is salted
+    per process, so it cannot key reproducible augmentation)."""
+    digest = hashlib.blake2s(f"{int(seed)}:{uid}".encode("utf-8"),
+                             digest_size=4).digest()
+    return int.from_bytes(digest, "big") & 0x7FFFFFFF
 
 
+# ═══ time geometry ════════════════════════════════════════════════════════════
+class TimeMap:
+    """Monotone piecewise-linear map from clean-time to perturbed-time.
+
+    Segments are ``(start, scale, offset)`` sorted by start; a time ``t`` maps
+    through the last segment whose start it reaches: ``scale * t + offset``.
+    Identity / uniform-speed / splice-shift perturbations are all instances,
+    so record movement, duration growth, and boundary relocation share one
+    implementation instead of per-perturbation ``_t`` overrides.
+    """
+
+    IDENTITY_SEGMENTS = ((float("-inf"), 1.0, 0.0),)
+
+    def __init__(self, segments: Sequence[tuple[float, float, float]] =
+                 IDENTITY_SEGMENTS):
+        self.segments = tuple(segments)
+
+    def __call__(self, t: float) -> float:
+        for start, scale, offset in reversed(self.segments):
+            if t >= start:
+                return scale * t + offset
+        return t
+
+    @classmethod
+    def identity(cls) -> "TimeMap":
+        return cls()
+
+    @classmethod
+    def scaled(cls, scale: float) -> "TimeMap":
+        return cls(((float("-inf"), float(scale), 0.0),))
+
+    @classmethod
+    def shifted_from(cls, cut: float, shift: float) -> "TimeMap":
+        """Identity before ``cut``; +``shift`` at and after it (a splice)."""
+        return cls(((float("-inf"), 1.0, 0.0), (float(cut), 1.0, float(shift))))
+
+
+# ═══ perturbations ════════════════════════════════════════════════════════════
 class Perturbation:
-    """Identity base. Subclasses override ``apply_wave`` (audio) and ``_t``
-    (the clean-time -> perturbed-time map used for truth + clean boundaries)."""
+    """A waveform edit plus its time geometry.
+
+    Subclasses override ``edit_wave`` (the audio effect; ``rng`` is seeded per
+    utterance) and ``time_map`` (the clean->perturbed coordinate map for an
+    utterance of the given duration). Everything else — truth-record movement,
+    duration/sample-count growth, boundary relocation — is derived here.
+    """
 
     kind = "identity"
     name = "identity"
 
-    # audio ------------------------------------------------------------------
-    def apply_wave(self, wave: np.ndarray, uid: str, *, seed: int = 1,
-                   sample_rate: int = SAMPLE_RATE) -> np.ndarray:
+    def edit_wave(self, wave: np.ndarray, rng: np.random.Generator,
+                  sample_rate: int) -> np.ndarray:
         return wave
 
-    # time coordinates ---------------------------------------------------------
-    def _t(self, t: float, duration: float) -> float:
-        return t
+    def time_map(self, duration: float) -> TimeMap:
+        return TimeMap.identity()
+
+    # derived surface -----------------------------------------------------------
+    def apply_wave(self, wave: np.ndarray, uid: str, *, seed: int = 1,
+                   sample_rate: int = SAMPLE_RATE) -> np.ndarray:
+        rng = np.random.default_rng(utt_seed(seed, uid))
+        return self.edit_wave(wave, rng, sample_rate)
 
     def transform_times(self, times: Sequence[float],
                         duration: float) -> list[float]:
-        return [self._t(float(t), duration) for t in times]
+        tmap = self.time_map(duration)
+        return [tmap(float(t)) for t in times]
 
     def transform_record(self, record: Mapping, duration: float) -> dict:
-        moved = {k: v for k, v in record.items()
-                 if k not in ("words", "phones")}
+        """Move every aligned unit's edges into perturbed time."""
+        tmap = self.time_map(duration)
+        moved = dict(record)
         for tier in ("words", "phones"):
-            moved[tier] = [
-                [label, self._t(float(s), duration), self._t(float(e), duration)]
-                for label, s, e in record[tier]]
+            moved[tier] = [[label, tmap(float(s)), tmap(float(e))]
+                           for label, s, e in record[tier]]
         return moved
 
     def transform_duration(self, duration: float) -> float:
-        return duration
+        return self.time_map(duration)(duration)
 
     def transform_samples(self, n: int) -> int:
-        return int(n)
+        duration = int(n) / SAMPLE_RATE
+        return round(self.time_map(duration)(duration) * SAMPLE_RATE)
 
 
 class NoisePerturbation(Perturbation):
@@ -91,17 +145,17 @@ class NoisePerturbation(Perturbation):
         self.snr_db = float(snr_db)
         self.name = f"noise_snr{self.snr_db:g}"
 
-    def apply_wave(self, wave, uid, *, seed=1, sample_rate=SAMPLE_RATE):
+    def edit_wave(self, wave, rng, sample_rate):
         signal_power = float(np.mean(np.square(wave)))
         if signal_power <= 0.0:
             return wave
         noise_rms = (signal_power / 10.0 ** (self.snr_db / 10.0)) ** 0.5
-        gen = np.random.default_rng(utt_seed(seed, uid))
-        return wave + noise_rms * gen.standard_normal(wave.shape)
+        return wave + noise_rms * rng.standard_normal(wave.shape)
 
 
 class SpeedPerturbation(Perturbation):
-    """Playback at factor-x speed via resampling; clean times scale 1/factor."""
+    """Playback at factor-x speed via resampling; the time axis contracts
+    uniformly by 1/factor."""
 
     kind = "speed"
 
@@ -111,17 +165,11 @@ class SpeedPerturbation(Perturbation):
         self.factor = float(factor)
         self.name = f"speed_{self.factor:g}"
 
-    def apply_wave(self, wave, uid, *, seed=1, sample_rate=SAMPLE_RATE):
+    def edit_wave(self, wave, rng, sample_rate):
         return apply_speed_perturb(wave, sample_rate, self.factor)
 
-    def _t(self, t, duration):
-        return t / self.factor
-
-    def transform_duration(self, duration):
-        return duration / self.factor
-
-    def transform_samples(self, n):
-        return round(n / self.factor)
+    def time_map(self, duration):
+        return TimeMap.scaled(1.0 / self.factor)
 
 
 class SilencePerturbation(Perturbation):
@@ -138,28 +186,24 @@ class SilencePerturbation(Perturbation):
         self.at_frac = float(at_frac)
         self.name = f"silence_{self.duration_s:g}s_at{self.at_frac:g}"
 
-    def apply_wave(self, wave, uid, *, seed=1, sample_rate=SAMPLE_RATE):
+    def edit_wave(self, wave, rng, sample_rate):
         cut = round(self.at_frac * len(wave))
         hole = np.zeros(round(self.duration_s * sample_rate), dtype=wave.dtype)
         return np.concatenate([wave[:cut], hole, wave[cut:]])
 
-    def _t(self, t, duration):
-        return t if t < self.at_frac * duration else t + self.duration_s
+    def time_map(self, duration):
+        return TimeMap.shifted_from(self.at_frac * duration, self.duration_s)
 
     def window(self, duration: float) -> tuple[float, float]:
         """The inserted-silence interval, in perturbed-time coordinates."""
         begin = self.at_frac * duration
         return begin, begin + self.duration_s
 
-    def transform_duration(self, duration):
-        return duration + self.duration_s
-
-    def transform_samples(self, n):
-        return int(n) + round(self.duration_s * SAMPLE_RATE)
-
 
 def perturbations_from_config(cfg: Mapping) -> list[Perturbation]:
-    """robustness config block -> perturbation list."""
+    """robustness config block -> perturbation list (schema pinned by the
+    reference configs: noise_snr_db / speed_factors lists + a silence block,
+    where ``silence: null|false`` disables and ``{}``/absent means defaults)."""
     out: list[Perturbation] = []
     out += [NoisePerturbation(snr) for snr in cfg.get("noise_snr_db", (20, 10, 5, 0))]
     out += [SpeedPerturbation(f) for f in cfg.get("speed_factors", (0.9, 1.1))]
@@ -196,7 +240,7 @@ class PerturbedDataset(ASRDataset):
                 "id": entry["id"], "index": i}
 
 
-# ═══ shared plumbing ══════════════════════════════════════════════════════════
+# ═══ collection bookkeeping ═══════════════════════════════════════════════════
 def durations_from_entries(entries: Sequence[Mapping]) -> dict[str, float]:
     return {e["id"]: e["frames"] / SAMPLE_RATE for e in entries}
 
@@ -239,28 +283,61 @@ def list_epoch_checkpoints(ckpt_dir: str | Path) -> list[tuple[int, Path]]:
     return sorted(found)
 
 
-def matched_deltas(pred: Sequence[float], true: Sequence[float],
-                   tol: float = DEFAULT_TOL_S) -> list[float]:
-    """Signed pred-true offsets of the greedy matcher's hit pairs (same walk
-    as match_boundaries, so len(result) == its hit count)."""
-    ps, ts = sorted(pred), sorted(true)
+# ═══ scoring core (shared by boundary + robustness reports) ═══════════════════
+def _greedy_walk(pred: Sequence[float], true: Sequence[float],
+                 tol: float) -> tuple[list[float], int, int]:
+    """One two-pointer walk over both sorted lists -> (signed pred-true
+    offsets of the hit pairs, n_pred, n_true). The hit count is
+    ``len(offsets)``; the walk is the same greedy matcher boundary_align
+    uses, so counts agree with ``match_boundaries``."""
+    ps, ts = sorted(float(t) for t in pred), sorted(float(t) for t in true)
     slack = tol + 1e-9
-    deltas: list[float] = []
+    offsets: list[float] = []
     pi = ti = 0
     while pi < len(ps) and ti < len(ts):
         gap = ps[pi] - ts[ti]
         if abs(gap) <= slack:
-            deltas.append(gap)
+            offsets.append(gap)
             pi += 1
             ti += 1
         elif gap < 0:
             pi += 1
         else:
             ti += 1
-    return deltas
+    return offsets, len(ps), len(ts)
 
 
-# ═══ boundary report (mandates b + d + coverage) ═════════════════════════════
+def matched_deltas(pred: Sequence[float], true: Sequence[float],
+                   tol: float = DEFAULT_TOL_S) -> list[float]:
+    """Signed pred-true offsets of the greedy matcher's hit pairs."""
+    return _greedy_walk(pred, true, tol)[0]
+
+
+def _score_tiers(stage_bounds: Mapping[str, Sequence[float]],
+                 truth: Mapping[str, Mapping],
+                 durations: Mapping[str, float], *, tol: float,
+                 baseline_trials: int, baseline_seed: int,
+                 coverage_context: str | None = None) -> dict:
+    """words+phones corpus metrics for one stage, floors attached (mandate d).
+    With ``coverage_context`` set, aligned utterances missing from the
+    boundary collection raise (a partial collection biases the corpus metric)."""
+    block: dict = {}
+    for tier in ("words", "phones"):
+        metrics = score_utterances(stage_bounds, truth, tier, tol,
+                                   durations=durations)
+        if coverage_context is not None and metrics["missing_boundaries"]:
+            raise ValueError(
+                f"{coverage_context}: {len(metrics['missing_boundaries'])} "
+                "aligned utterances have no boundaries (e.g. "
+                f"{metrics['missing_boundaries'][:5]}) — a partial collection "
+                "biases the corpus metric")
+        metrics["random_baseline"] = random_baseline(
+            metrics.pop("_per_utt"), tol, seed=baseline_seed,
+            trials=baseline_trials)
+        block[tier] = metrics
+    return block
+
+
 def boundary_report(encode_fn, loader, alignments: Mapping[str, Mapping],
                     durations: Mapping[str, float], *, tol: float = DEFAULT_TOL_S,
                     baseline_trials: int = 20, baseline_seed: int = 1,
@@ -275,143 +352,42 @@ def boundary_report(encode_fn, loader, alignments: Mapping[str, Mapping],
         raise ValueError(f"{len(undurated)} scored utterances lack a true "
                          f"duration (e.g. {undurated[:5]}) — the random "
                          "baseline needs real audio durations")
-    report: dict = {}
-    for stage_idx in sorted(bounds):
-        block: dict = {}
-        for tier in ("words", "phones"):
-            metrics = score_utterances(bounds[stage_idx], alignments, tier,
-                                       tol, durations=durations)
-            if require_coverage and metrics["missing_boundaries"]:
-                raise ValueError(
-                    f"stage {stage_idx}: {len(metrics['missing_boundaries'])} "
-                    "aligned utterances have no boundaries (e.g. "
-                    f"{metrics['missing_boundaries'][:5]}) — a partial "
-                    "collection biases the corpus metric")
-            metrics["random_baseline"] = random_baseline(
-                metrics.pop("_per_utt"), tol, seed=baseline_seed,
-                trials=baseline_trials)
-            block[tier] = metrics
-        report[f"stage{stage_idx}"] = block
+    report = {
+        f"stage{stage_idx}": _score_tiers(
+            bounds[stage_idx], alignments, durations, tol=tol,
+            baseline_trials=baseline_trials, baseline_seed=baseline_seed,
+            coverage_context=f"stage {stage_idx}" if require_coverage else None)
+        for stage_idx in sorted(bounds)}
     return report, bounds
 
 
-# ═══ probe report (mandates a + c) ═══════════════════════════════════════════
-def _fit_probe(Xtr, ytr, Xte, yte, *, train_cap, test_cap, max_iter, C, seed,
-               backend="sklearn"):
-    collected = (len(ytr), len(yte))
-    Xtr, ytr = subsample(Xtr, ytr, train_cap, seed=seed)
-    Xte, yte = subsample(Xte, yte, test_cap, seed=seed)
-    result = train_probe(Xtr, ytr, Xte, yte, max_iter=max_iter, C=C, seed=seed,
-                         backend=backend)
-    result["n_collected_train"], result["n_collected_test"] = collected
-    return result
-
-
-def probe_report(encode_fn, train_loader, test_loader,
-                 train_alignments: Mapping[str, Mapping],
-                 test_alignments: Mapping[str, Mapping], *, n_stages: int,
-                 levels: Sequence[str] = ("frames", "chunks"),
-                 top_k_words: int = 500, train_cap: int = 50000,
-                 test_cap: int = 20000, max_iter: int = 1000, C: float = 1.0,
-                 seed: int = 1, backend: str = "sklearn") -> dict:
-    """phone_id / phone_class / word_id probes per representation level."""
-    bad_levels = set(levels) - {"frames", "chunks"}
-    if bad_levels:
-        raise ValueError(f"unknown probe levels {sorted(bad_levels)}; "
-                         "choose from 'frames', 'chunks'")
-    train_loader = RecordingLoader(train_loader)
-    test_loader = RecordingLoader(test_loader)
-    plan = ([("frames", 0)] if "frames" in levels else []) \
-        + ([("chunks", s) for s in range(int(n_stages))]
-           if "chunks" in levels else [])
-    if not plan:
-        raise ValueError(f"no probe levels selected from {levels!r}")
-
-    fit_kw = dict(train_cap=train_cap, test_cap=test_cap, max_iter=max_iter,
-                  C=C, seed=seed, backend=backend)
-    report: dict = {}
-    for level, stage in plan:
-        key = "frames" if level == "frames" else f"chunks_s{stage}"
-        entry: dict = {}
-        # phones: id + manner class from one collection pass
-        Xtr, ytr = collect_probe_data(encode_fn, train_loader, train_alignments,
-                                      "phones", level=level, stage=stage)
-        Xte, yte = collect_probe_data(encode_fn, test_loader, test_alignments,
-                                      "phones", level=level, stage=stage)
-        assert_disjoint(train_loader.seen, test_loader.seen)
-        entry["phone_id"] = _fit_probe(Xtr, ytr, Xte, yte, **fit_kw)
-        entry["phone_class"] = _fit_probe(Xtr, to_classes(ytr),
-                                          Xte, to_classes(yte), **fit_kw)
-        # words: restrict to the training set's top-k, report kept fractions
-        Xtr, ytr = collect_probe_data(encode_fn, train_loader, train_alignments,
-                                      "words", level=level, stage=stage)
-        Xte, yte = collect_probe_data(encode_fn, test_loader, test_alignments,
-                                      "words", level=level, stage=stage)
-        assert_disjoint(train_loader.seen, test_loader.seen)
-        Xtr, ytr, train_cov = top_k_filter(Xtr, ytr, top_k_words)
-        vocab = set(ytr)
-        keep_rows = [i for i, lab in enumerate(yte) if lab in vocab]
-        test_cov = len(keep_rows) / max(1, len(yte))
-        word = _fit_probe(Xtr, ytr, [Xte[i] for i in keep_rows],
-                          [yte[i] for i in keep_rows], **fit_kw)
-        word.update(top_k=top_k_words, train_kept_fraction=train_cov,
-                    test_kept_fraction=test_cov)
-        entry["word_id"] = word
-        report[key] = entry
-    return report
-
-
 # ═══ robustness ═══════════════════════════════════════════════════════════════
-def score_perturbation(pert: Perturbation, clean_bounds: Mapping[int, Mapping],
-                       pert_bounds: Mapping[int, Mapping],
-                       alignments: Mapping[str, Mapping],
-                       durations: Mapping[str, float], *,
-                       tol: float = DEFAULT_TOL_S, baseline_trials: int = 10,
-                       baseline_seed: int = 1) -> dict:
-    """Score perturbed boundaries against (i) the time-transformed truth and
-    (ii) the time-transformed CLEAN boundaries (consistency: did they move?)."""
-    moved_truth = {uid: pert.transform_record(alignments[uid], durations[uid])
-                   for uid in alignments if uid in durations}
-    moved_durations = {uid: pert.transform_duration(d)
-                       for uid, d in durations.items()}
-    out: dict = {}
-    for stage_idx in sorted(pert_bounds):
-        block: dict = {}
-        for tier in ("words", "phones"):
-            metrics = score_utterances(pert_bounds[stage_idx], moved_truth,
-                                       tier, tol, durations=moved_durations)
-            metrics["random_baseline"] = random_baseline(
-                metrics.pop("_per_utt"), tol, seed=baseline_seed,
-                trials=baseline_trials)
-            block[tier] = metrics
-        overlap = sorted(set(pert_bounds[stage_idx])
-                         & set(clean_bounds.get(stage_idx, {}))
-                         & set(durations))
-        if not overlap:
-            raise ValueError(f"stage {stage_idx}: no shared utterances between "
-                             f"clean and {pert.name} boundary collections")
-        pair_counts, shifts = [], []
-        for uid in overlap:
-            moved_clean = pert.transform_times(clean_bounds[stage_idx][uid],
-                                               durations[uid])
-            pair_counts.append(match_boundaries(pert_bounds[stage_idx][uid],
-                                                moved_clean, tol))
-            shifts.extend(matched_deltas(pert_bounds[stage_idx][uid],
-                                         moved_clean, tol))
-        consistency = aggregate(pair_counts)
-        consistency["mean_abs_shift_s"] = (
-            float(np.mean(np.abs(shifts))) if shifts else 0.0)
-        block["consistency"] = consistency
-        if isinstance(pert, SilencePerturbation):
-            block["inserted_window"] = _window_stats(
-                pert, pert_bounds[stage_idx], durations)
-        out[f"stage{stage_idx}"] = block
-    return out
+def _consistency_block(pert: Perturbation,
+                       clean_stage: Mapping[str, Sequence[float]],
+                       pert_stage: Mapping[str, Sequence[float]],
+                       durations: Mapping[str, float], *, tol: float,
+                       context: str) -> dict:
+    """Perturbed boundaries vs the time-transformed CLEAN boundaries: did the
+    model's own segmentation move? One greedy walk per utterance yields both
+    the hit counts (for P/R/F1) and the signed shift magnitudes."""
+    overlap = sorted(set(pert_stage) & set(clean_stage) & set(durations))
+    if not overlap:
+        raise ValueError(f"{context}: no shared utterances between clean and "
+                         "perturbed boundary collections")
+    counts, shifts = [], []
+    for uid in overlap:
+        moved_clean = pert.transform_times(clean_stage[uid], durations[uid])
+        offs, n_pred, n_true = _greedy_walk(pert_stage[uid], moved_clean, tol)
+        counts.append((len(offs), n_pred, n_true))
+        shifts.extend(offs)
+    block = aggregate(counts)
+    block["mean_abs_shift_s"] = float(np.mean(np.abs(shifts))) if shifts else 0.0
+    return block
 
 
-def _window_stats(pert: SilencePerturbation,
-                  bounds: Mapping[str, Sequence[float]],
-                  durations: Mapping[str, float]) -> dict:
+def _silence_window_stats(pert: SilencePerturbation,
+                          bounds: Mapping[str, Sequence[float]],
+                          durations: Mapping[str, float]) -> dict:
     """Boundary rate strictly INSIDE the inserted-silence window vs overall —
     boundaries inside pure silence track acoustics, not linguistic content
     (the window edges are real speech/silence transitions, not counted)."""
@@ -428,6 +404,34 @@ def _window_stats(pert: SilencePerturbation,
     return {"n_in_window": inside, "n_total": everywhere,
             "window_rate_per_s": inside / window_seconds if window_seconds else 0.0,
             "overall_rate_per_s": everywhere / total_seconds if total_seconds else 0.0}
+
+
+def score_perturbation(pert: Perturbation, clean_bounds: Mapping[int, Mapping],
+                       pert_bounds: Mapping[int, Mapping],
+                       alignments: Mapping[str, Mapping],
+                       durations: Mapping[str, float], *,
+                       tol: float = DEFAULT_TOL_S, baseline_trials: int = 10,
+                       baseline_seed: int = 1) -> dict:
+    """Score perturbed boundaries against (i) the time-transformed truth and
+    (ii) the time-transformed CLEAN boundaries (consistency: did they move?)."""
+    moved_truth = {uid: pert.transform_record(alignments[uid], durations[uid])
+                   for uid in alignments if uid in durations}
+    moved_durations = {uid: pert.transform_duration(d)
+                       for uid, d in durations.items()}
+    out: dict = {}
+    for stage_idx in sorted(pert_bounds):
+        block = _score_tiers(pert_bounds[stage_idx], moved_truth,
+                             moved_durations, tol=tol,
+                             baseline_trials=baseline_trials,
+                             baseline_seed=baseline_seed)
+        block["consistency"] = _consistency_block(
+            pert, clean_bounds.get(stage_idx, {}), pert_bounds[stage_idx],
+            durations, tol=tol, context=f"stage {stage_idx}")
+        if isinstance(pert, SilencePerturbation):
+            block["inserted_window"] = _silence_window_stats(
+                pert, pert_bounds[stage_idx], durations)
+        out[f"stage{stage_idx}"] = block
+    return out
 
 
 def robustness_report(perturbations: Sequence[Perturbation],
@@ -452,6 +456,68 @@ def robustness_report(perturbations: Sequence[Perturbation],
     return report
 
 
+# ═══ probes ═══════════════════════════════════════════════════════════════════
+def probe_report(encode_fn, train_loader, test_loader,
+                 train_alignments: Mapping[str, Mapping],
+                 test_alignments: Mapping[str, Mapping], *, n_stages: int,
+                 levels: Sequence[str] = ("frames", "chunks"),
+                 top_k_words: int = 500, train_cap: int = 50000,
+                 test_cap: int = 20000, max_iter: int = 1000, C: float = 1.0,
+                 seed: int = 1, backend: str = "sklearn") -> dict:
+    """phone_id / phone_class / word_id probes per representation level.
+
+    For word_id the n_collected_* fields count POST-top-k-filter samples;
+    phone probes count all labeled samples."""
+    bad_levels = set(levels) - {"frames", "chunks"}
+    if bad_levels:
+        raise ValueError(f"unknown probe levels {sorted(bad_levels)}; "
+                         "choose from 'frames', 'chunks'")
+    train_loader = RecordingLoader(train_loader)
+    test_loader = RecordingLoader(test_loader)
+    plan = ([("frames", 0)] if "frames" in levels else []) \
+        + ([("chunks", s) for s in range(int(n_stages))]
+           if "chunks" in levels else [])
+    if not plan:
+        raise ValueError(f"no probe levels selected from {levels!r}")
+
+    def gather(tier, level, stage):
+        """Both splits for one (tier, level, stage); disjointness (mandate a)
+        checked on the ids the loaders ACTUALLY produced this round."""
+        train = collect_probe_data(encode_fn, train_loader, train_alignments,
+                                   tier, level=level, stage=stage)
+        test = collect_probe_data(encode_fn, test_loader, test_alignments,
+                                  tier, level=level, stage=stage)
+        assert_disjoint(train_loader.seen, test_loader.seen)
+        return train, test
+
+    def fit(Xtr, ytr, Xte, yte, **extra):
+        collected = (len(ytr), len(yte))
+        Xtr, ytr = subsample(Xtr, ytr, train_cap, seed=seed)
+        Xte, yte = subsample(Xte, yte, test_cap, seed=seed)
+        result = train_probe(Xtr, ytr, Xte, yte, max_iter=max_iter, C=C,
+                             seed=seed, backend=backend)
+        result["n_collected_train"], result["n_collected_test"] = collected
+        result.update(extra)
+        return result
+
+    report: dict = {}
+    for level, stage in plan:
+        key = "frames" if level == "frames" else f"chunks_s{stage}"
+        (Xtr, ytr), (Xte, yte) = gather("phones", level, stage)
+        entry = {"phone_id": fit(Xtr, ytr, Xte, yte),
+                 "phone_class": fit(Xtr, to_classes(ytr), Xte, to_classes(yte))}
+        (Xtr, ytr), (Xte, yte) = gather("words", level, stage)
+        Xtr, ytr, train_cov = top_k_filter(Xtr, ytr, top_k_words)
+        vocab = set(ytr)
+        keep_rows = [i for i, lab in enumerate(yte) if lab in vocab]
+        entry["word_id"] = fit(
+            Xtr, ytr, [Xte[i] for i in keep_rows], [yte[i] for i in keep_rows],
+            top_k=top_k_words, train_kept_fraction=train_cov,
+            test_kept_fraction=len(keep_rows) / max(1, len(yte)))
+        report[key] = entry
+    return report
+
+
 # ═══ emergence curves ═════════════════════════════════════════════════════════
 _CURVE_KEYS = {"precision", "recall", "f1", "r_value", "over_seg", "accuracy",
                "balanced_accuracy", "majority_baseline", "chance",
@@ -462,15 +528,14 @@ def flatten_metrics(nested: Mapping, prefix: str = "interp") -> dict[str, float]
     """Nested report -> {slash/joined/key: float} for curve-worthy leaves
     (random-baseline floors included — mandate d)."""
     flat: dict[str, float] = {}
-
-    def descend(node, trail):
+    stack: list[tuple[list[str], Mapping]] = [([prefix], nested)]
+    while stack:
+        trail, node = stack.pop()
         for key, value in node.items():
             if isinstance(value, Mapping):
-                descend(value, trail + [str(key)])
+                stack.append((trail + [str(key)], value))
             elif key in _CURVE_KEYS and isinstance(value, (int, float)):
                 flat["/".join(trail + [str(key)])] = float(value)
-
-    descend(nested, [prefix])
     return flat
 
 
