@@ -1,0 +1,124 @@
+"""Deterministic synthetic tone-word corpora: a learnable audio<->text map.
+
+This environment has no LibriSpeech, so the closest available analogue of the
+reference's end-to-end WER gate (reference: src/dcasr/eval/score.py:187-209 on
+real data) is an overfit gate on synthetic speech-like audio: each "word" is a
+pure tone at a word-specific frequency, utterances are short tone sequences,
+and a correctly wired train -> decode -> score pipeline must drive CTC-greedy
+WER to ~0. Any silent break in loss wiring, the optimizer, decoding, or
+scoring keeps WER high and fails the gate.
+
+Used by tests/test_overfit_gate.py (CPU) and scripts/analysis/overfit_gate.py
+(real-chip variant + N=2 router-stability runs).
+"""
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+
+from hnet_mamba_asr_tpu.data.audio import write_wav
+from hnet_mamba_asr_tpu.data.manifests import write_manifest
+
+SAMPLE_RATE = 16000
+
+# Word -> tone frequency (Hz). Spread across the mel range so every word owns
+# distinct filterbank bins even at n_mels=20.
+TONE_WORDS = {"a": 330.0, "b": 740.0, "c": 1560.0, "d": 3100.0}
+
+
+def tone_word(word: str, *, duration_s: float = 0.25,
+              sample_rate: int = SAMPLE_RATE) -> np.ndarray:
+    """One word: a ramped sine at the word's frequency."""
+    t = np.arange(int(duration_s * sample_rate)) / sample_rate
+    sig = 0.3 * np.sin(2 * np.pi * TONE_WORDS[word] * t)
+    n = len(t)
+    env = np.minimum(1.0, np.minimum(np.arange(n), np.arange(n)[::-1]) / 400.0)
+    return sig * env
+
+
+def tone_utterance(words: list[str], rng: np.random.Generator, *,
+                   gap_s: float = 0.08, noise: float = 0.01,
+                   sample_rate: int = SAMPLE_RATE) -> np.ndarray:
+    """Words separated by silence gaps, plus a low noise floor."""
+    gap = np.zeros(int(gap_s * sample_rate))
+    parts = [gap]
+    for w in words:
+        parts += [tone_word(w, sample_rate=sample_rate), gap]
+    wave = np.concatenate(parts)
+    return wave + noise * rng.standard_normal(len(wave))
+
+
+def build_tone_corpus(root: str | Path, *, n_utts: int = 24, seed: int = 0,
+                      min_words: int = 2, max_words: int = 5,
+                      dev_utts: int = 8) -> list[dict]:
+    """WAVs + manifests under ``root``: train-960 = all utts, test-clean = all
+    utts (the overfit gate scores the training data), dev-clean = a slice.
+
+    Fully determined by ``seed`` — the corpus regenerates bit-identically.
+    """
+    root = Path(root)
+    (root / "manifests").mkdir(parents=True, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    vocab = list(TONE_WORDS)
+    entries = []
+    for i in range(n_utts):
+        k = int(rng.integers(min_words, max_words + 1))
+        words = [vocab[int(j)] for j in rng.integers(0, len(vocab), size=k)]
+        wave = tone_utterance(words, rng)
+        path = root / f"u{i}.wav"
+        write_wav(path, wave, SAMPLE_RATE)
+        entries.append({"id": f"u{i}", "audio": str(path),
+                        "text": " ".join(words), "frames": len(wave)})
+    write_manifest(entries, root / "manifests" / "train-960.jsonl")
+    write_manifest(entries[:dev_utts], root / "manifests" / "dev-clean.jsonl")
+    write_manifest(entries, root / "manifests" / "test-clean.jsonl")
+    return entries
+
+
+def overfit_config(root: str | Path, *, compression_n: int = 1,
+                   max_epoch: int = 40, lr: float = 3e-3,
+                   ratio_weight: float = 0.03, d_model: int = 32,
+                   batch_bins: int = 8000, precision: str = "fp32",
+                   valid_interval: int = 10, scan_steps: int = 1) -> str:
+    """The gate config as YAML text: tiny Type A model, CTC-only, no SpecAug.
+
+    ``compression_n`` > 1 turns on real H-Net dynamic chunking (the N=2
+    router-stability runs); the ratio loss then pulls kept_fraction to ~1/N.
+    """
+    root = Path(root)
+    hnet = f"{{compression_N: {int(compression_n)}"
+    if compression_n > 1:
+        hnet += ", router_lr_mult: 0.1"
+    hnet += "}"
+    return f"""
+experiment: {{name: overfit_gate, seed: 0}}
+data:
+  manifests_dir: {root}/manifests
+  train_manifest: train-960
+  dev_splits: [dev-clean]
+  eval_splits: [test-clean]
+bpemodel: {root}/tok/bpe.model
+frontend_conf: {{sample_rate: 16000, n_mels: 20, win_length: 400, hop_length: 160,
+                 cmvn: {root}/cmvn.npz}}
+specaug_conf: null
+encoder: dcasr
+encoder_conf: {{arch_type: A, d_outer: {d_model}, d_main: {d_model}, n_enc: 1,
+                n_main: 1, n_dec: 1, d_state: 16, headdim: 16,
+                ssd_chunk_size: 32, dropout: 0.0, hnet: {hnet}}}
+head: ctc
+model_conf: {{ctc_weight: 1.0, aed_weight: 0.0, ratio_weight: {ratio_weight}}}
+batch_bins: {batch_bins}
+optim: adamw
+optim_conf: {{lr: {lr}, weight_decay: 0.0}}
+scheduler: warmuplr
+scheduler_conf: {{warmup_steps: 30}}
+train: {{max_epoch: {max_epoch}, grad_clip: 5.0, precision: {precision},
+         log_interval: 10, scan_steps: {scan_steps}}}
+eval: {{valid_interval_epoch: {valid_interval}}}
+best_model_criterion: [[valid, loss, min]]
+keep_nbest_models: 2
+decode: {{read_outs: [ctc], search: [greedy], lm: disabled, batch_bins: {batch_bins}}}
+score: {{gate_cell: ctc_greedy}}
+goal: {{sane_test_clean_wer_below: 12.0}}
+"""

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Overfit gate + N>=2 router-stability run on real hardware.
+
+The on-device variant of tests/test_overfit_gate.py: build the synthetic
+tone-word corpus, train through scripts/train.py, decode + score through the
+real scripts, and report the gate verdict. With --compression-N 2 this is the
+long-horizon H-Net stability run the reference fought hardest for (the damped
+router group — reference: src/dcasr/training/trainer.py:134-173,
+src/dcasr/models/hnet_chunk.py:226-248): several hundred steps of live
+dynamic chunking, asserting ratio loss falls toward its floor,
+kept_fraction approaches 1/N, and no loss/grad ever goes non-finite.
+
+Usage:
+    python scripts/analysis/overfit_gate.py [--cpu] [--compression-N 2]
+        [--epochs 300] [--root /tmp/overfit_gate] [--out result.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--root", default="/tmp/overfit_gate")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU platform (default: session device)")
+    ap.add_argument("--compression-N", type=int, default=1, dest="n")
+    ap.add_argument("--epochs", type=int, default=None,
+                    help="default: 40 at N=1 (1 batch/epoch), 30 at N>=2 "
+                         "(~12 batches/epoch -> several hundred steps)")
+    ap.add_argument("--batch-bins", type=int, default=None,
+                    help="default: 8000 at N=1, 1500 at N>=2")
+    ap.add_argument("--scan-steps", type=int, default=8,
+                    help="epochs are 1 batch; scan-steps groups device calls")
+    ap.add_argument("--out", default=None, help="write the result JSON here")
+    return ap.parse_args(argv)
+
+
+def run(args) -> dict:
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_test_cache_cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+    from hnet_mamba_asr_tpu.data.synthetic import build_tone_corpus, overfit_config
+    import build_tokenizer, compute_cmvn, decode as decode_script
+    import score_wer, train as train_script
+
+    root = Path(args.root)
+    root.mkdir(parents=True, exist_ok=True)
+    epochs = args.epochs or (40 if args.n == 1 else 30)
+    batch_bins = args.batch_bins or (8000 if args.n == 1 else 1500)
+    build_tone_corpus(root)
+    (root / "cfg.yaml").write_text(overfit_config(
+        root, compression_n=args.n, max_epoch=epochs,
+        valid_interval=max(5, epochs // 6), batch_bins=batch_bins,
+        scan_steps=max(1, args.scan_steps)))
+    build_tokenizer.run(["--manifests", str(root / "manifests" / "train-960.jsonl"),
+                         "--out", str(root / "tok" / "bpe"),
+                         "--vocab-size", "12", "--no-hard-limit"])
+    compute_cmvn.run(["--manifest", str(root / "manifests" / "train-960.jsonl"),
+                      "--out", str(root / "cmvn.npz"), "--n-mels", "20"])
+
+    t0 = time.time()
+    train_script.run(train_script.parse_args(
+        ["--config", str(root / "cfg.yaml"), "--exp-dir", str(root / "exp")]))
+    train_s = time.time() - t0
+
+    lines = [json.loads(l) for l in
+             (root / "exp" / "metrics.jsonl").read_text().splitlines()]
+    losses = [(m["step"], m["loss/total"]) for m in lines if "loss/total" in m]
+    ratios = [(m["step"], m["loss/ratio"]) for m in lines if "loss/ratio" in m]
+    kept = [(m["step"], m["kept_fraction"]) for m in lines if "kept_fraction" in m]
+    wers = [m["dev_dev-clean/wer"] for m in lines if "dev_dev-clean/wer" in m]
+
+    finite = all(math.isfinite(v) for _, v in losses)
+    result = {
+        "platform": jax.devices()[0].platform,
+        "compression_N": args.n, "epochs": epochs, "train_s": round(train_s, 1),
+        "steps_logged": len(losses), "all_finite": finite,
+        "loss_first": losses[0][1] if losses else None,
+        "loss_last": losses[-1][1] if losses else None,
+        "dev_wer_trajectory": wers,
+    }
+    if args.n > 1:
+        result["ratio_first"], result["ratio_last"] = ratios[0][1], ratios[-1][1]
+        result["kept_first"], result["kept_last"] = kept[0][1], kept[-1][1]
+        result["kept_target"] = 1.0 / args.n
+        # stability verdicts (the reference's N=2 divergence symptoms:
+        # exploding ratio loss / kept_fraction pinned at 1.0 / NaN)
+        result["stable"] = bool(
+            finite and result["ratio_last"] <= result["ratio_first"] + 0.05
+            and abs(result["kept_last"] - 1.0 / args.n) < 0.25)
+
+    decode_script.run(decode_script.parse_args(
+        ["--config", str(root / "cfg.yaml"),
+         "--checkpoint", str(root / "exp" / "checkpoints" / "latest.ckpt"),
+         "--splits", "test-clean", "--out-dir", str(root / "exp" / "decode")]))
+    try:
+        score_wer.run(score_wer.parse_args(
+            ["--decode-dir", str(root / "exp" / "decode"),
+             "--config", str(root / "cfg.yaml"), "--n-bootstrap", "50"]))
+        gate_exit = 0
+    except SystemExit as e:
+        gate_exit = int(e.code or 0)
+    scores = json.loads(
+        (root / "exp" / "decode" / "score" / "scores.json").read_text())
+    result["gate"] = scores["gate"]
+    result["gate_exit"] = gate_exit
+
+    print(json.dumps(result, indent=2))
+    if args.out:
+        Path(args.out).write_text(json.dumps(result, indent=2))
+    return result
+
+
+if __name__ == "__main__":
+    run(parse_args())
