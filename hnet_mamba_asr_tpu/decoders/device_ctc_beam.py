@@ -1,0 +1,300 @@
+"""Fully device-side frame-synchronous CTC prefix beam (+ in-scan LM fusion).
+
+The host prefix beam (decoders/ctc_decode.py) drives one Python iteration per
+frame — ~T device round trips per batch when fusing an LM. Here the ENTIRE
+search is one ``lax.scan`` over frames inside one jitted call (behavioral
+spec: reference src/dcasr/decoders/ctc.py:23-69, the Hannun prefix beam with
+first-pass shallow fusion).
+
+Tensorizing the prefix dict needs an exact merge rule. Per frame the host
+algorithm produces "stay" entries (one per live prefix: blank extension +
+last-label repeat) and "grow" entries (prefix + candidate label), merging
+entries whose STRINGS coincide. With a duplicate-free beam (an invariant this
+search maintains):
+
+  - two grow entries collide only via the same (parent, label) — impossible;
+  - two stay entries never collide;
+  - grow(k, c) == stay(j)  iff  prefix_j = prefix_k + [c]  — detected EXACTLY
+    by comparing token buffers (no hashing): ``len_j == len_k + 1``, the
+    first ``len_k`` tokens agree, and ``last_j == c``.
+
+So merging reduces to folding each matched grow entry's non-blank mass into
+its stay row (log-add) and deleting the grow row. Selection is one
+``lax.top_k`` over the K stay + K*P grow scores.
+
+LM fusion runs IN-SCAN: each beam row carries the LM's next-token
+distribution for its prefix plus per-row KV caches; per frame one batched
+LM step advances exactly the rows that grew (per-row cache positions, masked
+writes), and cache rows are gathered by parent after selection. One device
+call per batch replaces the host's one LM dispatch per frame.
+
+Scores accumulate in float32 on device (the host engine keeps float64):
+transcripts can differ only on ties inside the float32 noise floor —
+equivalence-fuzzed in tests/test_device_ctc_beam.py, the same discipline as
+the device AED beam.
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hnet_mamba_asr_tpu.models.aed import sinusoidal_pe
+
+NEG_INF = -1.0e9
+_JIT_CACHE: dict = {}
+
+
+# ═══ pure-function LM stepper (per-row positions, masked cache writes) ════════
+def _layer_norm(x, p, eps: float = 1e-6):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _lm_init_caches(lm, rows: int, cap: int):
+    """Empty per-layer K/V rings [rows, cap, H, dh]."""
+    dh = lm.d_model // lm.n_heads
+    return tuple((jnp.zeros((rows, cap, lm.n_heads, dh), jnp.float32),
+                  jnp.zeros((rows, cap, lm.n_heads, dh), jnp.float32))
+                 for _ in range(lm.n_layers))
+
+
+def _lm_step(lm, pe, params, caches, tokens, pos, write_mask):
+    """One cached TransformerLM step for R rows at PER-ROW positions.
+
+    tokens [R] int32 fed at cache slot ``pos`` [R] (bos occupies slot 0);
+    ``write_mask`` [R] freezes rows that did not grow this frame — their
+    caches stay untouched and their returned log-probs are discarded by the
+    caller. Numerics mirror TransformerLM.__call__ (models/lm.py): sqrt(d)
+    embed scale, sinusoidal PE, pre-LN blocks, flax-MHA query scaling,
+    approximate-GELU FFN.
+    """
+    p = params["params"]
+    H = lm.n_heads
+    dh = lm.d_model // H
+    R = tokens.shape[0]
+    ar = jnp.arange(R)
+    wm = write_mask[:, None, None]
+
+    emb = jnp.take(p["embed"]["embedding"], tokens, axis=0) * math.sqrt(lm.d_model)
+    emb = jnp.where((tokens == lm.pad_id)[:, None], 0.0, emb)
+    x = emb + jnp.take(pe, pos, axis=0)
+
+    new_caches = []
+    for i in range(lm.n_layers):
+        bp = p[f"block_{i}"]
+        at = bp["self_attn"]
+        h = _layer_norm(x, bp["norm1"])
+        q = jnp.einsum("rd,dhf->rhf", h, at["query"]["kernel"]) + at["query"]["bias"]
+        k = jnp.einsum("rd,dhf->rhf", h, at["key"]["kernel"]) + at["key"]["bias"]
+        v = jnp.einsum("rd,dhf->rhf", h, at["value"]["kernel"]) + at["value"]["bias"]
+        ck, cv = caches[i]
+        ck = ck.at[ar, pos].set(jnp.where(wm, k, ck[ar, pos]))
+        cv = cv.at[ar, pos].set(jnp.where(wm, v, cv[ar, pos]))
+        logits = jnp.einsum("rhf,rkhf->rhk", q / math.sqrt(dh), ck)
+        live = jnp.arange(ck.shape[1])[None, None, :] <= pos[:, None, None]
+        logits = jnp.where(live, logits, NEG_INF)
+        w = jax.nn.softmax(logits, axis=-1)
+        o = jnp.einsum("rhk,rkhf->rhf", w, cv).reshape(R, lm.d_model)
+        x = x + jnp.einsum("rd,dq->rq",
+                           o.reshape(R, H * dh),
+                           at["out"]["kernel"].reshape(H * dh, lm.d_model)
+                           ) + at["out"]["bias"]
+        h = _layer_norm(x, bp["norm2"])
+        ff = jax.nn.gelu(h @ bp["linear1"]["kernel"] + bp["linear1"]["bias"])
+        x = x + ff @ bp["linear2"]["kernel"] + bp["linear2"]["bias"]
+        new_caches.append((ck, cv))
+
+    logits = x @ p["out"]["kernel"] + p["out"]["bias"]
+    return jax.nn.log_softmax(logits, axis=-1), tuple(new_caches)
+
+
+# ═══ the frame-synchronous beam scan ══════════════════════════════════════════
+def _beam_scan(lp, lens, *, K: int, P: int, blank: int, lm_weight: float,
+               lm=None, lm_pe=None, lm_params=None, lm_cap: int = 0):
+    """lp [B, T, V1] float32 log-probs, lens [B]. Returns final beam state."""
+    B, T, V1 = lp.shape
+    L = T                                     # a prefix grows <= 1 label/frame
+    use_lm = lm is not None
+
+    toks0 = jnp.zeros((B, K, L), jnp.int32)
+    state = dict(
+        pb=jnp.where(jnp.arange(K)[None, :] == 0, 0.0, NEG_INF
+                     ) * jnp.ones((B, 1), jnp.float32),
+        pnb=jnp.full((B, K), NEG_INF, jnp.float32),
+        lms=jnp.zeros((B, K), jnp.float32),
+        toks=toks0, plen=jnp.zeros((B, K), jnp.int32),
+        last=jnp.full((B, K), -1, jnp.int32),
+    )
+    if use_lm:
+        rows = B * K
+        caches = _lm_init_caches(lm, rows, lm_cap)
+        bos = jnp.full((rows,), lm.bos_id, jnp.int32)
+        lm_next, caches = _lm_step(lm, lm_pe, lm_params, caches, bos,
+                                   jnp.zeros((rows,), jnp.int32),
+                                   jnp.ones((rows,), bool))
+        state["lm_next"] = lm_next.reshape(B, K, -1)
+        state["lm_caches"] = caches
+
+    def body(state, t):
+        frame = jax.lax.dynamic_slice_in_dim(lp, t, 1, axis=1)[:, 0]  # [B, V1]
+        pb, pnb, lms = state["pb"], state["pnb"], state["lms"]
+        toks, plen, last = state["toks"], state["plen"], state["last"]
+        ptot = jnp.logaddexp(pb, pnb)
+        alive = ptot > NEG_INF / 2                                     # [B, K]
+
+        # candidates: top-P non-blank labels of this frame (shared per utt)
+        cand_lp, cand = jax.lax.top_k(
+            frame.at[:, blank].set(NEG_INF), P)                        # [B, P]
+
+        # ── stay entries ─────────────────────────────────────────────────
+        stay_pb = ptot + frame[:, blank][:, None]                      # [B, K]
+        rep_lp = jnp.take_along_axis(frame, jnp.maximum(last, 0), 1)   # [B, K]
+        stay_pnb = jnp.where(plen > 0, pnb + rep_lp, NEG_INF)
+
+        # ── grow entries ─────────────────────────────────────────────────
+        same = (cand[:, None, :] == last[:, :, None]) & (plen > 0)[:, :, None]
+        base = jnp.where(same, pb[:, :, None], ptot[:, :, None])       # [B,K,P]
+        grow_pnb = jnp.where(alive[:, :, None],
+                             base + cand_lp[:, None, :], NEG_INF)
+        if use_lm:
+            lm_c = jnp.take_along_axis(state["lm_next"], cand[:, None, :]
+                                       .astype(jnp.int32), 2)          # [B,K,P]
+            grow_lms = lms[:, :, None] + lm_weight * lm_c
+        else:
+            grow_lms = jnp.broadcast_to(lms[:, :, None], grow_pnb.shape)
+
+        # ── exact merges: grow(k, c) == stay(j) ──────────────────────────
+        pos = jnp.arange(L)
+        mism = (toks[:, :, None, :] != toks[:, None, :, :]) \
+            & (pos[None, None, None, :] < plen[:, None, :, None])
+        ext = (plen[:, :, None] == plen[:, None, :] + 1) \
+            & ~mism.any(-1) & alive[:, :, None] & alive[:, None, :]    # [B,j,k]
+        merge = ext[:, :, :, None] & (cand[:, None, None, :]
+                                      == last[:, :, None, None])       # [B,j,k,P]
+        m_add = jnp.max(jnp.where(merge, grow_pnb[:, None], NEG_INF), (2, 3))
+        stay_pnb = jnp.logaddexp(stay_pnb, m_add)
+        grow_pnb = jnp.where(merge.any(1), NEG_INF, grow_pnb)
+
+        # ── select top-K over K stay + K*P grow ──────────────────────────
+        stay_score = jnp.logaddexp(stay_pb, stay_pnb) + lms
+        grow_score = jnp.where(grow_pnb > NEG_INF / 2,
+                               grow_pnb + grow_lms, NEG_INF)
+        all_scores = jnp.concatenate(
+            [grow_score.reshape(B, K * P), stay_score], 1)
+        _, top_idx = jax.lax.top_k(all_scores, K)                      # [B, K]
+        is_stay = top_idx >= K * P
+        j = jnp.where(is_stay, top_idx - K * P, 0)
+        k = jnp.where(is_stay, 0, top_idx // P)
+        c_idx = jnp.where(is_stay, 0, top_idx % P)
+        parent = jnp.where(is_stay, j, k)                              # [B, K]
+
+        gather = lambda a, idx: jnp.take_along_axis(a, idx, 1)
+        g2 = lambda a: jnp.take_along_axis(                            # [B,K,P]→
+            a.reshape(B, K * P), (k * P + c_idx), 1)
+        new_tok = gather(cand, c_idx)                                  # grown label
+        new_pb = jnp.where(is_stay, gather(stay_pb, j), NEG_INF)
+        new_pnb = jnp.where(is_stay, gather(stay_pnb, j), g2(grow_pnb))
+        new_lms = jnp.where(is_stay, gather(lms, j), g2(grow_lms))
+        par_len = gather(plen, parent)
+        par_toks = jnp.take_along_axis(toks, parent[..., None], 1)
+        grown_toks = jnp.where(
+            (pos[None, None, :] == par_len[..., None]) & ~is_stay[..., None],
+            new_tok[..., None], par_toks)
+        new_len = par_len + jnp.where(is_stay, 0, 1)
+        new_last = jnp.where(is_stay, gather(last, parent), new_tok)
+
+        # freeze utterances whose frames are exhausted
+        run = (t < lens)[:, None]
+        nxt = dict(
+            pb=jnp.where(run, new_pb, pb),
+            pnb=jnp.where(run, new_pnb, pnb),
+            lms=jnp.where(run, new_lms, lms),
+            toks=jnp.where(run[..., None], grown_toks, toks),
+            plen=jnp.where(run, new_len, plen),
+            last=jnp.where(run, new_last, last),
+        )
+
+        if use_lm:
+            # gather LM rows by parent, then ONE batched step advancing only
+            # the rows that grew (masked per-row cache writes)
+            rows = B * K
+            gpar = (parent + jnp.arange(B, dtype=jnp.int32)[:, None] * K
+                    ).reshape(rows)
+            caches = tuple((ck[gpar], cv[gpar]) for ck, cv in state["lm_caches"])
+            grew = (~is_stay & run).reshape(rows)
+            pos_r = jnp.minimum(par_len + 1, lm_cap - 1).reshape(rows)
+            write = grew & (par_len.reshape(rows) + 1 < lm_cap)
+            step_lp, caches = _lm_step(
+                lm, lm_pe, lm_params, caches,
+                jnp.where(grew, new_tok.reshape(rows), lm.pad_id), pos_r, write)
+            par_next = jnp.take_along_axis(
+                state["lm_next"], parent[..., None], 1)
+            lm_next = jnp.where(write.reshape(B, K)[..., None],
+                                step_lp.reshape(B, K, -1), par_next)
+            nxt["lm_next"] = jnp.where(run[..., None], lm_next,
+                                       state["lm_next"])
+            nxt["lm_caches"] = caches
+
+        return nxt, ()
+
+    state, _ = jax.lax.scan(body, state, jnp.arange(T))
+    score = jnp.logaddexp(state["pb"], state["pnb"]) + state["lms"]
+    best = jnp.argmax(score, axis=1)
+    toks = jnp.take_along_axis(state["toks"], best[:, None, None], 1)[:, 0]
+    blen = jnp.take_along_axis(state["plen"], best[:, None], 1)[:, 0]
+    return toks, blen
+
+
+def ctc_beam_search_device(log_probs, lengths, *, blank_id: int,
+                           beam_size: int = 10, pre_beam: int = 30,
+                           lm=None, lm_weight: float = 0.0,
+                           n_utts: int | None = None,
+                           lm_cache_cap: int = 512) -> list[list[int]]:
+    """Drop-in device engine for ctc_prefix_beam_search: log_probs [B, T, V+1],
+    lengths [B] -> one bare-id list per utterance, ONE jitted call per batch.
+
+    ``lm`` is a CausalLMScorer (its ``lm_model``/``params`` drive the in-scan
+    cached steps); fusion adds ``lm_weight * logP_LM(c | prefix)`` exactly as
+    the host engine does. LM additions freeze for prefixes longer than
+    ``lm_cache_cap`` tokens (far beyond any real transcript).
+    """
+    lp = np.asarray(log_probs, np.float32)
+    lens = np.asarray(lengths)
+    B, T, V1 = lp.shape
+    n = int(n_utts) if n_utts is not None else B
+    P = min(int(pre_beam), V1 - 1)
+    use_lm = lm is not None and lm_weight != 0.0
+    if use_lm and blank_id != V1 - 1:
+        raise ValueError("LM fusion requires blank at the last class")
+
+    if use_lm:
+        lm_model, lm_params = lm.lm_model, lm.lm_params
+        lm_cap = min(T + 1, int(lm_cache_cap))
+        pe = jnp.asarray(sinusoidal_pe(lm_cap, lm_model.d_model))
+        key = ("ctc", id(lm_model), B, T, V1, beam_size, P, blank_id,
+               float(lm_weight), lm_cap)
+        fn = _JIT_CACHE.get(key)
+        if fn is None:
+            fn = jax.jit(partial(_beam_scan, K=beam_size, P=P, blank=blank_id,
+                                 lm_weight=float(lm_weight), lm=lm_model,
+                                 lm_cap=lm_cap))
+            _JIT_CACHE[key] = fn
+        toks, blen = fn(jnp.asarray(lp), jnp.asarray(lens, jnp.int32),
+                        lm_pe=pe, lm_params=lm_params)
+    else:
+        key = ("ctc", None, B, T, V1, beam_size, P, blank_id)
+        fn = _JIT_CACHE.get(key)
+        if fn is None:
+            fn = jax.jit(partial(_beam_scan, K=beam_size, P=P, blank=blank_id,
+                                 lm_weight=0.0))
+            _JIT_CACHE[key] = fn
+        toks, blen = fn(jnp.asarray(lp), jnp.asarray(lens, jnp.int32))
+
+    toks = np.asarray(toks)
+    blen = np.asarray(blen)
+    return [toks[b, :int(blen[b])].tolist() for b in range(n)]

@@ -39,6 +39,8 @@ class CausalLMScorer:
                  pad_id: int = 3):
         self.bos_id, self.eos_id, self.pad_id = bos_id, eos_id, pad_id
         self.vocab_size = lm_model.vocab_size
+        # exposed for the device CTC beam's in-scan fusion (device_ctc_beam)
+        self.lm_model, self.lm_params = lm_model, params
 
         @jax.jit
         def _next(ids, last_pos):

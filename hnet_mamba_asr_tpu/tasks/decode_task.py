@@ -12,12 +12,14 @@ joint_beam_lm.
 TPU timing discipline: device work is fenced with ``jax.block_until_ready``
 before reading the clock (the analog of the reference's cuda-synchronize
 fencing) and per-cell search time is amortized per utterance. Decode engines,
-fastest first: the aed/joint cells default to the fully ON-DEVICE beam
-(decoders/device_beam.py, one jitted call per batch); decode.device_beam=false
-falls back to the host lockstep engine (one batched device call per global
-step, exact float64); decode.batch_beams=false falls back further to the
-serial per-utterance host loop. All three produce the same transcripts
-(equivalence-tested).
+fastest first: ALL beam cells default to fully ON-DEVICE searches (aed/joint:
+decoders/device_beam.py; ctc_beam*: decoders/device_ctc_beam.py with in-scan
+LM fusion — one jitted call per batch); decode.device_beam=false falls back
+to the host lockstep engines (one batched device call per global step for
+aed/joint, one per frame for the ctc beams; exact float64);
+decode.batch_beams=false falls back further to the serial per-utterance host
+loop for aed/joint. All engines produce the same transcripts
+(equivalence-tested; device engines may differ on float32 score ties).
 """
 from __future__ import annotations
 
@@ -376,14 +378,25 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
                                method="log_probs")
         jax.block_until_ready(logp)
         enc_s += time.perf_counter() - t0                # shared projection: amortized
-        logp_np = np.asarray(logp)
         t0 = time.perf_counter()
-        # one lockstep search over the whole batch: with LM fusion every frame
-        # makes ONE batched next_logprobs call covering all live prefixes
-        hyps = ctc_prefix_beam_search(
-            logp_np[:n_real], lengths[:n_real], blank_id=model.ctc.blank_id,
-            beam_size=beam_size, pre_beam=int(pre_beam or 30),
-            lm=use_lm, lm_weight=lm_weight)
+        if bool(dc.get("device_beam", True)):
+            # frame-synchronous search entirely on-device: ONE jitted call per
+            # batch; LM fusion runs in-scan with per-row cached LM steps
+            from hnet_mamba_asr_tpu.decoders.device_ctc_beam import (
+                ctc_beam_search_device,
+            )
+            hyps = ctc_beam_search_device(
+                logp, lengths, blank_id=model.ctc.blank_id,
+                beam_size=beam_size, pre_beam=int(pre_beam or 30),
+                lm=use_lm, lm_weight=lm_weight, n_utts=n_real)
+        else:
+            # host lockstep engine (exact float64): one Python iteration per
+            # frame; with LM fusion every frame makes ONE batched
+            # next_logprobs call covering all live prefixes in the batch
+            hyps = ctc_prefix_beam_search(
+                np.asarray(logp)[:n_real], lengths[:n_real],
+                blank_id=model.ctc.blank_id, beam_size=beam_size,
+                pre_beam=int(pre_beam or 30), lm=use_lm, lm_weight=lm_weight)
         dt = time.perf_counter() - t0
         times = [dt / max(n_real, 1)] * n_real           # amortized per utt
     else:                                                # aed / joint beam
