@@ -44,8 +44,11 @@ def _expand_groups(mat: jax.Array, n_heads: int) -> jax.Array:
 
 
 def ssd_reference(x: jax.Array, dt: jax.Array, A: jax.Array, B: jax.Array,
-                  C: jax.Array) -> jax.Array:
-    """Sequential oracle: scan over L. fp32 state. Returns y [B, L, H, P]."""
+                  C: jax.Array, initial_state: jax.Array | None = None,
+                  return_final: bool = False):
+    """Sequential oracle: scan over L. fp32 state. Returns y [B, L, H, P]
+    (or ``(y, S_final [B, H, N, P])`` with ``return_final`` — the carried
+    recurrence state for chunk-wise streaming inference)."""
     Bsz, L, H, P = x.shape
     N = B.shape[-1]
     Bh = _expand_groups(B, H).astype(jnp.float32)
@@ -62,20 +65,26 @@ def ssd_reference(x: jax.Array, dt: jax.Array, A: jax.Array, B: jax.Array,
         y_t = jnp.einsum("bhn,bhnp->bhp", C_t, S)
         return S, y_t
 
-    S0 = jnp.zeros((Bsz, H, N, P), dtype=jnp.float32)
-    _, ys = jax.lax.scan(step, S0,
-                         (xf.transpose(1, 0, 2, 3), dtf.transpose(1, 0, 2),
-                          Bh.transpose(1, 0, 2, 3), Ch.transpose(1, 0, 2, 3)))
-    return ys.transpose(1, 0, 2, 3).astype(x.dtype)     # [B, L, H, P]
+    S0 = (jnp.zeros((Bsz, H, N, P), dtype=jnp.float32) if initial_state is None
+          else initial_state.astype(jnp.float32))
+    S_final, ys = jax.lax.scan(step, S0,
+                               (xf.transpose(1, 0, 2, 3), dtf.transpose(1, 0, 2),
+                                Bh.transpose(1, 0, 2, 3), Ch.transpose(1, 0, 2, 3)))
+    y = ys.transpose(1, 0, 2, 3).astype(x.dtype)        # [B, L, H, P]
+    return (y, S_final) if return_final else y
 
 
-@partial(jax.jit, static_argnames=("chunk_size",))
+@partial(jax.jit, static_argnames=("chunk_size", "return_final"))
 def ssd_chunked(x: jax.Array, dt: jax.Array, A: jax.Array, B: jax.Array,
-                C: jax.Array, chunk_size: int = 256) -> jax.Array:
+                C: jax.Array, chunk_size: int = 256,
+                initial_state: jax.Array | None = None,
+                return_final: bool = False):
     """Chunked SSD: identical outputs to ``ssd_reference`` (fp32-accumulated).
 
     L is padded up to a multiple of ``chunk_size`` internally (dt=0 padding is
     an exact no-op for the recurrence: decay=1 and no state update).
+    ``initial_state``/``return_final`` carry the [B, H, N, P] recurrence state
+    across calls for chunk-wise streaming inference.
     """
     Bsz, L, H, P = x.shape
     Q = int(chunk_size)
@@ -132,8 +141,9 @@ def ssd_chunked(x: jax.Array, dt: jax.Array, A: jax.Array, B: jax.Array,
         S_new = d_k[..., None, None] * S_prev + S_k
         return S_new, S_prev                                      # emit state BEFORE chunk k
 
-    S0 = jnp.zeros((Bsz, H, N, P), dtype=jnp.float32)
-    _, S_before = jax.lax.scan(
+    S0 = (jnp.zeros((Bsz, H, N, P), dtype=jnp.float32) if initial_state is None
+          else initial_state.astype(jnp.float32))
+    S_final, S_before = jax.lax.scan(
         carry_step, S0,
         (states.transpose(1, 0, 2, 3, 4), chunk_decay.transpose(1, 0, 2)))
     S_before = S_before.transpose(1, 0, 2, 3, 4)                  # [B,K,H,N,P]
@@ -145,7 +155,8 @@ def ssd_chunked(x: jax.Array, dt: jax.Array, A: jax.Array, B: jax.Array,
     y_inter = y_inter * jnp.exp(ac)[..., None]
 
     y = (y_intra + y_inter).transpose(0, 1, 3, 2, 4).reshape(Bsz, Lp, H, P)
-    return y[:, :L].astype(x.dtype)
+    y = y[:, :L].astype(x.dtype)
+    return (y, S_final) if return_final else y
 
 
 def ssd(x, dt, A, B, C, chunk_size: int = 256, use_reference: bool = False,
