@@ -76,11 +76,20 @@ def main() -> None:
 
     n_chips = jax.local_device_count()
     frames_per_sec_per_chip = (B * frames) / dt / n_chips
+    # estimated MFU: analytic encoder forward FLOPs x3 (fwd + ~2x bwd; the
+    # CTC head is negligible) against the v5e bf16 peak. The step is
+    # memory-bound (measured: B=32 beats B=64 per frame), so MFU is the
+    # honest context for the frames/s headline, not a target.
+    from hnet_mamba_asr_tpu.eval.efficiency import encoder_flops
+    fwd_flops_per_frame = encoder_flops(cfg["encoder_conf"], n_mels=80,
+                                        n_frames=1000)["total"] / 1000.0
+    mfu = 3 * fwd_flops_per_frame * frames_per_sec_per_chip / 197.0e12
     print(json.dumps({
         "metric": "train_mel_frames_per_sec_per_chip",
         "value": round(frames_per_sec_per_chip, 1),
         "unit": "mel-frames/s/chip",
         "vs_baseline": round(frames_per_sec_per_chip / REF_FRAMES_PER_SEC_PER_CHIP, 3),
+        "est_mfu": round(mfu, 4),
     }))
 
 
