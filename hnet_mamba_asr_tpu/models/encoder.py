@@ -97,13 +97,15 @@ class DCASREncoder(nn.Module):
     chunk_size: int = 256          # SSD scan chunk, not the H-Net N
     dtype: Any = jnp.float32
     use_reference_scan: bool = False
+    remat_policy: str = "full"     # per-block remat: full | dots | none
 
     def setup(self):
         if self.arch_type not in ("A", "B"):
             raise ValueError(f"arch_type must be 'A' or 'B', got {self.arch_type!r}")
         stack_kw = dict(bidirectional=self.bidirectional, d_state=self.d_state,
                         headdim=self.headdim, chunk_size=self.chunk_size,
-                        dtype=self.dtype, use_reference_scan=self.use_reference_scan)
+                        dtype=self.dtype, use_reference_scan=self.use_reference_scan,
+                        remat_policy=self.remat_policy)
         dense_kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
         self.subsample = ConvSubsampling4(self.n_mels, self.d_outer, dtype=self.dtype)
         self.enc = MambaStack(self.n_enc, self.d_outer, **stack_kw)

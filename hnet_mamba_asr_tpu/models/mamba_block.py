@@ -79,12 +79,24 @@ class MambaStack(nn.Module):
     dtype: Any = jnp.float32
     use_reference_scan: bool = False
     remat: bool = True
+    remat_policy: str = "full"     # full | dots | none (encoder_conf.remat_policy)
 
     @nn.compact
     def __call__(self, x: jax.Array, lengths: jax.Array | None = None) -> jax.Array:
-        # full per-block remat: dots_saveable (keep matmul outputs) was tried
-        # and exceeds 16 GB HBM by ~0.5 GB at the 64k-frame budget
-        block_cls = nn.remat(MambaBlock) if self.remat else MambaBlock
+        # "full" = recompute everything in backward (fits the 64k-frame budget
+        # on 16 GB); "dots" = keep matmul outputs (dots_saveable — exceeds
+        # 16 GB by ~0.5 GB at 64k frames, viable at halved budgets);
+        # "none" = no remat (small models/short sequences only)
+        if not self.remat or self.remat_policy == "none":
+            block_cls = MambaBlock
+        elif self.remat_policy == "dots":
+            block_cls = nn.remat(
+                MambaBlock, policy=jax.checkpoint_policies.dots_saveable)
+        elif self.remat_policy == "full":
+            block_cls = nn.remat(MambaBlock)
+        else:
+            raise ValueError(f"unknown remat_policy {self.remat_policy!r}; "
+                             "choices: full, dots, none")
         for i in range(self.n_layers):
             x = block_cls(
                 d_model=self.d_model, bidirectional=self.bidirectional,

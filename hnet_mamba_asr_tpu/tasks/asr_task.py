@@ -56,7 +56,8 @@ def _build_dcasr_encoder(config, dtype) -> DCASREncoder:
         hnet_ema=bool(h.get("ema_smoothing", True)),
         chunker=str(h.get("chunker", "dynamic")),
         d_state=int(ec.get("d_state", 128)), headdim=int(ec.get("headdim", 64)),
-        chunk_size=int(ec.get("ssd_chunk_size", 256)), dtype=dtype)
+        chunk_size=int(ec.get("ssd_chunk_size", 256)),
+        remat_policy=str(ec.get("remat_policy", "full")), dtype=dtype)
 
 
 ENCODER_BUILDERS = {"dcasr": _build_dcasr_encoder}

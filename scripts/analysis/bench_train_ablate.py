@@ -31,15 +31,24 @@ def main():
     vocab = 500
     cfg = _small_config()
     cfg["model_conf"] = {"ctc_weight": 1.0, "aed_weight": 0.0}
-    model = build_model(cfg, vocab)
-    params0 = model.init_params(jax.random.PRNGKey(0))
+    models = {}
+
+    def get_model(policy):
+        if policy not in models:
+            c = dict(cfg, encoder_conf=dict(cfg["encoder_conf"],
+                                            remat_policy=policy))
+            models[policy] = build_model(c, vocab)
+        return models[policy]
+
+    params0 = get_model("full").init_params(jax.random.PRNGKey(0))
 
     peak_flops = 197.0e12                     # v5e bf16
     from hnet_mamba_asr_tpu.eval.efficiency import encoder_flops
     flops_per_1k = encoder_flops(cfg["encoder_conf"], n_mels=80,
                                  n_frames=1000)["total"]   # fwd FLOPs / 1k frames
 
-    def bench(B, frames, mu_dtype):
+    def bench(B, frames, mu_dtype, policy="full"):
+        model = get_model(policy)
         batch = _batch(B=B, frames=frames, n_mels=80, vocab=vocab)
         tx = optax.chain(optax.clip_by_global_norm(5.0),
                          optax.adamw(1e-3, mu_dtype=mu_dtype))
@@ -76,16 +85,24 @@ def main():
 
     print(f"device={jax.devices()[0].platform} scan={N_STEPS} "
           f"enc_fwd={flops_per_1k / 1e9:.1f} GFLOP/1k frames", flush=True)
-    variants = [(64, jnp.float32), (64, jnp.bfloat16),
-                (32, jnp.float32), (32, jnp.bfloat16)]
-    if len(sys.argv) > 2:                 # e.g. "32:bf16" or "64:fp32"
-        b_str, mu_str = sys.argv[2].split(":")
-        variants = [(int(b_str),
-                     jnp.bfloat16 if mu_str == "bf16" else jnp.float32)]
-    for B, mu in variants:
-        fps, mfu = bench(B, 1000, mu)
-        print(f"B={B:3d}x1000f mu={jnp.dtype(mu).name:9s} "
-              f"{fps / 1e3:8.1f}k frames/s/chip   MFU~{100 * mfu:.1f}%",
+    variants = [(64, jnp.float32, "full"), (64, jnp.bfloat16, "full"),
+                (32, jnp.float32, "full"), (32, jnp.bfloat16, "full")]
+    if len(sys.argv) > 2:                 # "B:mu[:policy]", comma-separated
+        variants = []
+        for spec in sys.argv[2].split(","):
+            parts = spec.split(":")
+            variants.append((int(parts[0]),
+                             jnp.bfloat16 if parts[1] == "bf16" else jnp.float32,
+                             parts[2] if len(parts) > 2 else "full"))
+    for B, mu, policy in variants:
+        try:
+            fps, mfu = bench(B, 1000, mu, policy)
+        except Exception as e:                       # e.g. OOM at dots/none
+            print(f"B={B:3d}x1000f mu={jnp.dtype(mu).name:9s} remat={policy:5s}"
+                  f" FAILED: {type(e).__name__}: {str(e)[:120]}", flush=True)
+            continue
+        print(f"B={B:3d}x1000f mu={jnp.dtype(mu).name:9s} remat={policy:5s}"
+              f" {fps / 1e3:8.1f}k frames/s/chip   MFU~{100 * mfu:.1f}%",
               flush=True)
 
 
