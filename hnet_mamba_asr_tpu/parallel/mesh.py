@@ -17,6 +17,29 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def maybe_init_distributed() -> bool:
+    """Initialize ``jax.distributed`` for a multi-host (pod) launch.
+
+    Called by the train/decode entry points BEFORE any backend use. A launch
+    is multi-host when a coordinator is configured (JAX_COORDINATOR_ADDRESS /
+    the Cloud-TPU pod env) — then ``jax.distributed.initialize()`` joins this
+    process to the job and ``jax.devices()`` becomes the GLOBAL device list,
+    so every mesh below spans the pod with no further changes. Single-host
+    runs (and this CI environment) take the no-op path. Idempotent; never
+    raises on the single-host path.
+    """
+    import os
+    if any(os.environ.get(k) for k in
+           ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")) or \
+            os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") >= 1:
+        try:
+            jax.distributed.initialize()
+            return True
+        except RuntimeError:            # already initialized
+            return True
+    return False
+
+
 def make_mesh(n_devices: int | None = None, dp_axis: str = "dp",
               tp: int = 1, tp_axis: str = "tp") -> Mesh:
     """Device mesh: 1-axis data-parallel by default; ``tp > 1`` builds a
@@ -90,18 +113,31 @@ def shard_batch(batch: dict, mesh: Mesh, dp_axis: str = "dp",
     ``batch_axis=1`` handles step-stacked batches [K, B, ...] (the Trainer's
     scan_steps path): the scan axis stays replicated, B shards over the mesh.
     Non-array entries (utterance id lists) pass through on host.
+
+    Multi-HOST (jax.process_count() > 1): each process holds only ITS
+    sampler shard, so the global array is assembled from process-local data
+    (``jax.make_array_from_process_local_data``). All processes must produce
+    the same padded batch shape per step — guaranteed when the length grid
+    snaps T and the bucketed sampler emits equal batch counts; pin
+    ``batch_bins`` tight enough that B is constant if a pod run ever trips a
+    shape-mismatch error here.
     """
     spec = P(*([None] * batch_axis + [dp_axis]))
     sh = NamedSharding(mesh, spec)
     rep = replicate(mesh)
     n_dev = mesh.devices.size
+    multi_host = jax.process_count() > 1
+    local_dev = max(1, n_dev // jax.process_count())
 
     def place(v):
         if isinstance(v, (np.ndarray, jax.Array)):
-            if (getattr(v, "ndim", 0) > batch_axis
-                    and v.shape[batch_axis] % n_dev == 0):
-                return jax.device_put(v, sh)
-            return jax.device_put(v, rep)
+            divisor = local_dev if multi_host else n_dev
+            sharded = (getattr(v, "ndim", 0) > batch_axis
+                       and v.shape[batch_axis] % divisor == 0)
+            if multi_host:
+                return jax.make_array_from_process_local_data(
+                    sh if sharded else rep, np.asarray(v))
+            return jax.device_put(v, sh if sharded else rep)
         return v
 
     return {k: place(v) for k, v in batch.items()}

@@ -33,6 +33,8 @@ def parse_args(argv=None):
 
 
 def run(args) -> None:
+    from hnet_mamba_asr_tpu.parallel.mesh import maybe_init_distributed
+    maybe_init_distributed()                 # joins a pod launch; no-op single-host
     from hnet_mamba_asr_tpu.data.dataset import ASRDataset, make_dataloader
     from hnet_mamba_asr_tpu.tasks.asr_task import build_model
     from hnet_mamba_asr_tpu.tasks.build import build_cmvn, build_tokenizer

@@ -43,6 +43,9 @@ def run(args) -> None:
 
     import jax
 
+    from hnet_mamba_asr_tpu.parallel.mesh import maybe_init_distributed
+    maybe_init_distributed()        # joins a pod launch; no-op single-host
+
     cfg = load_config(args.config, args.overrides)
     name = (cfg.get("experiment", {}) or {}).get("name", Path(args.config).stem)
     exp_dir = Path(args.exp_dir) if args.exp_dir else REPO_ROOT / "experiments" / name

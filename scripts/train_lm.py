@@ -30,6 +30,9 @@ def parse_args(argv=None):
 
 def run(args) -> None:
     import jax
+
+    from hnet_mamba_asr_tpu.parallel.mesh import maybe_init_distributed
+    maybe_init_distributed()        # joins a pod launch; no-op single-host
     from hnet_mamba_asr_tpu.tasks.build import build_tokenizer
     from hnet_mamba_asr_tpu.tasks.lm_task import build_lm, build_lm_dataloaders
     from hnet_mamba_asr_tpu.training.trainer import Trainer
