@@ -139,6 +139,195 @@ class StreamingEncoder:
         return out[lo:total_enc - w0 // 4]
 
 
+# ═══ exact-causal streaming (carried per-layer states) ════════════════════════
+def _layer_norm(x, p, eps: float = 1e-6):
+    mu = x.mean(-1, keepdims=True)
+    var = ((x - mu) ** 2).mean(-1, keepdims=True)
+    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+
+
+def _mamba2_stream(p, x, state, *, headdim: int, d_state: int,
+                   chunk_size: int):
+    """One Mamba2 layer over a chunk with carried state — numerics mirror
+    models/mamba2.Mamba2.__call__ exactly (fp32). ``state`` = {"conv":
+    [B, d_conv-1, conv_dim] xBC tail, "ssd": [B, H, N, P] recurrence state}.
+    """
+    from hnet_mamba_asr_tpu.ops.ssd import ssd_chunked
+
+    B, L, d_model = x.shape
+    kernel = p["in_proj"]["kernel"]
+    d_inner = 2 * d_model                         # expand=2 (the build default)
+    n_heads = d_inner // headdim
+    assert kernel.shape[1] == 2 * d_inner + 2 * d_state + n_heads, (
+        f"in_proj width {kernel.shape[1]} does not match expand=2 layout")
+    conv_dim = d_inner + 2 * d_state
+
+    zxbcdt = x @ kernel
+    z, xBC, dt_raw = jnp.split(zxbcdt, [d_inner, d_inner + conv_dim], axis=-1)
+
+    d_conv = p["conv_w"].shape[0]
+    conv_in = jnp.concatenate([state["conv"], xBC], axis=1)
+    conv = sum(conv_in[:, k:k + L, :] * p["conv_w"][k] for k in range(d_conv))
+    xBC_act = jax.nn.silu(conv + p["conv_b"])
+    new_conv_state = conv_in[:, -(d_conv - 1):]
+
+    xh, B_mat, C_mat = jnp.split(xBC_act, [d_inner, d_inner + d_state], axis=-1)
+    xh = xh.reshape(B, L, n_heads, headdim)
+    B_mat = B_mat.reshape(B, L, 1, d_state)
+    C_mat = C_mat.reshape(B, L, 1, d_state)
+    dt = jax.nn.softplus(dt_raw.astype(jnp.float32) + p["dt_bias"])
+    A = -jnp.exp(p["a_log"])
+
+    y, S = ssd_chunked(xh, dt, A, B_mat, C_mat, chunk_size=chunk_size,
+                       initial_state=state["ssd"], return_final=True)
+    y = y + p["d_skip"][None, None, :, None] * xh
+    y = y.reshape(B, L, d_inner)
+    gated = y.astype(jnp.float32) * jax.nn.silu(z.astype(jnp.float32))
+    rms = jax.lax.rsqrt(jnp.mean(gated ** 2, axis=-1, keepdims=True) + 1e-5)
+    y = gated * rms * p["norm_scale"]
+    out = y @ p["out_proj"]["kernel"]
+    return out, {"conv": new_conv_state, "ssd": S}
+
+
+def _stack_stream(p, x, states, *, headdim: int, d_state: int,
+                  chunk_size: int):
+    """Causal MambaStack over a chunk: pre-norm residual blocks + final LN."""
+    new_states = []
+    for i, st in enumerate(states):
+        bp = p[f"block_{i}"]
+        h = _layer_norm(x, bp["norm"])
+        y, st2 = _mamba2_stream(bp["fwd"], h, st, headdim=headdim,
+                                d_state=d_state, chunk_size=chunk_size)
+        x = x + y
+        new_states.append(st2)
+    return _layer_norm(x, p["norm"]), new_states
+
+
+class CausalStreamingEncoder:
+    """EXACT streaming for causal configs (``bidirectional: false``, Type A,
+    N=1): the conv subsampling has a finite receptive field (7 mel frames) so
+    it streams exactly by window overlap, and every Mamba2 layer carries its
+    true state (depthwise-conv tail + SSD recurrence state, via ops/ssd's
+    ``initial_state``/``return_final``) — outputs match the offline encoder
+    to numeric noise at ANY chunk size, with latency = one emission block.
+
+    Emits ``block_enc`` encoder frames per step from ``4*block_enc`` fresh mel
+    frames. For bidirectional production models use StreamingEncoder (window
+    approximation) instead; this class raises on non-streamable configs.
+    """
+
+    def __init__(self, model, params, *, block_enc: int = 16):
+        enc = model.encoder
+        if enc.bidirectional or enc.arch_type != "A" or float(enc.N) != 1.0:
+            raise ValueError(
+                "CausalStreamingEncoder requires bidirectional=false, "
+                "arch_type=A, compression_N=1 — use StreamingEncoder for "
+                "bidirectional/chunked configs")
+        self.model = model
+        self.enc_params = params["encoder"]
+        self.hop, self.win = int(model.hop), int(model.win)
+        self.E = int(block_enc)
+        self.W_mel = 4 * self.E + 4              # covers mel [4j, 4j+6] per j
+        self.d_state = int(enc.d_state)
+        self.headdim = int(enc.headdim)
+        self._spec = dict(headdim=self.headdim, d_state=self.d_state,
+                          chunk_size=max(8, self.E))
+
+        def step(params, mel, states):
+            # subsample the mel window -> exactly E encoder frames
+            sub = params["subsample"]
+            x = mel[..., None]
+            for name in ("conv1", "conv2"):
+                k, b = sub[name]["kernel"], sub[name]["bias"]
+                x = jax.lax.conv_general_dilated(
+                    x, k, (2, 2), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+                x = jax.nn.relu(x)
+            Bz, T, F, C = x.shape
+            x = x.reshape(Bz, T, F * C) @ sub["proj"]["kernel"] + sub["proj"]["bias"]
+
+            st_enc, st_main, st_dec = states
+            x_enc, st_enc = _stack_stream(params["enc"], x, st_enc, **self._spec)
+            z = x_enc @ params["proj_in"]["kernel"] + params["proj_in"]["bias"]
+            z, st_main = _stack_stream(params["main"], z, st_main, **self._spec)
+            z = z @ params["proj_out"]["kernel"] + params["proj_out"]["bias"]
+            x_out, st_dec = _stack_stream(params["dec"], x_enc + z, st_dec,
+                                          **self._spec)
+            return x_out, (st_enc, st_main, st_dec)
+
+        self._step = jax.jit(step)
+        self.reset()
+
+    def _fresh_states(self):
+        def stack_states(n_layers, d):
+            d_inner = 2 * d
+            conv_dim = d_inner + 2 * self.d_state
+            H = d_inner // self.headdim
+            return [{"conv": jnp.zeros((1, 3, conv_dim), jnp.float32),
+                     "ssd": jnp.zeros((1, H, self.d_state, self.headdim),
+                                      jnp.float32)}
+                    for _ in range(n_layers)]
+
+        enc = self.model.encoder
+        return (stack_states(enc.n_enc, enc.d_outer),
+                stack_states(enc.n_main, enc.d_main),
+                stack_states(enc.n_dec, enc.d_outer))
+
+    def reset(self) -> None:
+        self._buf = np.zeros(0, np.float32)
+        self._buf_start = 0                      # absolute sample offset
+        self._e0 = 0                             # emitted encoder frames
+        self._total = 0
+        self._states = self._fresh_states()
+
+    def _mel_ready(self) -> int:
+        return max(0, (self._total - self.win) // self.hop + 1)
+
+    def _mel_window(self, m0: int, n: int) -> np.ndarray:
+        """CMVN'd log-mel frames [m0, m0+n) (zero-padded past the audio)."""
+        from hnet_mamba_asr_tpu.ops.melspec import log_mel_spectrogram
+        s0 = m0 * self.hop
+        s1 = (m0 + n - 1) * self.hop + self.win
+        lo = s0 - self._buf_start
+        seg = self._buf[lo:lo + (s1 - s0)]
+        wave = np.zeros(s1 - s0, np.float32)
+        wave[:len(seg)] = seg
+        feats, _ = log_mel_spectrogram(wave[None], np.array([len(wave)]),
+                                       win_length=self.win, hop_length=self.hop,
+                                       n_mels=self.model.n_mels)
+        feats = np.asarray(feats)
+        if self.model.cmvn is not None:
+            feats = (feats - self.model.cmvn.mean) * self.model.cmvn.istd
+        return feats.astype(np.float32)
+
+    def _advance(self, n_valid_enc: int) -> np.ndarray:
+        mel = self._mel_window(4 * self._e0, self.W_mel)
+        out, self._states = self._step(self.enc_params, jnp.asarray(mel),
+                                       self._states)
+        self._e0 += n_valid_enc
+        keep_from = 4 * self._e0 * self.hop
+        if keep_from > self._buf_start:
+            self._buf = self._buf[keep_from - self._buf_start:]
+            self._buf_start = keep_from
+        return np.asarray(out)[0, :n_valid_enc]
+
+    def accept(self, samples) -> list[np.ndarray]:
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._buf = np.concatenate([self._buf, samples])
+        self._total += len(samples)
+        out = []
+        while self._mel_ready() >= 4 * (self._e0 + self.E) + 4:
+            out.append(self._advance(self.E))
+        return out
+
+    def finish(self) -> np.ndarray | None:
+        total_enc = subsampled_count(self._mel_ready())
+        remaining = total_enc - self._e0
+        if remaining <= 0:
+            return None
+        return self._advance(remaining)          # zero-padded tail is causal-safe
+
+
 class StreamingCTCGreedy:
     """Incremental CTC-greedy transcription over a StreamingEncoder.
 

@@ -173,6 +173,52 @@ def test_streaming_ctc_greedy_matches_offline(rng):
     assert toks == off
 
 
+def test_causal_streaming_exact(rng):
+    """bidirectional=false + carried per-layer states: streaming outputs must
+    equal the offline encoder to numeric noise at ANY block size."""
+    from hnet_mamba_asr_tpu.models.streaming import CausalStreamingEncoder
+    model, params = _tiny_model()
+    # rebuild causal
+    cfg = {
+        "encoder": "dcasr", "head": "ctc",
+        "frontend_conf": {"n_mels": 20},
+        "encoder_conf": {"d_outer": 16, "d_main": 24, "n_enc": 2, "n_main": 2,
+                         "n_dec": 1, "arch_type": "A", "d_state": 8,
+                         "headdim": 8, "ssd_chunk_size": 16,
+                         "bidirectional": False,
+                         "hnet": {"compression_N": 1}},
+        "model_conf": {"ctc_weight": 1.0, "aed_weight": 0.0},
+    }
+    model = build_model(cfg, 12)
+    params = model.init_params(jax.random.PRNGKey(1))
+    wave = rng.normal(size=19000).astype(np.float32) * 0.1
+    off = _offline(model, params, wave)
+
+    for block in (8, 16):
+        cs = CausalStreamingEncoder(model, params, block_enc=block)
+        segs = []
+        i = 0
+        r = np.random.default_rng(1)
+        while i < len(wave):
+            n = int(r.integers(700, 3500))
+            segs += cs.accept(wave[i:i + n])
+            i += n
+        tail = cs.finish()
+        if tail is not None:
+            segs.append(tail)
+        st = np.concatenate(segs, axis=0)
+        assert st.shape == off.shape, block
+        np.testing.assert_allclose(st, off, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"block={block}")
+
+
+def test_causal_streaming_rejects_bidirectional(rng):
+    from hnet_mamba_asr_tpu.models.streaming import CausalStreamingEncoder
+    model, params = _tiny_model()                  # bidirectional default
+    with pytest.raises(ValueError, match="bidirectional"):
+        CausalStreamingEncoder(model, params)
+
+
 def test_bad_frame_params_raise():
     model, params = _tiny_model()
     with pytest.raises(ValueError, match="multiple of 4"):
