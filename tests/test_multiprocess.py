@@ -142,6 +142,30 @@ def test_ranks_train_identically(monkeypatch, tmp_path):
                                   np.asarray(results[1]["w"]))
 
 
+def test_maybe_init_distributed_env_gate(monkeypatch):
+    """No coordinator env -> no-op False; coordinator set -> initialize()
+    called exactly once and True returned (idempotent on RuntimeError)."""
+    from hnet_mamba_asr_tpu.parallel import mesh as pm
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+    assert pm.maybe_init_distributed() is False
+    assert not calls
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:8476")
+    assert pm.maybe_init_distributed() is True
+    assert len(calls) == 1
+
+    def boom(*a, **k):
+        raise RuntimeError("already initialized")
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    assert pm.maybe_init_distributed() is True     # idempotent
+
+
 def test_provenance_records_process_count(monkeypatch):
     from hnet_mamba_asr_tpu.utils.provenance import collect_provenance
 
