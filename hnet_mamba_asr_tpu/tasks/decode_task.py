@@ -328,7 +328,8 @@ class AEDStepper:
 
 
 def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
-                 decode_cfg: Mapping[str, Any], lm=None, mesh=None) -> list[dict]:
+                 decode_cfg: Mapping[str, Any], lm=None, mesh=None,
+                 enc=None, enc_s: float | None = None) -> list[dict]:
     """One collated batch through one cell -> per-utt {id, ref, hyp, decode_s}.
 
     ``mesh``: optional jax.sharding.Mesh — the batch is dp-sharded across it
@@ -336,9 +337,13 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
     with tensor-sharded params (decode.tp > 1) the projections split too.
     GSPMD propagates shardings through the CTC/AED heads and the beam
     steppers, so search results are identical to single-device decode
-    (equivalence-tested on a virtual mesh)."""
+    (equivalence-tested on a virtual mesh).
+
+    ``enc``/``enc_s``: a precomputed EncoderOutput + the encoder seconds to
+    charge this cell — the shared-encoder path (decode_split_shared) encodes
+    each batch ONCE and fans it out to every cell."""
     dc = dict(decode_cfg or {})
-    if mesh is not None:
+    if mesh is not None and enc is None:
         from hnet_mamba_asr_tpu.parallel.mesh import shard_batch
         batch = shard_batch(batch, mesh)         # id lists pass through on host
     beam_size = int(dc.get("beam_size", 10))
@@ -356,10 +361,12 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
     row_mask = np.asarray(batch["row_mask"])
     n_real = int(row_mask.sum())
 
-    t0 = time.perf_counter()
-    enc = model.encode(params, batch, train=False)
-    jax.block_until_ready(enc.features)                  # fence: async dispatch
-    enc_s = time.perf_counter() - t0
+    if enc is None:
+        t0 = time.perf_counter()
+        enc = model.encode(params, batch, train=False)
+        jax.block_until_ready(enc.features)              # fence: async dispatch
+        enc_s = time.perf_counter() - t0
+    enc_s = float(enc_s or 0.0)
     lengths = np.asarray(enc.lengths)
 
     hyps: list[list[int]] = []
@@ -518,6 +525,74 @@ def decode_split(model, params, tokenizer, loader, cell, decode_cfg, *,
                "rtf": round(dec_s / aud_s, 5) if aud_s > 0 else None}
     logger.info("decoded %s: %s", out_path.name, summary)
     return summary
+
+
+def decode_split_shared(model, params, tokenizer, loader, cells, decode_cfg, *,
+                        audio_seconds: Mapping[str, float],
+                        out_dir: str | Path, split: str,
+                        lm=None, mesh=None) -> list[dict]:
+    """Decode one split through ALL cells with ONE encoder pass per batch.
+
+    The per-cell loop (decode_split) re-reads audio and re-runs the encoder
+    once per cell — 7x the encoder FLOPs and host IO for the full matrix.
+    Here each batch is encoded once and fanned out to every cell; the
+    encoder seconds are charged to each cell divided by the cell count, so
+    summed decode_s still reflects true wall time (enable with
+    ``decode.share_encoder: true``; the default per-cell path keeps the
+    reference's accounting, where every cell pays its own encoder).
+    """
+    out_dir = Path(out_dir)
+    writers = {}
+    for cell in cells:
+        path = out_dir / cell["name"] / f"{split}.jsonl"
+        path.parent.mkdir(parents=True, exist_ok=True)
+        writers[cell["name"]] = open(path, "w", encoding="utf-8")
+    totals = {c["name"]: {"n": 0, "dec_s": 0.0, "aud_s": 0.0} for c in cells}
+    try:
+        warm = None
+        for batch in loader:
+            if warm is None:                     # untimed warmup compile
+                wb = {k: v for k, v in batch.items() if k != "ids"}
+                if mesh is not None:
+                    from hnet_mamba_asr_tpu.parallel.mesh import shard_batch
+                    wb = shard_batch(wb, mesh)
+                jax.block_until_ready(
+                    model.encode(params, wb, train=False).features)
+                warm = True
+            if mesh is not None:
+                from hnet_mamba_asr_tpu.parallel.mesh import shard_batch
+                batch = shard_batch(batch, mesh)
+            t0 = time.perf_counter()
+            enc = model.encode(params, batch, train=False)
+            jax.block_until_ready(enc.features)
+            enc_s = time.perf_counter() - t0
+            for cell in cells:
+                recs = decode_batch(model, params, tokenizer, batch, cell,
+                                    decode_cfg, lm=lm, mesh=mesh,
+                                    enc=enc, enc_s=enc_s / len(cells))
+                t = totals[cell["name"]]
+                w = writers[cell["name"]]
+                for r in recs:
+                    r["audio_s"] = round(audio_seconds.get(r["id"], 0.0), 3)
+                    w.write(json.dumps(r) + "\n")
+                    t["n"] += 1
+                    t["dec_s"] += r["decode_s"]
+                    t["aud_s"] += r["audio_s"]
+    finally:
+        for w in writers.values():
+            w.close()
+    summaries = []
+    for cell in cells:
+        t = totals[cell["name"]]
+        summary = {"cell": cell["name"], "n_utts": t["n"],
+                   "decode_s": round(t["dec_s"], 3),
+                   "audio_s": round(t["aud_s"], 3),
+                   "rtf": round(t["dec_s"] / t["aud_s"], 5)
+                   if t["aud_s"] > 0 else None}
+        logger.info("decoded %s/%s (shared encoder): %s", cell["name"], split,
+                    summary)
+        summaries.append(summary)
+    return summaries
 
 
 def audio_seconds_from_manifest(manifest_path: str | Path) -> dict[str, float]:

@@ -88,11 +88,22 @@ def run(args) -> None:
         audio_s = audio_seconds_from_manifest(manifest)
         ds = ASRDataset(manifest, tokenizer, augment=False)
         loader, _ = make_dataloader(ds, batch_bins, batch_multiple=1)
-        for cell in cells:
-            out_path = out_dir / cell["name"] / f"{split}.jsonl"
-            summaries.append({"split": split, **decode_split(
-                model, params, tokenizer, loader, cell, dc,
-                audio_seconds=audio_s, out_path=out_path, lm=lm, mesh=mesh)})
+        if bool(dc.get("share_encoder", False)):
+            # one encoder pass per batch fanned out to every cell (the
+            # per-cell default keeps the reference's accounting)
+            from hnet_mamba_asr_tpu.tasks.decode_task import decode_split_shared
+            for s in decode_split_shared(model, params, tokenizer, loader,
+                                         cells, dc, audio_seconds=audio_s,
+                                         out_dir=out_dir, split=split,
+                                         lm=lm, mesh=mesh):
+                summaries.append({"split": split, **s})
+        else:
+            for cell in cells:
+                out_path = out_dir / cell["name"] / f"{split}.jsonl"
+                summaries.append({"split": split, **decode_split(
+                    model, params, tokenizer, loader, cell, dc,
+                    audio_seconds=audio_s, out_path=out_path, lm=lm,
+                    mesh=mesh)})
 
     summary = {"checkpoint": str(args.checkpoint), "weights_meta": meta,
                "cells": summaries,
