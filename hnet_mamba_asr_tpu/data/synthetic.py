@@ -80,7 +80,8 @@ def overfit_config(root: str | Path, *, compression_n: int = 1,
                    max_epoch: int = 40, lr: float = 3e-3,
                    ratio_weight: float = 0.03, d_model: int = 32,
                    batch_bins: int = 8000, precision: str = "fp32",
-                   valid_interval: int = 10, scan_steps: int = 1) -> str:
+                   valid_interval: int = 10, scan_steps: int = 1,
+                   arch_type: str = "A") -> str:
     """The gate config as YAML text: tiny Type A model, CTC-only, no SpecAug.
 
     ``compression_n`` > 1 turns on real H-Net dynamic chunking (the N=2
@@ -103,9 +104,9 @@ frontend_conf: {{sample_rate: 16000, n_mels: 20, win_length: 400, hop_length: 16
                  cmvn: {root}/cmvn.npz}}
 specaug_conf: null
 encoder: dcasr
-encoder_conf: {{arch_type: A, d_outer: {d_model}, d_main: {d_model}, n_enc: 1,
-                n_main: 1, n_dec: 1, d_state: 16, headdim: 16,
-                ssd_chunk_size: 32, dropout: 0.0, hnet: {hnet}}}
+encoder_conf: {{arch_type: {arch_type}, d_outer: {d_model}, d_main: {d_model},
+                n_enc: 1, n_main: 1, n_dec: 1, n_mid: 1, d_state: 16,
+                headdim: 16, ssd_chunk_size: 32, dropout: 0.0, hnet: {hnet}}}
 head: ctc
 model_conf: {{ctc_weight: 1.0, aed_weight: 0.0, ratio_weight: {ratio_weight}}}
 batch_bins: {batch_bins}

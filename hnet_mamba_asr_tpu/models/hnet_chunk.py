@@ -81,8 +81,12 @@ class RoutingModule(nn.Module):
                      dtype=self.dtype, param_dtype=jnp.float32, name="W_k")(x)
         k_prev = jnp.roll(k, shift=1, axis=1)            # k_{t-1}; row 0 wraps (unused)
         qf, kf = q.astype(jnp.float32), k_prev.astype(jnp.float32)
-        denom = jnp.maximum(jnp.linalg.norm(qf, axis=-1) * jnp.linalg.norm(kf, axis=-1),
-                            self.eps)
+        # clamp INSIDE the sqrt: norm() has an infinite gradient at 0, and a
+        # zero frame (e.g. an empty scatter slot feeding a Type B stage-2
+        # router) would leak 0 * inf = NaN into the backward pass even though
+        # the clamped forward value is masked out downstream
+        sq = jnp.sum(qf * qf, axis=-1) * jnp.sum(kf * kf, axis=-1)
+        denom = jnp.sqrt(jnp.maximum(sq, self.eps ** 2))
         cos = jnp.sum(qf * kf, axis=-1) / denom
         p = 0.5 * (1.0 - cos)
         p = p.at[:, 0].set(1.0)                          # first frame: boundary

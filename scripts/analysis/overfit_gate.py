@@ -34,6 +34,7 @@ def parse_args(argv=None):
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU platform (default: session device)")
     ap.add_argument("--compression-N", type=int, default=1, dest="n")
+    ap.add_argument("--arch-type", default="A", choices=["A", "B"])
     ap.add_argument("--epochs", type=int, default=None,
                     help="default: 40 at N=1 (1 batch/epoch), 30 at N>=2 "
                          "(~12 batches/epoch -> several hundred steps)")
@@ -66,7 +67,7 @@ def run(args) -> dict:
     batch_bins = args.batch_bins or (8000 if args.n == 1 else 1500)
     build_tone_corpus(root)
     (root / "cfg.yaml").write_text(overfit_config(
-        root, compression_n=args.n, max_epoch=epochs,
+        root, compression_n=args.n, max_epoch=epochs, arch_type=args.arch_type,
         valid_interval=max(5, epochs // 6), batch_bins=batch_bins,
         scan_steps=max(1, args.scan_steps)))
     build_tokenizer.run(["--manifests", str(root / "manifests" / "train-960.jsonl"),
@@ -90,7 +91,7 @@ def run(args) -> dict:
     finite = all(math.isfinite(v) for _, v in losses)
     result = {
         "platform": jax.devices()[0].platform,
-        "compression_N": args.n, "epochs": epochs, "train_s": round(train_s, 1),
+        "arch_type": args.arch_type, "compression_N": args.n, "epochs": epochs, "train_s": round(train_s, 1),
         "steps_logged": len(losses), "all_finite": finite,
         "loss_first": losses[0][1] if losses else None,
         "loss_last": losses[-1][1] if losses else None,

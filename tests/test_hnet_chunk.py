@@ -294,3 +294,25 @@ def test_chunk_bf16_long_sequence_exact(rng):
         idx = np.nonzero(bv[i] > 0.5)[0]
         np.testing.assert_array_equal(zv[i, :len(idx)], xv[i, idx])
         assert int(np.asarray(co.z_mask)[i].sum()) == len(idx)
+
+
+def test_router_zero_frames_finite_gradients(rng):
+    """Zero input frames (empty scatter slots feeding a Type B stage-2
+    router) must not leak NaN into gradients: norm() has an infinite grad at
+    0, so the clamp must live INSIDE the sqrt. Regression for the Type B N=4
+    divergence found by the overfit gate (loss/ratio -> NaN at step 1)."""
+    router = RoutingModule(d_model=8)
+    x = jnp.asarray(rng.normal(size=(2, 6, 8)).astype(np.float32))
+    x = x.at[:, 3:].set(0.0)                       # masked slots are exact zeros
+    mask = jnp.asarray(np.array([[1, 1, 1, 0, 0, 0]] * 2, bool))
+    params = router.init(jax.random.PRNGKey(0), x, mask)
+
+    def loss(pp, xx):
+        p, b = router.apply(pp, xx, mask)
+        return ratio_loss(p, b, 2.0, mask)
+
+    gp = jax.grad(loss)(params, x)
+    gx = jax.grad(loss, argnums=1)(params, x)
+    for leaf in jax.tree_util.tree_leaves(gp):
+        assert np.isfinite(np.asarray(leaf)).all()
+    assert np.isfinite(np.asarray(gx)).all()
