@@ -70,7 +70,7 @@ def _cfg(root: Path) -> Path:
     return cfg
 
 
-def _run(cfg, exp, stub, extra_env=None, timeout=60):
+def _run(cfg, exp, stub, extra_env=None, timeout=150):
     env = dict(os.environ, PYTHON=str(stub), EXP_DIR=str(exp))
     env.pop("SLURM_JOB_ID", None)
     env.pop("SLURM_RESTART_COUNT", None)
@@ -91,13 +91,13 @@ def test_usr1_drains_and_exits_tempfail(tmp_path):
                             text=True, env=env)
     # wait for training to be live (the stub writes metrics first)
     ckpt = exp / "checkpoints" / "latest.ckpt"
-    deadline = time.time() + 60
+    deadline = time.time() + 150
     while time.time() < deadline and not ckpt.exists():
         time.sleep(0.3)
     assert ckpt.exists(), "stub train never started"
     time.sleep(1.0)
     proc.send_signal(signal.SIGUSR1)
-    out, _ = proc.communicate(timeout=90)
+    out, _ = proc.communicate(timeout=180)
     assert proc.returncode == 75, out           # EX_TEMPFAIL outside SLURM
     assert "draining training" in out
     assert not (exp / "markers" / "train.done").exists(), \
@@ -118,12 +118,12 @@ def test_relaunch_resumes_and_completes(tmp_path):
                             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                             text=True, env=env)
     ckpt = exp / "checkpoints" / "latest.ckpt"
-    deadline = time.time() + 60
+    deadline = time.time() + 150
     while time.time() < deadline and not ckpt.exists():
         time.sleep(0.3)
     time.sleep(1.0)
     proc.send_signal(signal.SIGUSR1)
-    proc.communicate(timeout=90)
+    proc.communicate(timeout=180)
 
     stub_ok = _write_stub(tmp_path, "finish")
     r = _run(cfg, exp, stub_ok)
