@@ -9,10 +9,11 @@ one is reported:
 
   - 64k frames/step with full per-block remat (the reference's per-device
     budget — full remat is what 64k needs on a 16 GB chip);
-  - 32k frames/step with dots-saveable remat (the production batching of
-    configs/typeA_small_N1.yaml; accum_grad 2 keeps the global budget at 64k).
+  - 32k frames/step with the lightest remat that fits (none -> dots, the
+    production batching of configs/typeA_small_N1.yaml; accum_grad 2 keeps
+    the global budget at 64k).
 
-Within one process the 32k+dots step measures ~20% faster per frame; both are
+Within one process the 32k light-remat step measures ~20% faster per frame; both are
 measured because the transport to the chip here (an HTTP relay) drifts by
 tens of percent across MINUTES, so a single-config number is at the mercy of
 the hour while the in-process max is robust.
@@ -93,7 +94,14 @@ def main() -> None:
         return (B * 1000) / dt
 
     fps_ref_budget = measure(64, "full")
-    fps_production = measure(32, "dots")
+    for policy in ("none", "dots"):          # lightest remat that fits wins
+        try:
+            fps_production = measure(32, policy)
+            break
+        except Exception:
+            continue
+    else:
+        fps_production = 0.0
     fps = max(fps_ref_budget, fps_production)
 
     n_chips = jax.local_device_count()
@@ -106,7 +114,7 @@ def main() -> None:
         "vs_baseline": round(frames_per_sec_per_chip / REF_FRAMES_PER_SEC_PER_CHIP, 3),
         "est_mfu": round(mfu, 4),
         "b64_full_remat": round(fps_ref_budget / n_chips, 1),
-        "b32_dots_remat": round(fps_production / n_chips, 1),
+        "b32_light_remat": round(fps_production / n_chips, 1),
     }))
 
 
