@@ -55,7 +55,9 @@ def main() -> None:
     # host<->device dispatch path here has ~seconds of per-call latency, so a
     # per-step Python loop measures the launch overhead, not the chip. The
     # scan amortizes it; fetching the final loss fences the whole chain.
-    N_STEPS = 16
+    # 64 steps/call: at 16 the residual dispatch share was still ~17% of the
+    # measured step (181.8k -> 212.8k frames/s moving 16 -> 64, within-run).
+    N_STEPS = 64
 
     def measure(B: int, remat_policy: str) -> float:
         cfg = dict(base_cfg, encoder_conf=dict(base_cfg["encoder_conf"],
