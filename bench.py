@@ -100,8 +100,18 @@ def main() -> None:
         try:
             fps_production = measure(32, policy)
             break
-        except Exception:
-            continue
+        except Exception as e:
+            # Only a memory failure justifies falling through to a heavier
+            # remat policy; anything else (shape bug, import error, relay
+            # outage) must be visible, not a silent 0.0.
+            msg = f"{type(e).__name__}: {e}"
+            if not any(s in msg.upper() for s in
+                       ("RESOURCE_EXHAUSTED", "OUT OF MEMORY", "OOM",
+                        "ALLOCAT")):
+                raise
+            import sys
+            print(f"bench: remat policy '{policy}' at B=32 hit {msg[:200]}; "
+                  f"trying next policy", file=sys.stderr)
     else:
         fps_production = 0.0
     fps = max(fps_ref_budget, fps_production)

@@ -35,8 +35,14 @@ def maybe_init_distributed() -> bool:
         try:
             jax.distributed.initialize()
             return True
-        except RuntimeError:            # already initialized
-            return True
+        except RuntimeError as e:
+            # Only the idempotent re-init is benign. A coordinator
+            # connection/config failure must NOT be swallowed: every process
+            # would silently proceed single-host with process_index()==0 and
+            # recreate the multi-writer scenario the e2e script guards against.
+            if "already initialized" in str(e).lower():
+                return True
+            raise
     return False
 
 
@@ -118,9 +124,11 @@ def shard_batch(batch: dict, mesh: Mesh, dp_axis: str = "dp",
     sampler shard, so the global array is assembled from process-local data
     (``jax.make_array_from_process_local_data``). All processes must produce
     the same padded batch shape per step — guaranteed when the length grid
-    snaps T and the bucketed sampler emits equal batch counts; pin
-    ``batch_bins`` tight enough that B is constant if a pod run ever trips a
-    shape-mismatch error here.
+    snaps T and the bucketed sampler emits equal batch counts. A batch-axis
+    array whose local B is not divisible by the local device count RAISES
+    (assembling it replicated would silently disagree across hosts — each
+    process only holds its own rows); only sub-batch-rank arrays (scalars,
+    genuinely process-identical entries) take the replicated path.
     """
     spec = P(*([None] * batch_axis + [dp_axis]))
     sh = NamedSharding(mesh, spec)
@@ -129,15 +137,28 @@ def shard_batch(batch: dict, mesh: Mesh, dp_axis: str = "dp",
     multi_host = jax.process_count() > 1
     local_dev = max(1, n_dev // jax.process_count())
 
-    def place(v):
+    def place(k, v):
         if isinstance(v, (np.ndarray, jax.Array)):
+            is_batch_arr = getattr(v, "ndim", 0) > batch_axis
             divisor = local_dev if multi_host else n_dev
-            sharded = (getattr(v, "ndim", 0) > batch_axis
-                       and v.shape[batch_axis] % divisor == 0)
+            divisible = is_batch_arr and v.shape[batch_axis] % divisor == 0
             if multi_host:
+                if is_batch_arr and not divisible:
+                    raise ValueError(
+                        f"shard_batch['{k}']: local batch size "
+                        f"{v.shape[batch_axis]} (axis {batch_axis}) is not "
+                        f"divisible by the {local_dev} local devices of this "
+                        f"process ({jax.process_count()} processes, "
+                        f"{n_dev} global devices). On a multi-host run every "
+                        f"process contributes only its own sampler shard, so "
+                        f"this array cannot be assembled into a consistent "
+                        f"global batch. Pin batch_bins so B is constant and "
+                        f"divisible by local device count (or pad the batch "
+                        f"to divisibility before shard_batch)."
+                    )
                 return jax.make_array_from_process_local_data(
-                    sh if sharded else rep, np.asarray(v))
-            return jax.device_put(v, sh if sharded else rep)
+                    sh if divisible else rep, np.asarray(v))
+            return jax.device_put(v, sh if divisible else rep)
         return v
 
-    return {k: place(v) for k, v in batch.items()}
+    return {k: place(k, v) for k, v in batch.items()}

@@ -58,6 +58,15 @@ class MetricsLogger:
             for ev in self.run_dir.glob("events.out.tfevents.*"):
                 ev.unlink(missing_ok=True)
         self._jsonl = open(jsonl_path, "a")
+        if resume and jsonl_path.stat().st_size:
+            # Explicit resume marker: a resumed run may legitimately re-log
+            # steps since the last checkpoint, so writer-integrity checks
+            # (run_cell_e2e.sh) only require monotone steps WITHIN a segment
+            # between markers. Without the marker, a step collision can only
+            # mean two concurrent writers.
+            self._jsonl.write(json.dumps({"event": "resume",
+                                          "time": time.time()}) + "\n")
+            self._jsonl.flush()
         if tensorboard:
             self._tb = _tb_writer(self.run_dir)
 

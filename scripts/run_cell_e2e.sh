@@ -17,9 +17,11 @@
 #   - Device preflight: jax must actually initialize a backend (the analog of
 #     the reference's "nvidia-smi can lie" torch preflight); bad node =>
 #     requeue, bounded.
-#   - Writer-integrity check before marking train done: metrics.jsonl steps
-#     must be non-decreasing with no duplicates (the dual-writer symptom) and
-#     the checkpoint must load.
+#   - Writer-integrity check before marking train done: within each segment
+#     between explicit resume markers, metrics.jsonl steps must be
+#     non-decreasing and train-step records must be strictly increasing (a
+#     duplicate train step inside one segment = two concurrent writers); the
+#     checkpoint must load.
 #
 # Usage: scripts/run_cell_e2e.sh <config.yaml> [exp_name]
 # Env:   MAX_RESTARTS (default 5), E2E_SPLITS (default from config eval_splits)
@@ -111,22 +113,42 @@ if ! stage_done train; then
   wait "$TRAIN_PID"; E=$?
   TRAIN_PID=""
   if [[ "$E" -ne 0 ]]; then plog "TRAIN_EXIT=$E"; exit "$E"; fi
-  # writer-integrity verification before the marker: steps monotone, no
-  # duplicates (the dual-writer symptom), checkpoint loadable
+  # writer-integrity verification before the marker: per resume-marker
+  # segment, steps monotone AND train-step records strictly increasing (two
+  # writers logging the same step in lockstep is the dual-writer symptom);
+  # checkpoint loadable
   if ! "$PY" - "$EXP" "$REPO" <<'VERIFY'
 import json, sys
 from pathlib import Path
 exp = Path(sys.argv[1])
 sys.path.insert(0, sys.argv[2])
-steps = [json.loads(l)["step"] for l in
-         (exp / "metrics.jsonl").read_text().splitlines() if l.strip()]
-assert steps, "no metrics written"
-bad = [i for i in range(1, len(steps)) if steps[i] < steps[i - 1]]
-assert not bad, f"metrics.jsonl steps jump backwards at rows {bad[:5]} (dual writer?)"
+rows = [json.loads(l) for l in
+        (exp / "metrics.jsonl").read_text().splitlines() if l.strip()]
+segments, seg = [], []
+for r in rows:
+    if r.get("event") == "resume":   # resumed runs may re-log recent steps
+        segments.append(seg); seg = []
+    else:
+        seg.append(r)
+segments.append(seg)
+n_steps = 0
+for si, seg in enumerate(segments):
+    steps = [r["step"] for r in seg]
+    n_steps += len(steps)
+    bad = [i for i in range(1, len(steps)) if steps[i] < steps[i - 1]]
+    assert not bad, (
+        f"segment {si}: steps jump backwards at rows {bad[:5]} (dual writer?)")
+    tr = [r["step"] for r in seg if "loss/total" in r]
+    dup = [i for i in range(1, len(tr)) if tr[i] <= tr[i - 1]]
+    assert not dup, (
+        f"segment {si}: duplicate train step at {[tr[i] for i in dup[:5]]} "
+        f"with no resume marker — two concurrent writers?")
+assert n_steps, "no metrics written"
 from hnet_mamba_asr_tpu.training.checkpoint import load_checkpoint  # noqa: E402
 state = load_checkpoint(exp / "checkpoints" / "latest.ckpt")
 assert "params" in state and "global_step" in state
-print(f"train verified: {len(steps)} metric rows, step {state['global_step']}")
+print(f"train verified: {n_steps} metric rows across {len(segments)} "
+      f"segment(s), step {state['global_step']}")
 VERIFY
   then
     plog "TRAIN VERIFY FAILED — not marking done"

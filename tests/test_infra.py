@@ -36,8 +36,11 @@ def test_metrics_logger_resume_appends(tmp_path):
     ml = MetricsLogger(tmp_path, resume=True, tensorboard=False)
     ml.log_scalar("a", 2.0, 2)
     ml.close()
-    lines = (tmp_path / "metrics.jsonl").read_text().splitlines()
-    assert len(lines) == 2                                # appended, not truncated
+    lines = [json.loads(l) for l in
+             (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    # appended (not truncated), with an explicit resume marker between the
+    # segments so writer-integrity checks can allow re-logged steps
+    assert [l.get("event", l.get("step")) for l in lines] == [1, "resume", 2]
     assert json.loads((tmp_path / "summary.json").read_text())["x"] == 1
     # fresh run truncates
     ml = MetricsLogger(tmp_path, resume=False, tensorboard=False)
