@@ -19,6 +19,7 @@ per factor, Kaldi-style deterministic 3x data).
 from __future__ import annotations
 
 import math
+from fractions import Fraction
 from pathlib import Path
 from typing import Iterator, Sequence
 
@@ -39,6 +40,23 @@ def length_grid(value: int, *, base: int = 256, ratio: float = 1.25) -> int:
     return int(math.ceil(base * ratio ** steps))
 
 
+def perturbed_samples(n_samples: int, sample_rate: int, factor: float) -> int:
+    """EXACT output sample count of ``apply_speed_perturb`` from metadata.
+
+    Mirrors data/audio.py:resample's arithmetic term for term (same Fraction
+    reduction, same float ceil) so padded batch shapes are derivable from the
+    manifest alone — the property the multi-host row-sharded loader depends
+    on (every process must compute identical pad targets without reading the
+    other processes' audio)."""
+    if factor == 1.0:
+        return int(n_samples)
+    virtual_sr = int(round(sample_rate / float(factor)))
+    if virtual_sr == sample_rate:
+        return int(n_samples)
+    frac = Fraction(virtual_sr, sample_rate).limit_denominator(1000)
+    return int(np.ceil(n_samples * frac.numerator / frac.denominator))
+
+
 class ASRDataset:
     """Yields {wave, n_samples, tokens, id, index}; lengths known up front."""
 
@@ -55,9 +73,22 @@ class ASRDataset:
         self.factors = ([float(f) for f in speed_perturb]
                         if (augment and speed_perturb) else [1.0])
         self.items = [(i, f) for i in range(len(self.entries)) for f in self.factors]
-        self.lengths = [feat_frames(round(self.entries[i]["frames"] / f))
+        # exact per-item sample counts (metadata-only; matches the fetched
+        # wave length exactly — asserted on the row-sharded path)
+        self.samples = [perturbed_samples(self.entries[i]["frames"], sample_rate, f)
                         for i, f in self.items]
+        self.lengths = [feat_frames(s) for s in self.samples]
         self.pad_id = tokenizer.pad_id
+        self._tok_len_cache: dict[int, int] = {}
+
+    def token_len(self, item: int) -> int:
+        """Token count for item ``item`` from text alone (cached per entry)."""
+        idx, _ = self.items[item]
+        n = self._tok_len_cache.get(idx)
+        if n is None:
+            n = len(self.tokenizer.encode(self.entries[idx]["text"]))
+            self._tok_len_cache[idx] = n
+        return n
 
     def __len__(self) -> int:
         return len(self.items)
@@ -79,41 +110,66 @@ class ASRDataset:
                 "tokens": tokens, "id": uid, "index": i}
 
 
-def collate_batch(samples: Sequence[dict], *, pad_id: int, seed: int, epoch: int,
-                  batch_multiple: int = 1, snap_lengths: bool = True,
-                  token_multiple: int = 8) -> dict:
-    """Pad a list of items into a static-shape batch with row masking."""
-    B = len(samples)
+def pad_targets(n_samples_list: Sequence[int], token_lens_list: Sequence[int], *,
+                batch_multiple: int = 1, snap_lengths: bool = True,
+                token_multiple: int = 8) -> tuple[int, int, int]:
+    """(B_pad, n_pad, u_pad) for a batch, from length metadata only.
+
+    Shared by the local collate and the multi-host row-sharded loader so pad
+    targets are identical whether computed from fetched waves or from the
+    manifest (perturbed_samples keeps those two equal)."""
+    B = len(n_samples_list)
     B_pad = -(-B // batch_multiple) * batch_multiple
-    n_max = max(s["n_samples"] for s in samples)
+    n_max = max(n_samples_list)
     if snap_lengths:
         # snap the FEATURE length to the grid, then convert back to samples
         t_pad = length_grid(feat_frames(n_max))
         n_pad = (t_pad - 1) * 160 + 400
     else:
         n_pad = n_max
-    u_max = max(len(s["tokens"]) for s in samples)
+    u_max = max(token_lens_list)
     u_pad = max(-(-u_max // token_multiple) * token_multiple, token_multiple)
+    return B_pad, n_pad, u_pad
 
-    wave = np.zeros((B_pad, n_pad), dtype=np.float32)
-    wave_lens = np.zeros(B_pad, dtype=np.int32)
-    tokens = np.full((B_pad, u_pad), pad_id, dtype=np.int32)
-    token_lens = np.zeros(B_pad, dtype=np.int32)
-    indices = np.zeros(B_pad, dtype=np.int32)
-    for i, s in enumerate(samples):
-        wave[i, :s["n_samples"]] = s["wave"][:n_pad]
+
+def _fill_rows(rows: Sequence[dict | None], n_pad: int, u_pad: int, *,
+               pad_id: int, seed: int, epoch: int) -> dict:
+    """Materialize padded arrays for ``rows`` (None = padding row)."""
+    R = len(rows)
+    wave = np.zeros((R, n_pad), dtype=np.float32)
+    # wave_lens for padded rows must cover one window so the frontend is valid
+    wave_lens = np.full(R, 400, dtype=np.int32)
+    tokens = np.full((R, u_pad), pad_id, dtype=np.int32)
+    token_lens = np.zeros(R, dtype=np.int32)
+    indices = np.zeros(R, dtype=np.int32)
+    row_mask = np.zeros(R, dtype=bool)
+    ids = []
+    for i, s in enumerate(rows):
+        if s is None:
+            continue
+        wave[i, :min(s["n_samples"], n_pad)] = s["wave"][:n_pad]
         wave_lens[i] = min(s["n_samples"], n_pad)
         tokens[i, :len(s["tokens"])] = s["tokens"]
         token_lens[i] = len(s["tokens"])
         indices[i] = s["index"]
-    row_mask = np.zeros(B_pad, dtype=bool)
-    row_mask[:B] = True
-    # wave_lens for padded rows must cover one window so the frontend is valid
-    wave_lens[B:] = 400
+        row_mask[i] = True
+        ids.append(s["id"])
     return {"wave": wave, "wave_lens": wave_lens, "tokens": tokens,
             "token_lens": token_lens, "row_mask": row_mask,
             "aug_ref": np.array([seed, epoch], dtype=np.int32),
-            "item_index": indices, "ids": [s["id"] for s in samples]}
+            "item_index": indices, "ids": ids}
+
+
+def collate_batch(samples: Sequence[dict], *, pad_id: int, seed: int, epoch: int,
+                  batch_multiple: int = 1, snap_lengths: bool = True,
+                  token_multiple: int = 8) -> dict:
+    """Pad a list of items into a static-shape batch with row masking."""
+    B_pad, n_pad, u_pad = pad_targets(
+        [s["n_samples"] for s in samples], [len(s["tokens"]) for s in samples],
+        batch_multiple=batch_multiple, snap_lengths=snap_lengths,
+        token_multiple=token_multiple)
+    rows = list(samples) + [None] * (B_pad - len(samples))
+    return _fill_rows(rows, n_pad, u_pad, pad_id=pad_id, seed=seed, epoch=epoch)
 
 
 class BucketBatchSampler:
@@ -174,16 +230,37 @@ class DataLoader:
 
     ``prefetch > 0`` overlaps host IO/collate with device compute via a
     background thread and a bounded queue (order preserved; exceptions
-    re-raised on the consumer side)."""
+    re-raised on the consumer side).
+
+    ``row_shard=(rank, count)`` is the MULTI-HOST mode: the sampler must be
+    unsharded (every process iterates the identical global batch sequence)
+    and each process materializes only its contiguous row slice
+    ``[rank*B_pad/count, (rank+1)*B_pad/count)`` — pad targets are computed
+    from metadata over ALL rows, so every process produces the same padded
+    local shape and ``parallel.mesh.shard_batch`` can assemble the true
+    global batch from the per-process slices. This replaces batch-granularity
+    sharding (reference DDP: src/dcasr/data/librispeech.py:154-202, where
+    ranks may hold different shapes per step) because jit SPMD requires one
+    identical global shape on every process at every step."""
 
     def __init__(self, dataset: ASRDataset, sampler: BucketBatchSampler, *,
                  batch_multiple: int = 1, snap_lengths: bool = True,
-                 prefetch: int = 0):
+                 prefetch: int = 0, row_shard: tuple[int, int] | None = None):
         self.dataset = dataset
         self.sampler = sampler
         self.batch_multiple = batch_multiple
         self.snap_lengths = snap_lengths
         self.prefetch = int(prefetch)
+        self.row_shard = tuple(row_shard) if row_shard else None
+        if self.row_shard:
+            rank, count = self.row_shard
+            if not (0 <= rank < count):
+                raise ValueError(f"row_shard rank {rank} not in [0, {count})")
+            if batch_multiple % count:
+                raise ValueError(
+                    f"row_shard needs batch_multiple ({batch_multiple}) "
+                    f"divisible by process count ({count}) so every process "
+                    f"gets an equal row slice")
 
     def set_epoch(self, epoch: int) -> None:
         self.dataset.set_epoch(epoch)
@@ -192,12 +269,38 @@ class DataLoader:
     def __len__(self) -> int:
         return len(self.sampler)
 
+    def _fetch_checked(self, item: int, expect_samples: int) -> dict:
+        s = self.dataset[item]
+        if s["n_samples"] != expect_samples:
+            e = self.dataset.entries[self.dataset.items[item][0]]
+            raise ValueError(
+                f"{e['audio']}: audio has {s['n_samples']} samples but the "
+                f"manifest-derived expectation is {expect_samples}. On a "
+                f"row-sharded (multi-host) run pad targets come from "
+                f"metadata, so a lying manifest would silently break the "
+                f"equal-shape contract — fix the manifest 'frames' field.")
+        return s
+
     def _make(self, batch_idx) -> dict:
-        samples = [self.dataset[i] for i in batch_idx]
-        return collate_batch(samples, pad_id=self.dataset.pad_id,
-                             seed=self.dataset.seed, epoch=self.dataset.epoch,
-                             batch_multiple=self.batch_multiple,
-                             snap_lengths=self.snap_lengths)
+        if self.row_shard is None:
+            samples = [self.dataset[i] for i in batch_idx]
+            return collate_batch(samples, pad_id=self.dataset.pad_id,
+                                 seed=self.dataset.seed, epoch=self.dataset.epoch,
+                                 batch_multiple=self.batch_multiple,
+                                 snap_lengths=self.snap_lengths)
+        rank, count = self.row_shard
+        n_samps = [self.dataset.samples[i] for i in batch_idx]
+        tok_lens = [self.dataset.token_len(i) for i in batch_idx]
+        B = len(batch_idx)
+        B_pad, n_pad, u_pad = pad_targets(
+            n_samps, tok_lens, batch_multiple=self.batch_multiple,
+            snap_lengths=self.snap_lengths)
+        per = B_pad // count
+        lo = rank * per
+        rows = [self._fetch_checked(batch_idx[r], n_samps[r]) if r < B else None
+                for r in range(lo, lo + per)]
+        return _fill_rows(rows, n_pad, u_pad, pad_id=self.dataset.pad_id,
+                          seed=self.dataset.seed, epoch=self.dataset.epoch)
 
     def __iter__(self) -> Iterator[dict]:
         if self.prefetch <= 0:
@@ -233,9 +336,15 @@ class DataLoader:
 def make_dataloader(dataset: ASRDataset, max_frames: int, *, shuffle: bool = False,
                     seed: int = 0, num_replicas: int = 1, rank: int = 0,
                     batch_multiple: int = 1, snap_lengths: bool = True,
-                    prefetch: int = 0):
-    sampler = BucketBatchSampler(dataset.lengths, max_frames, num_replicas, rank,
+                    prefetch: int = 0, row_shard: bool = False):
+    """``row_shard=True`` turns (rank, num_replicas) into ROW sharding of a
+    shared global batch sequence (the multi-host contract — see DataLoader);
+    otherwise ranks take disjoint batches (single-host / host-local use)."""
+    sampler = BucketBatchSampler(dataset.lengths, max_frames,
+                                 1 if row_shard else num_replicas,
+                                 0 if row_shard else rank,
                                  shuffle=shuffle, seed=seed)
     loader = DataLoader(dataset, sampler, batch_multiple=batch_multiple,
-                        snap_lengths=snap_lengths, prefetch=prefetch)
+                        snap_lengths=snap_lengths, prefetch=prefetch,
+                        row_shard=(rank, num_replicas) if row_shard else None)
     return loader, sampler

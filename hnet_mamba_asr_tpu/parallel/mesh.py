@@ -27,13 +27,28 @@ def maybe_init_distributed() -> bool:
     so every mesh below spans the pod with no further changes. Single-host
     runs (and this CI environment) take the no-op path. Idempotent; never
     raises on the single-host path.
+
+    When JAX_NUM_PROCESSES / JAX_PROCESS_ID are also set (a manual launch —
+    e.g. the two-real-process CPU smoke, scripts/smoke_2proc.py — rather than
+    a cluster whose environment jax auto-detects), they are passed explicitly.
     """
     import os
     if any(os.environ.get(k) for k in
            ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")) or \
             os.environ.get("TPU_WORKER_HOSTNAMES", "").count(",") >= 1:
+        if jax.distributed.is_initialized():
+            # idempotent re-entry (e.g. a resume run in the same process);
+            # initialize() would raise a misleading backend-order error here
+            return True
+        kwargs = {}
+        addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            os.environ.get("COORDINATOR_ADDRESS")
+        if addr and os.environ.get("JAX_NUM_PROCESSES"):
+            kwargs = {"coordinator_address": addr,
+                      "num_processes": int(os.environ["JAX_NUM_PROCESSES"]),
+                      "process_id": int(os.environ["JAX_PROCESS_ID"])}
         try:
-            jax.distributed.initialize()
+            jax.distributed.initialize(**kwargs)
             return True
         except RuntimeError as e:
             # Only the idempotent re-init is benign. A coordinator
@@ -112,13 +127,25 @@ def place_params(params, mesh: Mesh, tp_axis: str = "tp"):
         params, specs)
 
 
+# Batch-dict entries that are process-identical metadata, never batch-major
+# (collate_batch ships [seed, epoch] as "aug_ref"). Shape-based inference
+# alone is a trap: a 2-element aug_ref on a 2-local-device mesh *looks*
+# divisible and would silently shard metadata across rows.
+REPLICATED_BATCH_KEYS = frozenset({"aug_ref"})
+
+
 def shard_batch(batch: dict, mesh: Mesh, dp_axis: str = "dp",
-                batch_axis: int = 0) -> dict:
+                batch_axis: int = 0, replicate_batch: bool = False) -> dict:
     """Place every array leaf of a host batch with its batch axis sharded.
 
     ``batch_axis=1`` handles step-stacked batches [K, B, ...] (the Trainer's
     scan_steps path): the scan axis stays replicated, B shards over the mesh.
     Non-array entries (utterance id lists) pass through on host.
+
+    ``replicate_batch=True`` places EVERY entry replicated — the multi-host
+    dev-evaluation mode: dev splits are never process-sharded (reference:
+    src/dcasr/tasks/build.py:121-129), so every process holds the identical
+    full batch and every device scores the full split.
 
     Multi-HOST (jax.process_count() > 1): each process holds only ITS
     sampler shard, so the global array is assembled from process-local data
@@ -139,7 +166,9 @@ def shard_batch(batch: dict, mesh: Mesh, dp_axis: str = "dp",
 
     def place(k, v):
         if isinstance(v, (np.ndarray, jax.Array)):
-            is_batch_arr = getattr(v, "ndim", 0) > batch_axis
+            is_batch_arr = (getattr(v, "ndim", 0) > batch_axis
+                            and k not in REPLICATED_BATCH_KEYS
+                            and not replicate_batch)
             divisor = local_dev if multi_host else n_dev
             divisible = is_batch_arr and v.shape[batch_axis] % divisor == 0
             if multi_host:

@@ -53,7 +53,12 @@ def build_dataloaders(cfg, repo_root, tokenizer, *, n_devices: int | None = None
     """Train loader (sharded across processes, augmented) + one dev loader per
     dev split. Dev is NOT process-sharded: the equal-count trim would drop the
     longest batches and bias dev WER (reference: src/dcasr/tasks/build.py:121-129);
-    every process scores the full split."""
+    every process scores the full split.
+
+    Train sharding is by ROW slice of a shared global batch sequence
+    (data/dataset.py DataLoader row_shard): unlike the reference's DDP
+    batch-granularity sharding, jit SPMD needs every process to hold an
+    identically-shaped slice of ONE global batch per step."""
     batch_bins = int(cfg["batch_bins"])
     speed = (cfg.get("train", {}) or {}).get("speed_perturb")
     train_manifest, dev_manifests = resolve_manifests(cfg, repo_root)
@@ -64,7 +69,7 @@ def build_dataloaders(cfg, repo_root, tokenizer, *, n_devices: int | None = None
     train_loader, train_sampler = make_dataloader(
         train_ds, batch_bins, shuffle=True, seed=seed,
         num_replicas=jax.process_count(), rank=jax.process_index(),
-        batch_multiple=max(1, n_dev))
+        batch_multiple=max(1, n_dev), row_shard=jax.process_count() > 1)
     dev_loaders = {}
     for name, mpath in dev_manifests.items():
         ds = ASRDataset(mpath, tokenizer, augment=False, seed=seed)

@@ -234,8 +234,16 @@ class Trainer:
                     self._commit_step(step_stats, gnorms[i], b_real)
             pending, pending_sig = [], None
 
+        import os
+        ids_log = os.environ.get("HMASR_CONSUMED_IDS")
         for batch in self.train_loader:
-            batch.pop("ids", None)
+            ids = batch.pop("ids", None)
+            if ids_log and ids is not None:
+                # per-process consumed-utterance audit trail (the 2-process
+                # smoke asserts disjoint equal-count shards actually consumed)
+                with open(ids_log, "a") as f:
+                    import json
+                    f.write(json.dumps({"epoch": self.epoch, "ids": ids}) + "\n")
             b_real = int(np.asarray(batch["row_mask"]).sum()) if "row_mask" in batch \
                 else int(batch["tokens"].shape[0])
             if self.accum_grad > 1:
@@ -306,6 +314,12 @@ class Trainer:
 
     # ---- validation over all dev splits -----------------------------------------
     def validate(self) -> dict:
+        # Multi-host: dev loaders are unsharded (every process holds the
+        # identical full split), so batches are REPLICATED over the global
+        # mesh — every device scores the full split, matching the reference's
+        # dev-unsharded rule without assembling a bogus global batch from
+        # duplicate process-local copies.
+        replicate_dev = jax.process_count() > 1
         per_split, agg = {}, {"loss": [], "wer": [], "cer": []}
         for name, loader in self.dev_loaders.items():
             ls = ws = 0.0
@@ -314,7 +328,8 @@ class Trainer:
                 ids = batch.pop("ids", None)
                 row_mask = np.asarray(batch["row_mask"])
                 b_real = int(row_mask.sum())
-                sharded = shard_batch(batch, self.mesh)
+                sharded = shard_batch(batch, self.mesh,
+                                      replicate_batch=replicate_dev)
                 loss, vstats = self._eval_loss(self.params, sharded)
                 vstats = {k: float(v) for k, v in jax.device_get(vstats).items()}
                 w = vstats.get("batch_weight", float(b_real))

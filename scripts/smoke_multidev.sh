@@ -80,6 +80,10 @@ assert any("valid/loss" in json.loads(l)
 print("[smoke] CLI run + resume OK:", root)
 EOF
 
-echo "[smoke] 3/3 unit smoke (fast subset)"
+echo "[smoke] 3/4 unit smoke (fast subset)"
 python -m pytest tests/test_trainer.py tests/test_dataset.py -q
+
+echo "[smoke] 4/4 two REAL processes (jax.distributed on the CPU backend)"
+python scripts/smoke_2proc.py
+
 echo "[smoke] ALL OK"

@@ -31,6 +31,11 @@ def parse_args(argv=None):
 
 
 def run(args) -> None:
+    # distributed init FIRST: library imports may touch the XLA backend, and
+    # jax.distributed.initialize() must run before any backend use
+    from hnet_mamba_asr_tpu.parallel.mesh import maybe_init_distributed
+    maybe_init_distributed()        # joins a pod launch; no-op single-host
+
     from hnet_mamba_asr_tpu.tasks.asr_task import build_model
     from hnet_mamba_asr_tpu.tasks.build import (
         build_cmvn, build_dataloaders, build_tokenizer,
@@ -42,9 +47,6 @@ def run(args) -> None:
     from hnet_mamba_asr_tpu.utils.provenance import collect_provenance
 
     import jax
-
-    from hnet_mamba_asr_tpu.parallel.mesh import maybe_init_distributed
-    maybe_init_distributed()        # joins a pod launch; no-op single-host
 
     cfg = load_config(args.config, args.overrides)
     name = (cfg.get("experiment", {}) or {}).get("name", Path(args.config).stem)
@@ -75,6 +77,7 @@ def run(args) -> None:
     logger.info("training %s -> %s", name, exp_dir)
     trainer.train(resume=args.resume)
     metrics.close()
+    return trainer
 
 
 if __name__ == "__main__":

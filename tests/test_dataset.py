@@ -147,3 +147,53 @@ def test_speed_perturb_expands_items(corpus):
     # expected length accounting for the sampler
     entry_frames = load_manifest(manifest)[0]["frames"]
     assert ds.lengths[0] == feat_frames(round(entry_frames / 0.9))
+
+
+def test_perturbed_samples_matches_actual_resample():
+    """The metadata-only sample-count formula must EXACTLY match what
+    apply_speed_perturb produces — the multi-host row-sharded loader derives
+    padded batch shapes from the manifest alone and a one-sample drift would
+    desynchronize processes."""
+    from hnet_mamba_asr_tpu.data.audio import apply_speed_perturb
+    from hnet_mamba_asr_tpu.data.dataset import perturbed_samples
+
+    rng = np.random.default_rng(1)
+    for n in [400, 401, 4001, 16000, 16001, 54321]:
+        wave = rng.normal(size=n).astype(np.float32)
+        for f in (0.9, 1.0, 1.1):
+            out = apply_speed_perturb(wave, 16000, f)
+            assert len(out) == perturbed_samples(n, 16000, f), (n, f)
+
+
+def test_row_shard_slices_assemble_to_global_batch(corpus):
+    """Two row-sharded loaders' local arrays, concatenated in rank order,
+    must equal the unsharded loader's padded global batch bit-for-bit."""
+    manifest, tok = corpus
+    def mk(row_shard):
+        ds = ASRDataset(manifest, tok, augment=False)
+        return make_dataloader(ds, max_frames=2500, batch_multiple=2,
+                               row_shard=row_shard is not None,
+                               rank=row_shard[0] if row_shard else 0,
+                               num_replicas=row_shard[1] if row_shard else 1)[0]
+
+    full = list(mk(None))
+    shards = [list(mk((r, 2))) for r in range(2)]
+    assert len(shards[0]) == len(shards[1]) == len(full)
+    for fb, b0, b1 in zip(full, *shards):
+        for key in ("wave", "wave_lens", "tokens", "token_lens", "row_mask",
+                    "item_index"):
+            np.testing.assert_array_equal(
+                np.concatenate([b0[key], b1[key]], axis=0), fb[key], err_msg=key)
+        np.testing.assert_array_equal(b0["aug_ref"], fb["aug_ref"])
+        assert b0["ids"] + b1["ids"] == fb["ids"]
+
+
+def test_row_shard_rejects_lying_manifest(corpus):
+    manifest, tok = corpus
+    ds = ASRDataset(manifest, tok, augment=False)
+    ds.entries[0] = dict(ds.entries[0], frames=ds.entries[0]["frames"] + 7)
+    ds.samples = [s + 7 for s in ds.samples]          # simulate stale metadata
+    sampler = BucketBatchSampler(ds.lengths, 100000)
+    loader = DataLoader(ds, sampler, batch_multiple=2, row_shard=(0, 2))
+    with pytest.raises(ValueError, match="manifest"):
+        list(loader)

@@ -52,9 +52,12 @@ def test_sampler_shards_disjoint_equal():
 
 
 def test_build_dataloaders_shard_train_not_dev(monkeypatch, tmp_path):
-    """Under a faked 2-process world, ranks see DISJOINT train batches but the
-    IDENTICAL full dev split (reference: src/dcasr/tasks/build.py:121-129 —
-    the equal-count trim would bias dev WER)."""
+    """Under a faked 2-process world, ranks iterate the SAME global batch
+    sequence with identical padded shapes but DISJOINT row slices (the
+    row-shard contract jit SPMD needs — unlike the reference's DDP
+    batch-granularity shards); the dev split stays identical and full
+    (reference: src/dcasr/tasks/build.py:121-129 — the equal-count trim
+    would bias dev WER)."""
     from hnet_mamba_asr_tpu.data.synthetic import build_tone_corpus
     from hnet_mamba_asr_tpu.data.tokenizer import Tokenizer
     from hnet_mamba_asr_tpu.tasks.build import build_dataloaders
@@ -72,14 +75,20 @@ def test_build_dataloaders_shard_train_not_dev(monkeypatch, tmp_path):
     for rank in (0, 1):
         _fake_procs(monkeypatch, rank, 2)
         train_loader, sampler, dev_loaders = build_dataloaders(
-            cfg, tmp_path, tok, n_devices=1, seed=0)
-        per_rank_train.append([tuple(b) for b in sampler])
+            cfg, tmp_path, tok, n_devices=2, seed=0)
+        per_rank_train.append([(b["wave"].shape, b["row_mask"].sum(),
+                                tuple(b["ids"])) for b in train_loader])
         dev_ids = [tuple(batch["ids"]) for batch in dev_loaders["dev-clean"]]
         per_rank_dev.append(dev_ids)
 
-    t0, t1 = (set(i for b in s for i in b) for s in per_rank_train)
-    assert t0 and t1 and not (t0 & t1), "train shards must be disjoint"
-    assert len(per_rank_train[0]) == len(per_rank_train[1])
+    assert len(per_rank_train[0]) == len(per_rank_train[1]) > 0
+    for (sh0, _, ids0), (sh1, _, ids1) in zip(*per_rank_train):
+        assert sh0 == sh1, "padded local shapes must be identical per step"
+        assert not (set(ids0) & set(ids1)), "row slices must be disjoint"
+    t0, t1 = (set(i for _, _, ids in s for i in ids) for s in per_rank_train)
+    assert t0 and t1 and not (t0 & t1)
+    assert t0 | t1 == {e["id"] for e in entries}, \
+        "union of row shards must cover the corpus"
     assert per_rank_dev[0] == per_rank_dev[1], "dev must be identical (unsharded)"
     dev_utts = set(i for b in per_rank_dev[0] for i in b)
     assert dev_utts == {f"u{i}" for i in range(8)}, "dev must cover the full split"

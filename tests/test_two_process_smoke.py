@@ -1,0 +1,26 @@
+"""CI wrapper for the two-REAL-process distributed smoke.
+
+Launches scripts/smoke_2proc.py, which spawns two OS processes that join one
+jax.distributed job on the CPU backend (2 virtual devices each -> 4 global)
+and drive the REAL train/decode entry points. The parent process asserts the
+multi-host contracts (disjoint consumed row-shards, bit-identical params,
+process-0-only writers, provenance process_count==2, identical decodes) —
+see scripts/smoke_2proc.py for the full list. This is the executable version
+of the reference's smoke_2gpu.sh (reference: scripts/slurm/smoke_2gpu.sh);
+tests/test_multiprocess.py keeps the fast monkeypatched variants.
+"""
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_two_process_smoke(tmp_path):
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "smoke_2proc.py"),
+         "--root", str(tmp_path / "smoke2p"), "--timeout", "840"],
+        capture_output=True, text=True, timeout=900)
+    tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-40:])
+    assert proc.returncode == 0, f"smoke_2proc failed:\n{tail}"
+    assert "ALL ASSERTS PASSED" in proc.stdout, tail
