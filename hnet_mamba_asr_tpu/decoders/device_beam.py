@@ -50,13 +50,19 @@ def _pow2_bucket(n: int, lo: int = 8) -> int:
     return b
 
 
-def _ctc_prefix_batch(ctc_logp, r_prev, cand, last_tok, t, blank):
-    """In-scan CTC prefix scoring for every (row, candidate) at beam step t.
+def _ctc_prefix_psi(ctc_logp, r_prev, cand, last_tok, t, blank):
+    """CTC prefix SELECTION scores for every (row, candidate) at beam step t.
+
+    The insight that makes the joint beam cheap on TPU: the selection score
+    psi does not depend on the grown prefix's own forward state — only on the
+    parent's carried ``r_prev`` — so it is a pure log-sum REDUCTION over
+    frames (log-depth on device), not a sequential recursion:
+
+        psi = psi_0  ⊕  logsumexp_{tt >= start} ( phi[tt-1] + x[tt] )
 
     ctc_logp [B, T, W] (frames past each utterance's length are padded to
     blank=0 / labels=CTC_LOG0, which freezes the recursion); r_prev
-    [B, R, T, 2] per-row forward state; cand [B, R, C]. Returns
-    (psi [B, R, C] absolute prefix scores, r_new [B, R, C, T, 2]).
+    [B, R, T, 2]; cand [B, R, C]. Returns (psi [B, R, C], eos_psi [B, R]).
     Mirrors CTCPrefixScorer.score (decoders/joint.py) with out_len = t."""
     B, T, W = ctc_logp.shape
     R, C = cand.shape[1], cand.shape[2]
@@ -67,36 +73,71 @@ def _ctc_prefix_batch(ctc_logp, r_prev, cand, last_tok, t, blank):
     same = (cand == last_tok[..., None]) & (t > 0)             # [B, R, C]
     phi = jnp.where(same[..., None], r_prev[:, :, None, :, 1],
                     r_sum[:, :, None, :])                      # [B, R, C, T]
-    blank_lp = ctc_logp[:, :, blank]                           # [B, T]
 
     start = jnp.maximum(t, 1)
-    r0_0 = jnp.where(t == 0, xs[..., 0], CTC_LOG0)             # [B, R, C]
-    r1_0 = jnp.full_like(r0_0, CTC_LOG0)
-    psi_0 = r0_0
-
-    xs_t = jnp.moveaxis(xs, -1, 0)                             # [T, B, R, C]
-    phi_t = jnp.moveaxis(phi, -1, 0)
-    blank_t = jnp.moveaxis(blank_lp, -1, 0)                    # [T, B]
-
-    def step(carry, inp):
-        r0p, r1p, psi = carry
-        tt, x_t, phi_prev, b_t = inp
-        act = tt >= start
-        r0t = jnp.where(act, jnp.logaddexp(r0p, phi_prev) + x_t, CTC_LOG0)
-        r1t = jnp.where(act, jnp.logaddexp(r0p, r1p)
-                        + b_t[:, None, None], CTC_LOG0)
-        psi = jnp.where(act, jnp.logaddexp(psi, phi_prev + x_t), psi)
-        return (r0t, r1t, psi), (r0t, r1t)
-
-    (_, _, psi), (r0s, r1s) = jax.lax.scan(
-        step, (r0_0, r1_0, psi_0),
-        (jnp.arange(1, T), xs_t[1:], phi_t[:-1], blank_t[1:]))
-    r0 = jnp.concatenate([r0_0[None], r0s], 0)                 # [T, B, R, C]
-    r1 = jnp.concatenate([r1_0[None], r1s], 0)
-    r_new = jnp.stack([r0, r1], -1).transpose(1, 2, 3, 0, 4)   # [B,R,C,T,2]
+    act = jnp.arange(1, T) >= start                            # [T-1]
+    contrib = jnp.where(act, phi[..., :-1] + xs[..., 1:], CTC_LOG0)
+    psi_0 = jnp.where(t == 0, xs[..., 0], CTC_LOG0)            # [B, R, C]
+    psi = jnp.logaddexp(psi_0, jax.nn.logsumexp(contrib, axis=-1))
     psi = jnp.where(cand == -1, CTC_LOG0, psi)                 # unused slots
     eos_psi = r_sum[:, :, -1]                                  # prefix itself
-    return psi, r_new, eos_psi
+    return psi, eos_psi
+
+
+def _ctc_advance_r(ctc_logp, r_par, tok, last_par, t, blank):
+    """Advance the carried CTC forward state for the R SELECTED winners only.
+
+    Growing a prefix by one label requires its forward variables at every
+    frame; the Graves recursion
+
+        r0[tt] = x[tt] + logaddexp(r0[tt-1], phi[tt-1])
+        r1[tt] = b[tt] + logaddexp(r0[tt-1], r1[tt-1])
+
+    is an affine recurrence over the log semiring, evaluated here as a
+    log-depth ``lax.associative_scan`` of 2x2 lower-triangular transfer
+    matrices instead of a T-step sequential ``lax.scan`` — the sequential
+    form cost ~T tiny dispatch-bound steps per beam step and dominated the
+    joint cell's RTF. r_par/last_par are the PARENT rows' state (gathered by
+    the caller); tok [B, R]. Returns r_new [B, R, T, 2]."""
+    B, T, W = ctc_logp.shape
+    R = tok.shape[1]
+    idx = jnp.broadcast_to(tok[:, None, :], (B, T, R))
+    xs = jnp.take_along_axis(ctc_logp, jnp.minimum(idx, W - 1), 2)
+    xs = jnp.moveaxis(xs, 1, 0)                                # [T, B, R]
+    r_sum = jnp.logaddexp(r_par[..., 0], r_par[..., 1])        # [B, R, T]
+    same = (tok == last_par) & (t > 0)                         # [B, R]
+    phi = jnp.where(same[..., None], r_par[..., 1], r_sum)     # [B, R, T]
+    blank_lp = jnp.broadcast_to(ctc_logp[:, :, blank][:, :, None], (B, T, R))
+    b_t = jnp.moveaxis(blank_lp, 0, 1)                         # [T, B, R]
+    phi_t = jnp.moveaxis(phi, -1, 0)                           # [T, B, R]
+
+    start = jnp.maximum(t, 1)
+    tt = jnp.arange(T)[:, None, None]
+    act = tt >= start                                          # [T, 1, 1]
+    log0 = jnp.full((T, B, R), CTC_LOG0)
+    # transfer elements (a01 is identically log-zero and closed under
+    # composition, so only a00/a10/a11 + the affine term (u0, u1) are carried)
+    a00 = jnp.where(act, xs, CTC_LOG0)
+    a10 = jnp.where(act, b_t, CTC_LOG0)
+    a11 = jnp.where(act, b_t, CTC_LOG0)
+    u0 = jnp.where(act, jnp.roll(phi_t, 1, axis=0) + xs, CTC_LOG0)
+    # tt == 0 row: r0_0 = xs[0] iff this is the first label, no matrix part
+    u0 = jnp.where(tt == 0, jnp.where(t == 0, xs, CTC_LOG0), u0)
+    u1 = log0
+
+    def combine(left, right):
+        la00, la10, la11, lu0, lu1 = left
+        ra00, ra10, ra11, ru0, ru1 = right
+        c00 = ra00 + la00
+        c10 = jnp.logaddexp(ra10 + la00, ra11 + la10)
+        c11 = ra11 + la11
+        v0 = jnp.logaddexp(ra00 + lu0, ru0)
+        v1 = jnp.logaddexp(jnp.logaddexp(ra10 + lu0, ra11 + lu1), ru1)
+        return c00, c10, c11, v0, v1
+
+    _, _, _, r0, r1 = jax.lax.associative_scan(
+        combine, (a00, a10, a11, u0, u1), axis=0)
+    return jnp.stack([r0, r1], -1).transpose(1, 2, 0, 3)       # [B, R, T, 2]
 
 
 def _beam_scan(aed, params, memory, memory_lengths, max_steps, ctc_logp, *,
@@ -172,7 +213,7 @@ def _beam_scan(aed, params, memory, memory_lengths, max_steps, ctc_logp, *,
             lp_c = jnp.concatenate([lp_top, lp[:, :, eos][..., None]], -1)
             C = pre + 1
             dup = has_eos[..., None] & (jnp.arange(C) == pre)
-            psi, r_new, eos_psi = _ctc_prefix_batch(
+            psi, eos_psi = _ctc_prefix_psi(
                 ctc_logp, state["r_state"], cand, state["last_tok"], t, blank)
             psi = jnp.where(cand == eos, eos_psi[..., None], psi)
             new_aed = state["alive_aed"][..., None] + lp_c
@@ -245,9 +286,12 @@ def _beam_scan(aed, params, memory, memory_lengths, max_steps, ctc_logp, *,
         logp2 = logp2.reshape(B, R, V)
 
         if use_ctc:
-            r_sel = jnp.take_along_axis(
-                r_new.reshape(B, sel_space, *r_new.shape[3:]),
-                top_idx[..., None, None], 1)                  # [B, R, T, 2]
+            # advance the forward state for the R winners only (the C-wide
+            # candidate set never needs r — psi above was a pure reduction)
+            r_par = jnp.take_along_axis(
+                state["r_state"], parent[..., None, None], 1)  # [B, R, T, 2]
+            last_par = jnp.take_along_axis(state["last_tok"], parent, 1)
+            r_sel = _ctc_advance_r(ctc_logp, r_par, tok, last_par, t, blank)
             fin_ctc = jnp.logaddexp(r_sel[:, :, -1, 0], r_sel[:, :, -1, 1])
         else:
             fin_ctc = jnp.zeros((B, R), jnp.float32)
