@@ -59,6 +59,8 @@ def main() -> None:
     # measured step (181.8k -> 212.8k frames/s moving 16 -> 64, within-run).
     N_STEPS = 64
 
+    COST = {}                       # per-(B, policy) XLA cost analysis
+
     def measure(B: int, remat_policy: str) -> float:
         cfg = dict(base_cfg, encoder_conf=dict(base_cfg["encoder_conf"],
                                                remat_policy=remat_policy))
@@ -93,6 +95,22 @@ def main() -> None:
             params, opt_state, loss = run_steps(params, opt_state, batch)
             _ = float(loss)
             dt = min(dt, (time.perf_counter() - t0) / N_STEPS)
+        try:
+            # XLA's own estimate of HBM traffic + executed FLOPs: the
+            # roofline numerators (scripts/analysis/roofline.py is the full
+            # per-variant accounting)
+            cost = run_steps.lower(params, opt_state, batch).compile() \
+                .cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0] if cost else {}
+            COST[(B, remat_policy)] = {
+                "bytes_per_step": float(cost.get("bytes accessed", 0.0)) / N_STEPS,
+                "flops_per_step": float(cost.get("flops", 0.0)) / N_STEPS,
+                "step_s": dt,
+                "fps": (B * 1000) / dt,
+            }
+        except Exception:  # noqa: BLE001 - cost analysis is best-effort
+            pass
         return (B * 1000) / dt
 
     fps_ref_budget = measure(64, "full")
@@ -119,7 +137,7 @@ def main() -> None:
     n_chips = jax.local_device_count()
     frames_per_sec_per_chip = fps / n_chips
     mfu = 3 * fwd_flops_per_frame * frames_per_sec_per_chip / 197.0e12
-    print(json.dumps({
+    out = {
         "metric": "train_mel_frames_per_sec_per_chip",
         "value": round(frames_per_sec_per_chip, 1),
         "unit": "mel-frames/s/chip",
@@ -127,7 +145,16 @@ def main() -> None:
         "est_mfu": round(mfu, 4),
         "b64_full_remat": round(fps_ref_budget / n_chips, 1),
         "b32_light_remat": round(fps_production / n_chips, 1),
-    }))
+    }
+    if COST:
+        # roofline fractions for the WINNING config, from XLA's cost model
+        # (bytes accessed / wall time vs the v5e 819 GB/s HBM peak)
+        win = max(COST.values(), key=lambda c: c["fps"])
+        out["hbm_bw_frac"] = round(
+            win["bytes_per_step"] / win["step_s"] / 819.0e9, 4)
+        out["xla_mfu"] = round(
+            win["flops_per_step"] / win["step_s"] / 197.0e12, 4)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -9,11 +9,14 @@ chunk takes the majority label over its fine-frame span. ARPA stress digits
 collapse (AH0 -> AH); 'spn' (OOV) and silence stay unlabeled; the word probe
 restricts to the top-K most frequent TRAINING words with coverage reported.
 
-Backends: 'sklearn' (the verified reference implementation) or 'lbfgs' —
-scipy L-BFGS-B minimizing sklearn's EXACT convex objective
-0.5*||W||^2 + C * sum_i CE_i (bias unpenalized, fp64, gtol 1e-4). Convexity
-gives a unique optimum, so the two backends agree; 'jax'/'torch'/'scipy'
-config values alias to 'lbfgs'.
+Backends (all minimizing sklearn's EXACT convex objective
+0.5*||W||^2 + C * sum_i CE_i, bias unpenalized — convexity gives a unique
+optimum, so they agree):
+  - 'sklearn': the verified reference implementation (host CPU);
+  - 'lbfgs':   scipy L-BFGS-B (host CPU, fp64, gtol 1e-4); 'scipy' aliases;
+  - 'jax':     jitted optax.lbfgs on the accelerator — the TPU analog of the
+               reference's ~135x torch-LBFGS GPU backend (reference:
+               src/dcasr/interp/probes.py:189-236); 'torch' aliases here.
 """
 from __future__ import annotations
 
@@ -228,7 +231,70 @@ def _lbfgs_fit(X_train, y_train, X_test, *, max_iter: int, C: float):
     return np.asarray([classes[i] for i in scores.argmax(axis=1)]), int(sol.nit)
 
 
-_BACKEND_ALIASES = {"jax": "lbfgs", "torch": "lbfgs", "scipy": "lbfgs"}
+def _jax_lbfgs_fit(X_train, y_train, X_test, *, max_iter: int, C: float):
+    """Device-side L-BFGS on sklearn's exact multinomial objective — the TPU
+    analog of the reference's ~135x torch-LBFGS GPU backend (reference:
+    src/dcasr/interp/probes.py:189-236, README.md:175).
+
+    One jitted ``lax.while_loop`` of optax.lbfgs steps (zoom linesearch)
+    runs entirely on device; the convex objective has a unique optimum, so
+    predictions match sklearn (parity-tested to the reference's own 2e-5
+    bar on predicted probabilities). Stops at inf-norm(grad) < 1e-5 (tighter
+    than scipy L-BFGS-B's 1e-4 gtol — fp32 needs the extra slack consumed to
+    hold the 2e-5 probability parity) or ``max_iter``."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import optax.tree_utils as otu
+
+    classes = sorted(set(y_train))
+    index = {c: i for i, c in enumerate(classes)}
+    X = jnp.asarray(np.asarray(X_train, dtype=np.float32))
+    y = jnp.asarray([index[c] for c in y_train])
+    n, d = X.shape
+    k = len(classes)
+
+    def objective(theta):
+        W = theta[:d * k].reshape(d, k)
+        bias = theta[d * k:]
+        z = X @ W + bias
+        nll = (jax.nn.logsumexp(z, axis=1)
+               - jnp.take_along_axis(z, y[:, None], 1)[:, 0]).sum()
+        return 0.5 * (W ** 2).sum() + C * nll
+
+    opt = optax.lbfgs()
+    value_and_grad = optax.value_and_grad_from_state(objective)
+
+    def step(carry):
+        theta, state = carry
+        value, grad = value_and_grad(theta, state=state)
+        updates, state = opt.update(grad, state, theta, value=value,
+                                    grad=grad, value_fn=objective)
+        return optax.apply_updates(theta, updates), state
+
+    def continuing(carry):
+        _, state = carry
+        count = otu.tree_get(state, "count")
+        grad = otu.tree_get(state, "grad")
+        return (count == 0) | ((count < max_iter)
+                               & (jnp.abs(grad).max() >= 1e-5))
+
+    @jax.jit
+    def fit():
+        theta0 = jnp.zeros(d * k + k, jnp.float32)
+        theta, state = jax.lax.while_loop(
+            continuing, step, (theta0, opt.init(theta0)))
+        return theta, otu.tree_get(state, "count")
+
+    theta, n_iter = fit()
+    W = np.asarray(theta[:d * k]).reshape(d, k)
+    bias = np.asarray(theta[d * k:])
+    scores = np.asarray(X_test, dtype=np.float32) @ W + bias
+    return (np.asarray([classes[i] for i in scores.argmax(axis=1)]),
+            int(n_iter))
+
+
+_BACKEND_ALIASES = {"torch": "jax", "scipy": "lbfgs"}
 
 
 def train_probe(X_train, y_train, X_test, y_test, *, max_iter: int = 200,
@@ -241,8 +307,9 @@ def train_probe(X_train, y_train, X_test, y_test, *, max_iter: int = 200,
     from sklearn.metrics import balanced_accuracy_score
 
     backend = _BACKEND_ALIASES.get(backend, backend)
-    if backend not in ("sklearn", "lbfgs"):
-        raise ValueError(f"backend must be 'sklearn' or 'lbfgs', got {backend!r}")
+    if backend not in ("sklearn", "lbfgs", "jax"):
+        raise ValueError(
+            f"backend must be 'sklearn', 'lbfgs' or 'jax', got {backend!r}")
     seen_classes = set(y_train)
     if len(seen_classes) < 2:
         raise ValueError(f"probe needs >= 2 training classes, got {len(seen_classes)}")
@@ -252,7 +319,7 @@ def train_probe(X_train, y_train, X_test, y_test, *, max_iter: int = 200,
     y_test = [y_test[i] for i in keep]
     if not y_train or not y_test:
         raise ValueError("empty probe train or test set")
-    if backend == "lbfgs" and len(seen_classes) == 2:
+    if backend in ("lbfgs", "jax") and len(seen_classes) == 2:
         # sklearn's 2-class model is a BINARY sigmoid (one penalized weight
         # vector) — a different regularized optimum than a 2-column softmax.
         # Binary fits are cheap; stay on the reference backend.
@@ -263,6 +330,9 @@ def train_probe(X_train, y_train, X_test, y_test, *, max_iter: int = 200,
         model.fit(np.asarray(X_train), y_train)
         predictions = model.predict(np.asarray(X_test))
         n_iter = int(np.max(model.n_iter_))
+    elif backend == "jax":
+        predictions, n_iter = _jax_lbfgs_fit(X_train, y_train, X_test,
+                                             max_iter=max_iter, C=C)
     else:
         predictions, n_iter = _lbfgs_fit(X_train, y_train, X_test,
                                          max_iter=max_iter, C=C)

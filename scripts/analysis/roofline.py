@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Roofline accounting for the production train step on the local chip.
+
+For each variant (a sweep over ssd_chunk_size Q at the production 32k
+batching, plus the 64k reference budget) this measures, WITHIN ONE PROCESS
+(the relay drifts tens of percent between processes — r2 finding):
+
+  - steady-state mel-frames/s (lax.scan of STEPS fused train steps per
+    device call, value-fetch fenced);
+  - XLA's own cost analysis of the compiled program: FLOPs and bytes
+    accessed (the compiler's HBM-traffic estimate — each fusion reads its
+    inputs and writes its outputs once);
+  - est_mfu   = analytic_fwd_flops*3 * frames_per_s / peak_flops
+  - xla_mfu   = xla_flops / time / peak_flops   (counts remat recompute)
+  - hbm_bw_frac = bytes_accessed / time / peak_bw
+
+v5e peaks: 197 TFLOP/s bf16, 819 GB/s HBM. A step with hbm_bw_frac near 1
+is at the memory-bandwidth roofline — the MFU "gap" is then not headroom but
+the arithmetic-intensity ceiling of the model at this batch shape.
+
+Writes docs/results/roofline_tpu.json and prints per-variant rows.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent.parent
+sys.path.insert(0, str(REPO))
+
+V5E_PEAK_FLOPS = 197.0e12
+V5E_PEAK_BW = 819.0e9
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--steps", type=int, default=16,
+                    help="train steps fused per device call")
+    ap.add_argument("--frames", type=int, default=1000)
+    ap.add_argument("--variants", default="b32/none/256,b32/none/128,"
+                    "b32/none/512,b64/full/256",
+                    help="comma list of B/<remat>/<Q>")
+    ap.add_argument("--out", default=str(REPO / "docs" / "results" /
+                                         "roofline_tpu.json"))
+    args = ap.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_bench_cache")
+    import numpy as np  # noqa: F401
+    import optax
+
+    from __graft_entry__ import _batch, _small_config
+    from hnet_mamba_asr_tpu.eval.efficiency import encoder_flops
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    base_cfg = _small_config()
+    base_cfg["model_conf"] = {"ctc_weight": 1.0, "aed_weight": 0.0}
+    vocab = 500
+    fwd_flops_per_frame = encoder_flops(base_cfg["encoder_conf"], n_mels=80,
+                                        n_frames=1000)["total"] / 1000.0
+    K = args.steps
+
+    def build(B: int, remat: str, q: int):
+        cfg = dict(base_cfg, encoder_conf=dict(
+            base_cfg["encoder_conf"], remat_policy=remat, ssd_chunk_size=q))
+        model = build_model(cfg, vocab)
+        params = model.init_params(jax.random.PRNGKey(0))
+        batch = _batch(B=B, frames=args.frames, n_mels=80, vocab=vocab)
+        tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(1e-3))
+        opt_state = tx.init(params)
+
+        def run_steps(params, opt_state, batch):
+            def body(carry, i):
+                params, opt_state = carry
+                (loss, _), grads = jax.value_and_grad(
+                    lambda p: model.loss_fn(p, batch, i, True),
+                    has_aux=True)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), opt_state), loss
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), jax.numpy.arange(K))
+            return params, opt_state, losses[-1]
+
+        return jax.jit(run_steps), params, opt_state, batch
+
+    results = []
+    for spec in args.variants.split(","):
+        bs, remat, q = spec.strip().split("/")
+        B = int(bs.lstrip("b"))
+        fn, params, opt_state, batch = build(B, remat, int(q))
+        lowered = fn.lower(params, opt_state, batch)
+        compiled = lowered.compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        xla_flops = float(cost.get("flops", 0.0)) / K
+        xla_bytes = float(cost.get("bytes accessed", 0.0)) / K
+        try:
+            mem = compiled.memory_analysis()
+            peak_bytes = int(getattr(mem, "temp_size_in_bytes", 0)
+                             + getattr(mem, "argument_size_in_bytes", 0)
+                             + getattr(mem, "output_size_in_bytes", 0))
+        except Exception:  # noqa: BLE001 - backend-optional
+            peak_bytes = 0
+
+        params2, opt2, loss = compiled(params, opt_state, batch)
+        _ = float(loss)                      # fence (relay ignores block_until_ready)
+        dt = float("inf")
+        for _trial in range(3):
+            t0 = time.perf_counter()
+            params2, opt2, loss = compiled(params2, opt2, batch)
+            _ = float(loss)
+            dt = min(dt, (time.perf_counter() - t0) / K)
+        fps = B * args.frames / dt
+        row = {
+            "variant": spec.strip(),
+            "frames_per_s": round(fps, 1),
+            "step_ms": round(dt * 1e3, 2),
+            "est_mfu": round(3 * fwd_flops_per_frame * fps / V5E_PEAK_FLOPS, 4),
+            "xla_mfu": round(xla_flops / dt / V5E_PEAK_FLOPS, 4),
+            "xla_flops_per_step": xla_flops,
+            "xla_bytes_per_step": xla_bytes,
+            "achieved_gbps": round(xla_bytes / dt / 1e9, 1),
+            "hbm_bw_frac": round(xla_bytes / dt / V5E_PEAK_BW, 4),
+            "mem_footprint_gb": round(peak_bytes / 2**30, 2),
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps({
+        "device": str(jax.devices()[0]),
+        "steps_per_call": K,
+        "frames": args.frames,
+        "peaks": {"flops_bf16": V5E_PEAK_FLOPS, "hbm_gbps": V5E_PEAK_BW / 1e9},
+        "results": results}, indent=2))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
