@@ -9,11 +9,23 @@ cuda RNG snapshots (reference: src/dcasr/training/trainer.py:62-73,515-519).
 
 Files: epoch%04d.ckpt + latest.ckpt (atomic tmp + os.replace), best symlinks
 {phase}.{metric}.best.ckpt, fp32 n-best averages {phase}.{metric}.ave.ckpt.
+
+Two interchangeable on-disk backends behind the same API (``train.
+ckpt_backend``, SURVEY.md §5.4):
+  - 'pickle' (default): one atomic file — dependency-light and
+    version-robust (opt state is path-keyed, see tree_to_path_dict);
+  - 'orbax':  a DIRECTORY ``<name>.ckpt/`` holding an orbax array tree
+    (``arrays/``, ecosystem-interoperable, async-capable on real pods) plus
+    ``meta.pkl`` for the non-array run state.
+``load_checkpoint`` dispatches on what is on disk (file vs directory), so
+either backend's artifacts load regardless of the configured writer —
+cross-backend resume/decode is tested.
 """
 from __future__ import annotations
 
 import os
 import pickle
+import shutil
 from pathlib import Path
 
 import jax
@@ -24,25 +36,79 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), jax.device_get(tree))
 
 
-def save_checkpoint(path: str | Path, state: dict) -> None:
-    """Atomic write: serialize to tmp, fsync, rename."""
+def save_checkpoint(path: str | Path, state: dict,
+                    backend: str = "pickle") -> None:
+    """Atomic write: serialize to tmp, fsync, rename (pickle) or write an
+    orbax directory (finalized atomically by orbax) + meta.pkl."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     payload = dict(state)
     for key in ("params", "opt_state"):
         if key in payload:
             payload[key] = _to_host(payload[key])
+    if backend == "orbax":
+        _save_orbax(path, payload)
+        return
+    if backend != "pickle":
+        raise ValueError(f"ckpt_backend must be 'pickle' or 'orbax', "
+                         f"got {backend!r}")
     tmp = path.with_suffix(path.suffix + ".tmp")
     with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=pickle.HIGHEST_PROTOCOL)
         f.flush()
         os.fsync(f.fileno())
+    if path.is_dir() and not path.is_symlink():
+        shutil.rmtree(path)             # backend switched: orbax dir -> file
+    os.replace(tmp, path)
+
+
+_ARRAY_KEYS = ("params", "opt_state")
+
+
+def _save_orbax(path: Path, payload: dict) -> None:
+    import orbax.checkpoint as ocp
+
+    arrays = {k: payload[k] for k in _ARRAY_KEYS if k in payload}
+    meta = {k: v for k, v in payload.items() if k not in _ARRAY_KEYS}
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save((tmp / "arrays").resolve(), arrays)
+    getattr(ckptr, "wait_until_finished", lambda: None)()
+    with open(tmp / "meta.pkl", "wb") as f:
+        pickle.dump(meta, f, protocol=pickle.HIGHEST_PROTOCOL)
+        f.flush()
+        os.fsync(f.fileno())
+    if path.exists():                       # replace-in-place (latest.ckpt),
+        remove_checkpoint(path)             # whichever backend wrote it
     os.replace(tmp, path)
 
 
 def load_checkpoint(path: str | Path) -> dict:
+    """Backend-dispatching load: a directory is an orbax checkpoint, a file
+    is a pickle — so either writer's artifacts load under either config."""
+    path = Path(path)
+    if path.is_dir():
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.StandardCheckpointer()
+        state = dict(ckptr.restore((path / "arrays").resolve()))
+        with open(path / "meta.pkl", "rb") as f:
+            state.update(pickle.load(f))
+        return state
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def remove_checkpoint(path: str | Path) -> None:
+    """Delete a checkpoint of either backend (file or directory)."""
+    path = Path(path)
+    if path.is_dir() and not path.is_symlink():
+        shutil.rmtree(path, ignore_errors=True)
+    else:
+        path.unlink(missing_ok=True)
 
 
 def tree_to_path_dict(tree) -> dict[str, np.ndarray]:

@@ -78,6 +78,7 @@ class Trainer:
         self.keep_nbest = int(g("keep_nbest_models", 5))
         self.keep_all = bool(g("keep_all_checkpoints", False))
         self.max_steps = g("max_steps")
+        self.ckpt_backend = str(g("ckpt_backend", "pickle"))
         self.best_model_criterion = [tuple(c) for c in
                                      g("best_model_criterion", [["valid", "loss", "min"]])]
         self.early_stopping = dict(g("early_stopping", {}) or {})
@@ -383,7 +384,7 @@ class Trainer:
             keep.update(top)
         for p in self.ckpt_dir.glob("epoch*.ckpt"):
             if int(p.stem[5:]) not in keep:
-                p.unlink(missing_ok=True)
+                ckpt.remove_checkpoint(p)
 
     def _last_significant_best(self, phase, metric, mode, min_delta):
         """Last epoch that beat the running best by MORE than min_delta —
@@ -433,7 +434,8 @@ class Trainer:
             if not paths:
                 continue
             avg = ckpt.average_checkpoints(paths)
-            ckpt.save_checkpoint(self.ckpt_dir / f"{phase}.{metric}.ave.ckpt", avg)
+            ckpt.save_checkpoint(self.ckpt_dir / f"{phase}.{metric}.ave.ckpt", avg,
+                                 backend=self.ckpt_backend)
             logger.info("averaged %d ckpts -> %s.%s.ave.ckpt",
                         len(paths), phase, metric)
 
@@ -447,8 +449,10 @@ class Trainer:
                  "epoch": self.epoch, "global_step": self.global_step,
                  "metric_history": self.metric_history, "config": self.cfg,
                  "seed": self.seed}
-        ckpt.save_checkpoint(self.ckpt_dir / f"epoch{self.epoch:04d}.ckpt", state)
-        ckpt.save_checkpoint(self.ckpt_dir / "latest.ckpt", state)
+        ckpt.save_checkpoint(self.ckpt_dir / f"epoch{self.epoch:04d}.ckpt", state,
+                             backend=self.ckpt_backend)
+        ckpt.save_checkpoint(self.ckpt_dir / "latest.ckpt", state,
+                             backend=self.ckpt_backend)
 
     def load_checkpoint(self, path) -> None:
         state = ckpt.load_checkpoint(path)

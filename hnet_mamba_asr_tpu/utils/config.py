@@ -108,6 +108,7 @@ def flatten_config(cfg: Mapping[str, Any]) -> dict:
         "max_steps": train.get("max_steps"),
         "scan_steps": train.get("scan_steps", 1),
         "tp": train.get("tp", 1),
+        "ckpt_backend": train.get("ckpt_backend", "pickle"),
         "accum_grad": c.get("accum_grad", 1),
         "valid_interval_epoch": ev.get("valid_interval_epoch", 10),
         "keep_nbest_models": c.get("keep_nbest_models", 5),
