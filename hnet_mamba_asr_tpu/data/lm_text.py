@@ -203,6 +203,24 @@ class LMTextDataset:
         return {"tokens": np.asarray(ids, dtype=np.int32), "id": f"line{idx}"}
 
 
+def _fill_lm_rows(rows: list[dict | None], u_pad: int, pad_id: int) -> dict:
+    """Materialize padded LM arrays for ``rows`` (None = padding row)."""
+    R = len(rows)
+    tokens = np.full((R, u_pad), pad_id, dtype=np.int32)
+    lens = np.zeros(R, dtype=np.int32)
+    row_mask = np.zeros(R, dtype=bool)
+    ids = []
+    for i, it in enumerate(rows):
+        if it is None:
+            continue
+        tokens[i, :len(it["tokens"])] = it["tokens"]
+        lens[i] = len(it["tokens"])
+        row_mask[i] = True
+        ids.append(it["id"])
+    return {"tokens": tokens, "token_lens": lens, "row_mask": row_mask,
+            "ids": ids}
+
+
 def collate_lm(items: list[dict], *, pad_id: int, batch_multiple: int = 1,
                token_multiple: int = 16) -> dict:
     """Static-shape LM batch with row masking (tokens-only contract)."""
@@ -210,23 +228,33 @@ def collate_lm(items: list[dict], *, pad_id: int, batch_multiple: int = 1,
     B_pad = -(-B // batch_multiple) * batch_multiple
     u_max = max(len(it["tokens"]) for it in items)
     u_pad = max(-(-u_max // token_multiple) * token_multiple, token_multiple)
-    tokens = np.full((B_pad, u_pad), pad_id, dtype=np.int32)
-    lens = np.zeros(B_pad, dtype=np.int32)
-    for i, it in enumerate(items):
-        tokens[i, :len(it["tokens"])] = it["tokens"]
-        lens[i] = len(it["tokens"])
-    row_mask = np.zeros(B_pad, dtype=bool)
-    row_mask[:B] = True
-    return {"tokens": tokens, "token_lens": lens, "row_mask": row_mask,
-            "ids": [it["id"] for it in items]}
+    rows = list(items) + [None] * (B_pad - B)
+    return _fill_lm_rows(rows, u_pad, pad_id)
 
 
 class LMDataLoader:
+    """``row_shard=(rank, count)`` = the multi-host mode (see
+    data/dataset.py DataLoader): the sampler is unsharded, every process
+    computes pad targets from the dataset's exact cached token lengths, and
+    materializes only its contiguous row slice."""
+
     def __init__(self, dataset: LMTextDataset, sampler: BucketBatchSampler,
-                 batch_multiple: int = 1):
+                 batch_multiple: int = 1,
+                 row_shard: tuple[int, int] | None = None,
+                 token_multiple: int = 16):
         self.dataset = dataset
         self.sampler = sampler
         self.batch_multiple = batch_multiple
+        self.token_multiple = token_multiple
+        self.row_shard = tuple(row_shard) if row_shard else None
+        if self.row_shard:
+            rank, count = self.row_shard
+            if not (0 <= rank < count):
+                raise ValueError(f"row_shard rank {rank} not in [0, {count})")
+            if batch_multiple % count:
+                raise ValueError(
+                    f"row_shard needs batch_multiple ({batch_multiple}) "
+                    f"divisible by process count ({count})")
 
     def set_epoch(self, epoch: int) -> None:
         self.dataset.set_epoch(epoch)
@@ -237,14 +265,45 @@ class LMDataLoader:
 
     def __iter__(self) -> Iterator[dict]:
         for idxs in self.sampler:
-            yield collate_lm([self.dataset[i] for i in idxs],
-                             pad_id=self.dataset.pad_id,
-                             batch_multiple=self.batch_multiple)
+            if self.row_shard is None:
+                yield collate_lm([self.dataset[i] for i in idxs],
+                                 pad_id=self.dataset.pad_id,
+                                 batch_multiple=self.batch_multiple,
+                                 token_multiple=self.token_multiple)
+                continue
+            rank, count = self.row_shard
+            B = len(idxs)
+            B_pad = -(-B // self.batch_multiple) * self.batch_multiple
+            u_max = max(self.dataset.lengths[i] for i in idxs)
+            u_pad = max(-(-u_max // self.token_multiple) * self.token_multiple,
+                        self.token_multiple)
+            per = B_pad // count
+            lo = rank * per
+            rows = []
+            for r in range(lo, lo + per):
+                if r >= B:
+                    rows.append(None)
+                    continue
+                it = self.dataset[idxs[r]]
+                if len(it["tokens"]) != self.dataset.lengths[idxs[r]]:
+                    raise ValueError(
+                        f"line {idxs[r]}: cached token length "
+                        f"{self.dataset.lengths[idxs[r]]} != actual "
+                        f"{len(it['tokens'])} — stale token-length cache "
+                        f"would break the multi-host equal-shape contract")
+                rows.append(it)
+            yield _fill_lm_rows(rows, u_pad, self.dataset.pad_id)
 
 
 def make_lm_dataloader(dataset: LMTextDataset, batch_tokens: int, *, shuffle: bool,
                        seed: int = 0, num_replicas: int = 1, rank: int = 0,
-                       batch_multiple: int = 1):
-    sampler = BucketBatchSampler(dataset.lengths, batch_tokens, num_replicas, rank,
+                       batch_multiple: int = 1, row_shard: bool = False):
+    """``row_shard=True`` turns (rank, num_replicas) into row sharding of a
+    shared global batch sequence (multi-host); else batch-granularity."""
+    sampler = BucketBatchSampler(dataset.lengths, batch_tokens,
+                                 1 if row_shard else num_replicas,
+                                 0 if row_shard else rank,
                                  shuffle=shuffle, seed=seed)
-    return LMDataLoader(dataset, sampler, batch_multiple), sampler
+    loader = LMDataLoader(dataset, sampler, batch_multiple,
+                          row_shard=(rank, num_replicas) if row_shard else None)
+    return loader, sampler

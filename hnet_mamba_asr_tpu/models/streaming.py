@@ -147,11 +147,17 @@ def _layer_norm(x, p, eps: float = 1e-6):
 
 
 def _mamba2_stream(p, x, state, *, headdim: int, d_state: int,
-                   chunk_size: int):
+                   chunk_size: int, n_real=None):
     """One Mamba2 layer over a chunk with carried state — numerics mirror
     models/mamba2.Mamba2.__call__ exactly (fp32). ``state`` = {"conv":
     [B, d_conv-1, conv_dim] xBC tail, "ssd": [B, H, N, P] recurrence state}.
-    """
+
+    ``n_real`` (traced scalar) marks the first ``n_real`` rows as real and
+    the rest as padding — the compacted-buffer streaming mode for chunked
+    stacks. Padding rows are exact no-ops on the carried state: dt is zeroed
+    (SSD decay 1, no update) and the conv tail is sliced at the dynamic
+    offset ``n_real`` so it holds the last d_conv-1 REAL rows. Their outputs
+    are garbage and must be discarded by the caller."""
     from hnet_mamba_asr_tpu.ops.ssd import ssd_chunked
 
     B, L, d_model = x.shape
@@ -169,13 +175,20 @@ def _mamba2_stream(p, x, state, *, headdim: int, d_state: int,
     conv_in = jnp.concatenate([state["conv"], xBC], axis=1)
     conv = sum(conv_in[:, k:k + L, :] * p["conv_w"][k] for k in range(d_conv))
     xBC_act = jax.nn.silu(conv + p["conv_b"])
-    new_conv_state = conv_in[:, -(d_conv - 1):]
+    if n_real is None:
+        new_conv_state = conv_in[:, -(d_conv - 1):]
+    else:
+        new_conv_state = jax.lax.dynamic_slice_in_dim(
+            conv_in, n_real, d_conv - 1, axis=1)
 
     xh, B_mat, C_mat = jnp.split(xBC_act, [d_inner, d_inner + d_state], axis=-1)
     xh = xh.reshape(B, L, n_heads, headdim)
     B_mat = B_mat.reshape(B, L, 1, d_state)
     C_mat = C_mat.reshape(B, L, 1, d_state)
     dt = jax.nn.softplus(dt_raw.astype(jnp.float32) + p["dt_bias"])
+    if n_real is not None:
+        real = (jnp.arange(L) < n_real)[None, :, None]
+        dt = jnp.where(real, dt, 0.0)
     A = -jnp.exp(p["a_log"])
 
     y, S = ssd_chunked(xh, dt, A, B_mat, C_mat, chunk_size=chunk_size,
@@ -190,39 +203,134 @@ def _mamba2_stream(p, x, state, *, headdim: int, d_state: int,
 
 
 def _stack_stream(p, x, states, *, headdim: int, d_state: int,
-                  chunk_size: int):
+                  chunk_size: int, n_real=None):
     """Causal MambaStack over a chunk: pre-norm residual blocks + final LN."""
     new_states = []
     for i, st in enumerate(states):
         bp = p[f"block_{i}"]
         h = _layer_norm(x, bp["norm"])
         y, st2 = _mamba2_stream(bp["fwd"], h, st, headdim=headdim,
-                                d_state=d_state, chunk_size=chunk_size)
+                                d_state=d_state, chunk_size=chunk_size,
+                                n_real=n_real)
         x = x + y
         new_states.append(st2)
     return _layer_norm(x, p["norm"]), new_states
 
 
-class CausalStreamingEncoder:
-    """EXACT streaming for causal configs (``bidirectional: false``, Type A,
-    N=1): the conv subsampling has a finite receptive field (7 mel frames) so
-    it streams exactly by window overlap, and every Mamba2 layer carries its
-    true state (depthwise-conv tail + SSD recurrence state, via ops/ssd's
-    ``initial_state``/``return_final``) — outputs match the offline encoder
-    to numeric noise at ANY chunk size, with latency = one emission block.
+# ── chunk-stage streaming (N > 1): router / compact / EMA carried states ─────
+def _router_stream(rp, x, n_real, st, eps: float = 1e-6):
+    """RoutingModule over a block with carried previous-key state.
 
-    Emits ``block_enc`` encoder frames per step from ``4*block_enc`` fresh mel
-    frames. For bidirectional production models use StreamingEncoder (window
-    approximation) instead; this class raises on non-streamable configs.
+    Rows [0, n_real) are real (compacted buffers keep real rows contiguous).
+    ``st`` = {"k_last": [B, D] W_k of the last REAL frame seen, "started":
+    [B] bool}. The global first frame gets p = 1 (models/hnet_chunk.py:92);
+    every later block's row 0 chains through k_last. Returns (p, b, st')."""
+    E = x.shape[1]
+    q = x @ rp["W_q"]["kernel"]
+    k = x @ rp["W_k"]["kernel"]
+    k_prev = jnp.concatenate([st["k_last"][:, None], k[:, :-1]], axis=1)
+    qf, kf = q.astype(jnp.float32), k_prev.astype(jnp.float32)
+    sq = jnp.sum(qf * qf, axis=-1) * jnp.sum(kf * kf, axis=-1)
+    cos = jnp.sum(qf * kf, axis=-1) / jnp.sqrt(jnp.maximum(sq, eps ** 2))
+    p = 0.5 * (1.0 - cos)
+    p = p.at[:, 0].set(jnp.where(st["started"], p[:, 0], 1.0))
+    p = jnp.clip(p, 0.0, 1.0)
+    real = (jnp.arange(E)[None, :] < n_real).astype(p.dtype)
+    p = p * real
+    b = (p >= 0.5).astype(p.dtype) * real
+    last = jax.lax.dynamic_slice_in_dim(
+        k, jnp.maximum(n_real - 1, 0), 1, axis=1)[:, 0]
+    k_new = jnp.where(n_real > 0, last, st["k_last"])
+    return p, b, {"k_last": k_new, "started": st["started"] | (n_real > 0)}
+
+
+def _compact(x, p, b):
+    """Scatter kept rows (and their p) to the front of an equal-size buffer
+    (the block-local form of hnet_chunk._scatter_to_slots)."""
+    keep = b > 0.5
+    memb = jnp.maximum(jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1, 0)
+    onehot = jax.nn.one_hot(memb, x.shape[1], dtype=x.dtype, axis=-1) \
+        * keep.astype(x.dtype)[..., None]
+    z = jnp.einsum("ble,bld->bed", onehot, x)
+    P = jnp.einsum("ble,bl->be", onehot.astype(p.dtype), p)
+    return z, P, keep.sum(axis=1)[0]              # B == 1 in streaming
+
+
+def _ema_stream(z, P, n_real, st, p_clamp: float = 1e-4):
+    """Carried-state EMA (ops/ema.py recurrence) over a compacted block.
+
+    ``st`` = {"ema": [B, D] fp32 carry, "has": [B] bool}. The global first
+    chunk takes its value verbatim (zbar_0 = z_0); padding rows are exact
+    no-ops and emit the carry (never gathered). fp32 like the offline op."""
+    E = z.shape[1]
+    zf = z.astype(jnp.float32)
+    pc = jnp.clip(P.astype(jnp.float32), p_clamp, 1.0 - p_clamp)
+    real = jnp.arange(E) < n_real
+
+    def step(carry, inp):
+        ema, has = carry
+        z_t, p_t, r_t = inp
+        upd = jnp.where(has[:, None], p_t[:, None] * z_t
+                        + (1.0 - p_t[:, None]) * ema, z_t)
+        ema2 = jnp.where(r_t, upd, ema)
+        return (ema2, has | r_t), ema2
+
+    (ema, has), outs = jax.lax.scan(
+        step, (st["ema"], st["has"]),
+        (zf.transpose(1, 0, 2), pc.transpose(1, 0), real))
+    return outs.transpose(1, 0, 2), {"ema": ema, "has": has}
+
+
+def _upsample_stream(ema_out, b, prev_st):
+    """Gather-upsample a block: fine row i takes the EMA value of the latest
+    kept row <= i, falling back to the carried EMA for rows before this
+    block's first boundary. (Confidence STE forward == 1.0 — identity at
+    inference, models/hnet_chunk.py:184.)"""
+    idx = jnp.cumsum((b > 0.5).astype(jnp.int32), axis=1) - 1
+    gathered = jnp.take_along_axis(ema_out, jnp.maximum(idx, 0)[..., None],
+                                   axis=1)
+    prev = jnp.where(prev_st["has"][:, None], prev_st["ema"], 0.0)
+    return jnp.where((idx >= 0)[..., None], gathered, prev[:, None, :])
+
+
+class CausalStreamingEncoder:
+    """EXACT streaming for causal configs (``bidirectional: false``): the
+    conv subsampling has a finite receptive field (7 mel frames) so it
+    streams exactly by window overlap; every Mamba2 layer carries its true
+    state (depthwise-conv tail + SSD recurrence state, via ops/ssd's
+    ``initial_state``/``return_final``); and for chunked configs (N > 1,
+    Type A or B, dynamic chunker) the H-Net machinery streams exactly too —
+    chunking/dechunking is causal by construction (router p_t reads
+    (x_t, x_{t-1}); the EMA is a causal recurrence; the gather-upsample
+    takes the latest kept frame):
+
+      - router: carry W_k x of the last real frame + a started flag (the
+        global first frame's p == 1);
+      - compressed stacks (main / mid / mid_dec): each block's kept frames
+        compact to the FRONT of an equal-size buffer; padding rows are
+        exact state no-ops (dt zeroed, conv tail sliced at the kept count);
+      - dechunk: carried EMA scalar state + gather with carried fallback;
+        Type B composes two of these stages (stage 2 consumes stage 1's
+        compacted stream).
+
+    Outputs match the offline encoder to numeric noise at ANY block size,
+    with latency = one emission block. Emits ``block_enc`` encoder frames
+    per step from ``4*block_enc`` fresh mel frames. For bidirectional
+    production models use StreamingEncoder (window approximation) instead;
+    this class raises on non-streamable configs.
     """
 
     def __init__(self, model, params, *, block_enc: int = 16):
         enc = model.encoder
-        if enc.bidirectional or enc.arch_type != "A" or float(enc.N) != 1.0:
+        if enc.bidirectional:
             raise ValueError(
-                "CausalStreamingEncoder requires bidirectional=false, "
-                "arch_type=A, compression_N=1 — use StreamingEncoder for "
-                "bidirectional/chunked configs")
+                "CausalStreamingEncoder requires bidirectional=false — use "
+                "StreamingEncoder (window approximation) for bidirectional "
+                "configs")
+        if float(enc.N) != 1.0 and enc.chunker != "dynamic":
+            raise ValueError(
+                "exact chunked streaming supports the dynamic chunker only "
+                f"(got chunker={enc.chunker!r})")
         self.model = model
         self.enc_params = params["encoder"]
         self.hop, self.win = int(model.hop), int(model.win)
@@ -232,6 +340,24 @@ class CausalStreamingEncoder:
         self.headdim = int(enc.headdim)
         self._spec = dict(headdim=self.headdim, d_state=self.d_state,
                           chunk_size=max(8, self.E))
+        self._identity = float(enc.N) == 1.0
+        self._type_b = enc.arch_type == "B" and not self._identity
+
+        def dense(p, x):
+            return x @ p["kernel"] + p["bias"]
+
+        def chunk_stage(rp, x_fine, n_fine, st, inner):
+            """One dynamic-chunk stage: route -> compact -> inner(z, n_kept)
+            -> EMA -> upsample. Returns (x_dech at fine rate, z_compact,
+            n_kept, st')."""
+            p, b, st_r = _router_stream(rp, x_fine, n_fine, st["router"])
+            ema_prev = st["ema"]        # inner may overwrite "ema" (Type B's
+            z, P, n_kept = _compact(x_fine, p, b)   # nested stage-2 scratch)
+            z_proc, st = inner(z, n_kept, st)
+            ema_out, st_e = _ema_stream(z_proc, P, n_kept, ema_prev)
+            x_up = _upsample_stream(ema_out, b, ema_prev)
+            return (x_up.astype(x_fine.dtype), z, n_kept,
+                    dict(st, router=st_r, ema=st_e))
 
         def step(params, mel, states):
             # subsample the mel window -> exactly E encoder frames
@@ -246,14 +372,56 @@ class CausalStreamingEncoder:
             Bz, T, F, C = x.shape
             x = x.reshape(Bz, T, F * C) @ sub["proj"]["kernel"] + sub["proj"]["bias"]
 
-            st_enc, st_main, st_dec = states
-            x_enc, st_enc = _stack_stream(params["enc"], x, st_enc, **self._spec)
-            z = x_enc @ params["proj_in"]["kernel"] + params["proj_in"]["bias"]
-            z, st_main = _stack_stream(params["main"], z, st_main, **self._spec)
-            z = z @ params["proj_out"]["kernel"] + params["proj_out"]["bias"]
-            x_out, st_dec = _stack_stream(params["dec"], x_enc + z, st_dec,
-                                          **self._spec)
-            return x_out, (st_enc, st_main, st_dec)
+            st = dict(states)
+            x_enc, st["enc"] = _stack_stream(params["enc"], x, st["enc"],
+                                             **self._spec)
+            E = x_enc.shape[1]
+            if self._identity:
+                z = dense(params["proj_in"], x_enc)
+                z, st["main"] = _stack_stream(params["main"], z, st["main"],
+                                              **self._spec)
+                x_dech = dense(params["proj_out"], z)
+            elif not self._type_b:                       # Type A, N > 1
+                def inner_a(z, n_kept, sti):
+                    zi = dense(params["proj_in"], z)
+                    zm, st_m = _stack_stream(params["main"], zi, sti["main"],
+                                             n_real=n_kept, **self._spec)
+                    return dense(params["proj_out"], zm), dict(sti, main=st_m)
+                x_dech, _, _, st2 = chunk_stage(
+                    params["chunk"]["router"], x_enc, E, st, inner_a)
+                st.update(st2)
+            else:                                        # Type B, two stages
+                def inner_b(z1c, k1, sti):
+                    z1 = dense(params["proj1_in"], z1c)
+                    z1, st_mid = _stack_stream(params["mid"], z1, sti["mid"],
+                                               n_real=k1, **self._spec)
+
+                    def inner_b2(z2c, k2, sti2):
+                        zm, st_m = _stack_stream(
+                            params["main"], z2c, sti2["main2"],
+                            n_real=k2, **self._spec)
+                        return zm, dict(sti2, main2=st_m)
+
+                    up2, _, _, sti = chunk_stage(
+                        params["chunk2"]["router"], z1, k1,
+                        dict(sti, mid=st_mid,
+                             router=sti["router2"], ema=sti["ema2"]),
+                        inner_b2)
+                    sti["router2"], sti["ema2"] = sti["router"], sti["ema"]
+                    z1d, st_md = _stack_stream(params["mid_dec"], z1 + up2,
+                                               sti["mid_dec"], n_real=k1,
+                                               **self._spec)
+                    return (dense(params["proj1_out"], z1d),
+                            dict(sti, mid_dec=st_md))
+                x_dech, _, _, st2 = chunk_stage(
+                    params["chunk1"]["router"], x_enc, E,
+                    dict(st, router=st["router1"], ema=st["ema1"]), inner_b)
+                st2["router1"], st2["ema1"] = st2["router"], st2["ema"]
+                st.update({k: v for k, v in st2.items()
+                           if k not in ("router", "ema")})
+            x_out, st["dec"] = _stack_stream(params["dec"], x_enc + x_dech,
+                                             st["dec"], **self._spec)
+            return x_out, st
 
         self._step = jax.jit(step)
         self.reset()
@@ -268,10 +436,27 @@ class CausalStreamingEncoder:
                                       jnp.float32)}
                     for _ in range(n_layers)]
 
+        def chunk_states(d_router, d_ema):
+            return ({"k_last": jnp.zeros((1, d_router), jnp.float32),
+                     "started": jnp.zeros((1,), bool)},
+                    {"ema": jnp.zeros((1, d_ema), jnp.float32),
+                     "has": jnp.zeros((1,), bool)})
+
         enc = self.model.encoder
-        return (stack_states(enc.n_enc, enc.d_outer),
-                stack_states(enc.n_main, enc.d_main),
-                stack_states(enc.n_dec, enc.d_outer))
+        st = {"enc": stack_states(enc.n_enc, enc.d_outer),
+              "dec": stack_states(enc.n_dec, enc.d_outer)}
+        if self._type_b:
+            st["mid"] = stack_states(enc.n_mid, enc.d_main)
+            st["main2"] = stack_states(enc.n_main, enc.d_main)
+            st["mid_dec"] = stack_states(enc.n_mid, enc.d_main)
+            st["router1"], st["ema1"] = chunk_states(enc.d_outer, enc.d_outer)
+            st["router2"], st["ema2"] = chunk_states(enc.d_main, enc.d_main)
+        else:
+            st["main"] = stack_states(enc.n_main, enc.d_main)
+            if not self._identity:
+                st["router"], st["ema"] = chunk_states(enc.d_outer,
+                                                       enc.d_outer)
+        return st
 
     def reset(self) -> None:
         self._buf = np.zeros(0, np.float32)

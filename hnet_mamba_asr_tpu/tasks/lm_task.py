@@ -77,7 +77,7 @@ def build_lm_dataloaders(cfg, repo_root, tokenizer, *, n_devices: int | None = N
     train_loader, train_sampler = make_lm_dataloader(
         train_ds, batch_tokens, shuffle=True, seed=seed,
         num_replicas=jax.process_count(), rank=jax.process_index(),
-        batch_multiple=max(1, n_dev))
+        batch_multiple=max(1, n_dev), row_shard=jax.process_count() > 1)
     _, dev_manifests = resolve_manifests(cfg, repo_root)
     dev_loaders = {}
     for name, mpath in dev_manifests.items():

@@ -131,3 +131,32 @@ def test_lm_loss_row_mask_invariant(setup):
     batch2 = dict(batch, tokens=jnp.asarray(tokens2))
     pert, _ = model.loss_fn(params, batch2, 0, False)
     assert float(base) == pytest.approx(float(pert), rel=1e-6)
+
+
+def test_lm_row_shard_slices_assemble_to_global_batch():
+    """LM multi-host row sharding: two ranks' local arrays concatenated in
+    rank order equal the unsharded loader's padded global batch (same
+    contract as the ASR loader; pad targets from the exact cached lengths)."""
+    import numpy as np
+
+    from hnet_mamba_asr_tpu.data.lm_text import LMTextDataset, make_lm_dataloader
+    from hnet_mamba_asr_tpu.data.tokenizer import Tokenizer
+
+    lines = [f"word{i} " * (1 + i % 7) for i in range(23)]
+    tok = Tokenizer.train(lines, "/tmp/lm_rs_tok/bpe", vocab_size=16,
+                          hard_vocab_limit=False)
+    ds = LMTextDataset(tok, lines=lines)
+    full, _ = make_lm_dataloader(ds, 64, shuffle=True, seed=3,
+                                 batch_multiple=2)
+    shards = [make_lm_dataloader(LMTextDataset(tok, lines=lines), 64,
+                                 shuffle=True, seed=3, batch_multiple=2,
+                                 num_replicas=2, rank=r, row_shard=True)[0]
+              for r in range(2)]
+    fb_list, s0, s1 = list(full), list(shards[0]), list(shards[1])
+    assert len(fb_list) == len(s0) == len(s1) > 1
+    for fb, b0, b1 in zip(fb_list, s0, s1):
+        for key in ("tokens", "token_lens", "row_mask"):
+            np.testing.assert_array_equal(
+                np.concatenate([b0[key], b1[key]], axis=0), fb[key],
+                err_msg=key)
+        assert b0["ids"] + b1["ids"] == fb["ids"]

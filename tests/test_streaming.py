@@ -225,3 +225,86 @@ def test_bad_frame_params_raise():
         StreamingEncoder(model, params, seg_frames=10)
     with pytest.raises(ValueError, match="multiple of 4"):
         StreamingEncoder(model, params, lookahead=2)
+
+
+def _causal_chunked_model(rng, *, arch_type="A", N=2.0):
+    cfg = {
+        "encoder": "dcasr", "head": "ctc",
+        "frontend_conf": {"n_mels": 20},
+        "encoder_conf": {"d_outer": 16, "d_main": 24, "n_enc": 1, "n_main": 2,
+                         "n_dec": 1, "n_mid": 1, "arch_type": arch_type,
+                         "d_state": 8, "headdim": 8, "ssd_chunk_size": 16,
+                         "bidirectional": False,
+                         "hnet": {"compression_N": N}},
+        "model_conf": {"ctc_weight": 1.0, "aed_weight": 0.0,
+                       "ratio_weight": 0.03},
+    }
+    model = build_model(cfg, 12)
+    params = model.init_params(jax.random.PRNGKey(1))
+    # randomize the router(s) away from the near-identity init so boundaries
+    # actually fire AND actually skip (both branches of the carry machinery)
+    enc_p = params["encoder"]
+    for key in ("chunk", "chunk1", "chunk2"):
+        if key in enc_p:
+            for w in ("W_q", "W_k"):
+                kern = enc_p[key]["router"][w]["kernel"]
+                enc_p[key]["router"][w]["kernel"] = (
+                    0.6 * np.asarray(kern)
+                    + 0.6 * rng.normal(size=kern.shape).astype(np.float32))
+    return model, params
+
+
+@pytest.mark.parametrize("arch,N", [("A", 2.0), ("B", 4.0)])
+def test_causal_streaming_exact_chunked(rng, arch, N):
+    """Exact-causal streaming for ACTIVE dynamic chunking: Type A N=2 and
+    Type B N=4 (nested sqrt-N stages) must match the offline encoder to the
+    same 2e-4 bar as the N=1 case, at any block size, with carried router /
+    EMA / compacted-stack states."""
+    from hnet_mamba_asr_tpu.models.streaming import CausalStreamingEncoder
+
+    model, params = _causal_chunked_model(rng, arch_type=arch, N=N)
+    wave = rng.normal(size=19000).astype(np.float32) * 0.1
+
+    # sanity: the router must produce a MIX of kept/skipped frames
+    batch = {"wave": wave[None], "wave_lens": np.array([len(wave)], np.int32)}
+    enc = model.encode(params, batch, train=False)
+    kept = float(np.asarray(enc.kept_fractions[0]))
+    assert 0.05 < kept < 0.95, f"degenerate routing (kept={kept}); " \
+        "the test would not exercise the chunk carry"
+    off = _offline(model, params, wave)
+
+    for block in (8, 16, 32):
+        cs = CausalStreamingEncoder(model, params, block_enc=block)
+        segs = []
+        i = 0
+        r = np.random.default_rng(2)
+        while i < len(wave):
+            n = int(r.integers(700, 3500))
+            segs += cs.accept(wave[i:i + n])
+            i += n
+        tail = cs.finish()
+        if tail is not None:
+            segs.append(tail)
+        st = np.concatenate(segs, axis=0)
+        assert st.shape == off.shape, block
+        np.testing.assert_allclose(st, off, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"arch={arch} N={N} block={block}")
+
+
+def test_causal_streaming_rejects_fixed_pool_chunked(rng):
+    from hnet_mamba_asr_tpu.models.streaming import CausalStreamingEncoder
+
+    cfg = {
+        "encoder": "dcasr", "head": "ctc",
+        "frontend_conf": {"n_mels": 20},
+        "encoder_conf": {"d_outer": 16, "d_main": 24, "n_enc": 1, "n_main": 1,
+                         "n_dec": 1, "arch_type": "A", "d_state": 8,
+                         "headdim": 8, "ssd_chunk_size": 16,
+                         "bidirectional": False,
+                         "hnet": {"compression_N": 4.0, "chunker": "fixed"}},
+        "model_conf": {"ctc_weight": 1.0, "aed_weight": 0.0},
+    }
+    model = build_model(cfg, 12)
+    params = model.init_params(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="dynamic"):
+        CausalStreamingEncoder(model, params)
