@@ -70,20 +70,25 @@ def main() -> None:
         tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(1e-3))
         opt_state = tx.init(params)
 
-        @jax.jit
-        def run_steps(params, opt_state, batch):
-            def body(carry, i):
-                params, opt_state = carry
-                def loss_fn(p):
-                    loss, stats = model.loss_fn(p, batch, i, True)
-                    return loss, stats
-                (loss, _), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                return (optax.apply_updates(params, updates), opt_state), loss
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), jax.numpy.arange(N_STEPS))
-            return params, opt_state, losses[-1]
+        def make_run(k):
+            @jax.jit
+            def run_steps(params, opt_state, batch):
+                def body(carry, i):
+                    params, opt_state = carry
+                    def loss_fn(p):
+                        loss, stats = model.loss_fn(p, batch, i, True)
+                        return loss, stats
+                    (loss, _), grads = jax.value_and_grad(
+                        loss_fn, has_aux=True)(params)
+                    updates, opt_state = tx.update(grads, opt_state, params)
+                    return (optax.apply_updates(params, updates),
+                            opt_state), loss
+                (params, opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state), jax.numpy.arange(k))
+                return params, opt_state, losses[-1]
+            return run_steps
+
+        run_steps = make_run(N_STEPS)
 
         # warmup (compile + first execution), then best-of-3 steady-state
         # timing; fetching the loss value is the only reliable fence here
@@ -98,14 +103,16 @@ def main() -> None:
         try:
             # XLA's own estimate of HBM traffic + executed FLOPs: the
             # roofline numerators (scripts/analysis/roofline.py is the full
-            # per-variant accounting)
-            cost = run_steps.lower(params, opt_state, batch).compile() \
+            # per-variant accounting). HLO cost analysis counts a scan body
+            # ONCE regardless of trip count, so per-step cost comes from a
+            # dedicated 1-step program.
+            cost = make_run(1).lower(params, opt_state, batch).compile() \
                 .cost_analysis()
             if isinstance(cost, (list, tuple)):
                 cost = cost[0] if cost else {}
             COST[(B, remat_policy)] = {
-                "bytes_per_step": float(cost.get("bytes accessed", 0.0)) / N_STEPS,
-                "flops_per_step": float(cost.get("flops", 0.0)) / N_STEPS,
+                "bytes_per_step": float(cost.get("bytes accessed", 0.0)),
+                "flops_per_step": float(cost.get("flops", 0.0)),
                 "step_s": dt,
                 "fps": (B * 1000) / dt,
             }

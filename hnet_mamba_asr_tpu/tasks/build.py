@@ -60,7 +60,11 @@ def build_dataloaders(cfg, repo_root, tokenizer, *, n_devices: int | None = None
     batch-granularity sharding, jit SPMD needs every process to hold an
     identically-shaped slice of ONE global batch per step."""
     batch_bins = int(cfg["batch_bins"])
-    speed = (cfg.get("train", {}) or {}).get("speed_perturb")
+    train_cfg = cfg.get("train", {}) or {}
+    speed = train_cfg.get("speed_perturb")
+    # overlap host IO/collate with device compute (bounded queue; exceptions
+    # propagate; order deterministic) — load-bearing on slim hosts
+    prefetch = int(train_cfg.get("prefetch", 2))
     train_manifest, dev_manifests = resolve_manifests(cfg, repo_root)
     n_dev = n_devices if n_devices is not None else jax.device_count()
 
@@ -69,7 +73,8 @@ def build_dataloaders(cfg, repo_root, tokenizer, *, n_devices: int | None = None
     train_loader, train_sampler = make_dataloader(
         train_ds, batch_bins, shuffle=True, seed=seed,
         num_replicas=jax.process_count(), rank=jax.process_index(),
-        batch_multiple=max(1, n_dev), row_shard=jax.process_count() > 1)
+        batch_multiple=max(1, n_dev), row_shard=jax.process_count() > 1,
+        prefetch=prefetch)
     dev_loaders = {}
     for name, mpath in dev_manifests.items():
         ds = ASRDataset(mpath, tokenizer, augment=False, seed=seed)

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""End-to-end `scripts/train.py` throughput on the live chip (VERDICT r2 #6).
+
+bench.py times a synthetic device loop with no host data pipeline; this
+script measures the REAL trainer — host WAV reads, collate, prefetch,
+metrics, checkpointing — on a synthetic corpus whose utterances are exactly
+977 mel frames (a length-grid point, so every batch is B=32 x 977 with zero
+snap waste at the production 32k budget) and compares metrics.jsonl-derived
+mel-frames/s against bench.py's device-loop number.
+
+Variants (each a fresh train.py run in THIS process, same-process timing
+discipline):
+  - accum2:  batch_bins 32000, accum_grad 2   (the production config)
+  - fused:   batch_bins 32000, accum_grad 1   (bench.py's step shape)
+  - scanK:   batch_bins 32000, scan_steps K   (fused multi-step dispatch)
+
+Writes docs/results/train_e2e_tpu.json. Usage:
+    python scripts/analysis/bench_train_e2e.py [--utts 128] [--epochs 3]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+UTT_FRAMES = 977                       # length-grid point -> zero snap waste
+UTT_SAMPLES = (UTT_FRAMES - 1) * 160 + 400
+
+
+def build_corpus(root: Path, n_utts: int) -> None:
+    import numpy as np
+
+    from hnet_mamba_asr_tpu.data.audio import write_wav
+    from hnet_mamba_asr_tpu.data.manifests import write_manifest
+    from hnet_mamba_asr_tpu.data.tokenizer import Tokenizer
+
+    rng = np.random.default_rng(0)
+    words = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    entries = []
+    (root / "manifests").mkdir(parents=True, exist_ok=True)
+    for i in range(n_utts):
+        wave = (rng.normal(size=UTT_SAMPLES) * 0.1).astype("float32")
+        write_wav(root / f"u{i}.wav", wave, 16000)
+        text = " ".join(rng.choice(words, size=12))
+        entries.append({"id": f"u{i}", "audio": str(root / f"u{i}.wav"),
+                        "text": text, "frames": UTT_SAMPLES})
+    write_manifest(entries, root / "manifests" / "train-960.jsonl")
+    Tokenizer.train([" ".join(words)] * 20, root / "bpe", vocab_size=32,
+                    hard_vocab_limit=False)
+
+
+def config_yaml(root: Path, *, accum: int, scan: int) -> str:
+    return f"""
+experiment: {{name: e2e_bench, seed: 0}}
+data: {{manifests_dir: {root}/manifests, train_manifest: train-960,
+        dev_splits: []}}
+bpemodel: {root}/bpe.model
+frontend_conf: {{n_mels: 80}}
+encoder: dcasr
+encoder_conf: {{arch_type: A, d_outer: 384, d_main: 512, n_enc: 4, n_main: 12,
+                n_dec: 4, d_state: 128, headdim: 64, ssd_chunk_size: 256,
+                remat_policy: none, hnet: {{compression_N: 1}}}}
+head: ctc
+model_conf: {{ctc_weight: 1.0, aed_weight: 0.0}}
+batch_bins: 32000
+accum_grad: {accum}
+optim: adamw
+optim_conf: {{lr: 1.0e-4}}
+train: {{max_epoch: 1000, precision: bf16, log_interval: 1,
+         scan_steps: {scan}}}
+eval: {{valid_interval_epoch: 1000000}}
+best_model_criterion: [[train, loss, min]]
+"""
+
+
+def measure_variant(root: Path, name: str, *, accum: int, scan: int,
+                    epochs: int) -> dict:
+    import train as train_script
+
+    exp = root / f"exp_{name}"
+    cfg_path = root / f"cfg_{name}.yaml"
+    cfg_path.write_text(config_yaml(root, accum=accum, scan=scan))
+    train_script.run(train_script.parse_args(
+        ["--config", str(cfg_path), "--exp-dir", str(exp),
+         f"train.max_epoch={epochs}"]))
+    rows = [json.loads(l) for l in (exp / "metrics.jsonl").read_text().splitlines()
+            if l.strip()]
+    rows = [r for r in rows if "loss/total" in r]
+    # steady state: drop the first epoch (compile + cache warmup)
+    per_epoch = {}
+    for r in rows:
+        per_epoch.setdefault(r["epoch"], []).append(r)
+    epochs_sorted = sorted(per_epoch)
+    steady = [r for e in epochs_sorted[1:] for r in per_epoch[e]]
+    if len(steady) < 2:
+        raise RuntimeError(f"{name}: not enough steady-state rows")
+    t0, t1 = steady[0]["time"], steady[-1]["time"]
+    opt_steps = steady[-1]["step"] - steady[0]["step"]
+    micro_per_opt = max(1, accum)
+    frames_per_opt = 32 * UTT_FRAMES * micro_per_opt
+    fps = opt_steps * frames_per_opt / (t1 - t0)
+    return {"variant": name, "accum": accum, "scan_steps": scan,
+            "opt_steps_timed": int(opt_steps),
+            "frames_per_s": round(fps, 1),
+            "sec_per_opt_step": round((t1 - t0) / max(1, opt_steps), 4)}
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--utts", type=int, default=256)
+    ap.add_argument("--epochs", type=int, default=3)
+    ap.add_argument("--variants", default="accum2,fused,scan8")
+    ap.add_argument("--root", default="/tmp/bench_train_e2e")
+    ap.add_argument("--out", default=str(REPO / "docs" / "results" /
+                                         "train_e2e_tpu.json"))
+    args = ap.parse_args(argv)
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/.cache/jax_bench_cache")
+
+    root = Path(args.root)
+    if not (root / "manifests" / "train-960.jsonl").exists():
+        build_corpus(root, args.utts)
+        print(f"[e2e] corpus: {args.utts} utts x {UTT_FRAMES} frames",
+              flush=True)
+
+    spec = {"accum2": dict(accum=2, scan=1),
+            "fused": dict(accum=1, scan=1),
+            "scan8": dict(accum=1, scan=8)}
+    results = []
+    for name in args.variants.split(","):
+        r = measure_variant(root, name, epochs=args.epochs, **spec[name])
+        results.append(r)
+        print(json.dumps(r), flush=True)
+
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps({
+        "device": str(jax.devices()[0]),
+        "utt_frames": UTT_FRAMES, "n_utts": args.utts,
+        "results": results}, indent=2))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()
