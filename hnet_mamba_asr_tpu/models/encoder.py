@@ -95,6 +95,7 @@ class DCASREncoder(nn.Module):
     d_state: int = 128
     headdim: int = 64
     chunk_size: int = 256          # SSD scan chunk, not the H-Net N
+    ssd_intra_dtype: str | None = None   # 'bf16': halve intra-chunk HBM traffic
     dtype: Any = jnp.float32
     use_reference_scan: bool = False
     remat_policy: str = "full"     # per-block remat: full | dots | none
@@ -104,6 +105,7 @@ class DCASREncoder(nn.Module):
             raise ValueError(f"arch_type must be 'A' or 'B', got {self.arch_type!r}")
         stack_kw = dict(bidirectional=self.bidirectional, d_state=self.d_state,
                         headdim=self.headdim, chunk_size=self.chunk_size,
+                        ssd_intra_dtype=self.ssd_intra_dtype,
                         dtype=self.dtype, use_reference_scan=self.use_reference_scan,
                         remat_policy=self.remat_policy)
         dense_kw = dict(dtype=self.dtype, param_dtype=jnp.float32)

@@ -58,6 +58,7 @@ class Mamba2(nn.Module):
     headdim: int = 64
     ngroups: int = 1
     chunk_size: int = 256
+    ssd_intra_dtype: str | None = None
     dtype: Any = jnp.float32
     a_init_range: tuple[float, float] = (1.0, 16.0)
     dt_min: float = 0.001
@@ -107,6 +108,7 @@ class Mamba2(nn.Module):
         A = -jnp.exp(a_log)                                              # [H], < 0
 
         y = ssd(x, dt, A, B_mat, C_mat, chunk_size=self.chunk_size,
+                intra_dtype=self.ssd_intra_dtype,
                 use_reference=self.use_reference_scan,
                 backend=self.scan_backend)                               # [B,L,H,P]
         y = y + d_skip[None, None, :, None].astype(y.dtype) * x

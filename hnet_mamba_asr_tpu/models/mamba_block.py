@@ -43,6 +43,7 @@ class MambaBlock(nn.Module):
     expand: int = 2
     headdim: int = 64
     chunk_size: int = 256
+    ssd_intra_dtype: str | None = None
     dtype: Any = jnp.float32
     use_reference_scan: bool = False
 
@@ -50,6 +51,7 @@ class MambaBlock(nn.Module):
     def __call__(self, x: jax.Array, lengths: jax.Array | None = None) -> jax.Array:
         kw = dict(d_model=self.d_model, d_state=self.d_state, d_conv=self.d_conv,
                   expand=self.expand, headdim=self.headdim, chunk_size=self.chunk_size,
+                  ssd_intra_dtype=self.ssd_intra_dtype,
                   dtype=self.dtype, use_reference_scan=self.use_reference_scan)
         h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
         y = Mamba2(**kw, name="fwd")(h)
@@ -76,6 +78,7 @@ class MambaStack(nn.Module):
     expand: int = 2
     headdim: int = 64
     chunk_size: int = 256
+    ssd_intra_dtype: str | None = None
     dtype: Any = jnp.float32
     use_reference_scan: bool = False
     remat: bool = True
@@ -102,5 +105,6 @@ class MambaStack(nn.Module):
                 d_model=self.d_model, bidirectional=self.bidirectional,
                 d_state=self.d_state, d_conv=self.d_conv, expand=self.expand,
                 headdim=self.headdim, chunk_size=self.chunk_size, dtype=self.dtype,
+                ssd_intra_dtype=self.ssd_intra_dtype,
                 use_reference_scan=self.use_reference_scan, name=f"block_{i}")(x, lengths)
         return nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)

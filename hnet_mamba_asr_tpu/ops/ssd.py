@@ -74,17 +74,26 @@ def ssd_reference(x: jax.Array, dt: jax.Array, A: jax.Array, B: jax.Array,
     return (y, S_final) if return_final else y
 
 
-@partial(jax.jit, static_argnames=("chunk_size", "return_final"))
+@partial(jax.jit, static_argnames=("chunk_size", "return_final",
+                                   "intra_dtype"))
 def ssd_chunked(x: jax.Array, dt: jax.Array, A: jax.Array, B: jax.Array,
                 C: jax.Array, chunk_size: int = 256,
                 initial_state: jax.Array | None = None,
-                return_final: bool = False):
+                return_final: bool = False, intra_dtype: str | None = None):
     """Chunked SSD: identical outputs to ``ssd_reference`` (fp32-accumulated).
 
     L is padded up to a multiple of ``chunk_size`` internally (dt=0 padding is
     an exact no-op for the recurrence: decay=1 and no state update).
     ``initial_state``/``return_final`` carry the [B, H, N, P] recurrence state
     across calls for chunk-wise streaming inference.
+
+    ``intra_dtype='bf16'`` stores the [B, K, H, Q, Q] intra-chunk
+    score/decay intermediates in bfloat16 (matmul accumulation stays fp32 on
+    the MXU). The train step is at the HBM-bandwidth roofline
+    (docs/results/roofline_tpu.json) and these tensors are its largest
+    reducible term; decay values are in (0, 1] and scores are O(1) dot
+    products, so bf16's 8 mantissa bits cost ~1e-2 relative error on y —
+    acceptable for training, opt-in via encoder_conf.ssd_intra_dtype.
     """
     Bsz, L, H, P = x.shape
     Q = int(chunk_size)
@@ -119,10 +128,20 @@ def ssd_chunked(x: jax.Array, dt: jax.Array, A: jax.Array, B: jax.Array,
     seg = ac[..., :, None] - ac[..., None, :]                     # [B,K,H,Q,S]
     causal = jnp.tril(jnp.ones((Q, Q), dtype=bool))
     seg = jnp.where(causal, seg, -jnp.inf)
-    decay_qs = jnp.exp(seg)
-    scores = jnp.einsum("bkhqn,bkhsn->bkhqs", Cc, Bc,
-                        preferred_element_type=jnp.float32)       # C_q . B_s
-    weights = (scores * decay_qs * dtc[..., None, :]).astype(x.dtype)
+    if intra_dtype == "bf16":
+        # halve the HBM traffic of the two largest intermediates; the exp is
+        # still computed in fp32 (differences <= 0, no overflow) and only the
+        # STORED tensors round to bf16
+        decay_qs = jnp.exp(seg).astype(jnp.bfloat16)
+        scores = jnp.einsum("bkhqn,bkhsn->bkhqs", Cc, Bc,
+                            preferred_element_type=jnp.bfloat16)
+        weights = (scores * decay_qs
+                   * dtc[..., None, :].astype(jnp.bfloat16)).astype(x.dtype)
+    else:
+        decay_qs = jnp.exp(seg)
+        scores = jnp.einsum("bkhqn,bkhsn->bkhqs", Cc, Bc,
+                            preferred_element_type=jnp.float32)   # C_q . B_s
+        weights = (scores * decay_qs * dtc[..., None, :]).astype(x.dtype)
     y_intra = jnp.einsum("bkhqs,bkhsp->bkhqp", weights, xc,
                          preferred_element_type=jnp.float32)
 
@@ -160,7 +179,7 @@ def ssd_chunked(x: jax.Array, dt: jax.Array, A: jax.Array, B: jax.Array,
 
 
 def ssd(x, dt, A, B, C, chunk_size: int = 256, use_reference: bool = False,
-        backend: str = "xla"):
+        backend: str = "xla", intra_dtype: str | None = None):
     """Dispatch: 'xla' chunked (default; differentiable), 'pallas' fused
     forward kernel (serving path, no VJP), or the sequential reference."""
     if use_reference:
@@ -168,4 +187,5 @@ def ssd(x, dt, A, B, C, chunk_size: int = 256, use_reference: bool = False,
     if backend == "pallas":
         from hnet_mamba_asr_tpu.ops.ssd_pallas import ssd_pallas
         return ssd_pallas(x, dt, A, B, C, chunk_size=chunk_size)
-    return ssd_chunked(x, dt, A, B, C, chunk_size=chunk_size)
+    return ssd_chunked(x, dt, A, B, C, chunk_size=chunk_size,
+                       intra_dtype=intra_dtype)

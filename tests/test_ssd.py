@@ -167,3 +167,49 @@ def test_bf16_forward(rng):
     y = m.apply(params, x)
     assert y.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(y, dtype=np.float32)).all()
+
+
+def test_ssd_intra_bf16_close_to_fp32(rng):
+    """intra_dtype='bf16' (halved intra-chunk HBM traffic — see the roofline
+    in docs/results/roofline_tpu.json) stays within bf16 rounding of the
+    fp32-intermediate path; default path is untouched."""
+    from hnet_mamba_asr_tpu.ops.ssd import ssd_chunked, ssd_reference
+
+    B, L, H, P, N = 2, 96, 4, 16, 8
+    x = jnp.asarray(rng.normal(size=(B, L, H, P)).astype(np.float32))
+    dt = jnp.asarray(rng.uniform(0.01, 0.1, size=(B, L, H)).astype(np.float32))
+    A = jnp.asarray(-rng.uniform(1, 8, size=H).astype(np.float32))
+    Bm = jnp.asarray(rng.normal(size=(B, L, 1, N)).astype(np.float32))
+    Cm = jnp.asarray(rng.normal(size=(B, L, 1, N)).astype(np.float32))
+    ref = ssd_reference(x, dt, A, Bm, Cm)
+    out = ssd_chunked(x, dt, A, Bm, Cm, chunk_size=32, intra_dtype="bf16")
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    scale = float(np.sqrt((np.asarray(ref) ** 2).mean()))
+    assert float(np.sqrt((err ** 2).mean())) < 0.01 * scale
+    # gradients flow and are finite through the bf16 intermediates
+    g = jax.grad(lambda xx: (ssd_chunked(xx, dt, A, Bm, Cm, chunk_size=32,
+                                         intra_dtype="bf16") ** 2).sum())(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_ssd_intra_dtype_plumbs_from_config(rng):
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    cfg = {"encoder": "dcasr", "head": "ctc",
+           "frontend_conf": {"n_mels": 20},
+           "encoder_conf": {"d_outer": 16, "d_main": 24, "n_enc": 1,
+                            "n_main": 1, "n_dec": 1, "arch_type": "A",
+                            "d_state": 8, "headdim": 8, "ssd_chunk_size": 16,
+                            "ssd_intra_dtype": "bf16",
+                            "hnet": {"compression_N": 1}},
+           "model_conf": {"ctc_weight": 1.0, "aed_weight": 0.0}}
+    model = build_model(cfg, 12)
+    assert model.encoder.ssd_intra_dtype == "bf16"
+    params = model.init_params(jax.random.PRNGKey(0))
+    wave = rng.normal(size=(1, 4000)).astype(np.float32)
+    batch = {"wave": wave, "wave_lens": np.array([4000], np.int32),
+             "tokens": np.array([[4, 5]], np.int32),
+             "token_lens": np.array([2], np.int32),
+             "row_mask": np.array([True])}
+    loss, stats = model.loss_fn(params, batch, 0, False)
+    assert np.isfinite(float(loss))
