@@ -416,3 +416,66 @@ def test_collate_token_multiple_floor():
          "tokens": np.array([5], np.int32), "id": "u", "index": 0}
     out = collate_batch([s], pad_id=3, seed=0, epoch=0, token_multiple=8)
     assert out["tokens"].shape[1] == 8            # floor at one multiple
+
+
+# ── second r3 batch ──────────────────────────────────────────────────────────
+def test_resume_auto_empty_dir_is_fresh_start(tmp_path):
+    """--resume auto with no checkpoints = legitimate fresh start; an
+    explicit missing path raises (reference test_trainer.py:
+    resume_missing_explicit_path_raises, auto branch)."""
+    from hnet_mamba_asr_tpu.training.checkpoint import resolve_resume
+    assert resolve_resume(tmp_path, "auto") is None
+    with pytest.raises(FileNotFoundError):
+        resolve_resume(tmp_path, str(tmp_path / "nope.ckpt"))
+
+
+def test_max_steps_exit_saves_checkpoint(tmp_path):
+    from hnet_mamba_asr_tpu.training.checkpoint import load_checkpoint
+    tr = _trainer(tmp_path, dict(CFG, max_epoch=5, valid_interval_epoch=10,
+                                 max_steps=2))
+    tr.train()
+    state = load_checkpoint(tr.ckpt_dir / "latest.ckpt")
+    assert state["global_step"] == 2
+
+
+def test_specaugment_reproducible_and_varies_across_batch():
+    """Same key -> identical masks; different per-utterance keys -> different
+    masks (reference test_features.py)."""
+    from hnet_mamba_asr_tpu.ops.specaug import augment_key, spec_augment
+    feats = jnp.ones((2, 64, 24), jnp.float32)
+    lens = jnp.asarray([64, 64])
+    k0 = augment_key(0, 0, 0)
+    keys_same = jnp.stack([k0, k0])
+    keys_diff = jnp.stack([k0, augment_key(0, 0, 1)])
+    a = np.asarray(spec_augment(feats, lens, keys_same, time_masks=2,
+                                time_width=20))
+    assert (a[0] == a[1]).all()
+    b = np.asarray(spec_augment(feats, lens, keys_diff, time_masks=2,
+                                time_width=20))
+    assert not (b[0] == b[1]).all()
+    b2 = np.asarray(spec_augment(feats, lens, keys_diff, time_masks=2,
+                                 time_width=20))
+    np.testing.assert_array_equal(b, b2)
+
+
+def test_gate_check_missing_cell():
+    """Gate on a cell/split that was never decoded must not pass vacuously
+    (reference test_score_wer.py: gate_check_pass_fail_and_missing)."""
+    from hnet_mamba_asr_tpu.eval.score import gate_check
+    split_cells = {"test-clean": {"ctc_greedy": {"wer": 10.0,
+                                                 "wer_exact": 10.04}}}
+    goal = {"sane_test_clean_wer_below": 12.0}
+    res = gate_check(split_cells, goal, gate_cell="ctc_greedy")
+    assert res["evaluated"] and res["passed"] is True
+    bad = gate_check(split_cells, goal, gate_cell="aed_beam")
+    assert bad["evaluated"] is False and "not decoded" in bad["reason"]
+    none = gate_check(split_cells, goal, gate_split="dev-other")
+    assert none["evaluated"] is False
+
+
+def test_collate_snap_lengths_off_is_tight():
+    from hnet_mamba_asr_tpu.data.dataset import collate_batch
+    s = {"wave": np.zeros(5000, np.float32), "n_samples": 5000,
+         "tokens": np.array([4], np.int32), "id": "u", "index": 0}
+    out = collate_batch([s], pad_id=3, seed=0, epoch=0, snap_lengths=False)
+    assert out["wave"].shape[1] == 5000
