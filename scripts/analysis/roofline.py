@@ -64,9 +64,10 @@ def main(argv=None) -> None:
                                         n_frames=1000)["total"] / 1000.0
     K = args.steps
 
-    def build(B: int, remat: str, q: int, k: int):
+    def build(B: int, remat: str, q: int, k: int, intra: str | None = None):
         cfg = dict(base_cfg, encoder_conf=dict(
-            base_cfg["encoder_conf"], remat_policy=remat, ssd_chunk_size=q))
+            base_cfg["encoder_conf"], remat_policy=remat, ssd_chunk_size=q,
+            ssd_intra_dtype=intra))
         model = build_model(cfg, vocab)
         params = model.init_params(jax.random.PRNGKey(0))
         batch = _batch(B=B, frames=args.frames, n_mels=80, vocab=vocab)
@@ -89,15 +90,17 @@ def main(argv=None) -> None:
 
     results = []
     for spec in args.variants.split(","):
-        bs, remat, q = spec.strip().split("/")
+        parts = spec.strip().split("/")          # b32/none/256[/bf16]
+        bs, remat, q = parts[:3]
+        intra = parts[3] if len(parts) > 3 else None
         B = int(bs.lstrip("b"))
-        fn, params, opt_state, batch = build(B, remat, int(q), K)
+        fn, params, opt_state, batch = build(B, remat, int(q), K, intra)
         lowered = fn.lower(params, opt_state, batch)
         compiled = lowered.compile()
         # XLA's HLO cost analysis counts a while/scan BODY once regardless of
         # trip count, so per-step cost comes from a dedicated K=1 program
         # (the timing still uses the K-step scan to amortize dispatch)
-        fn1, p1, o1, b1 = build(B, remat, int(q), 1)
+        fn1, p1, o1, b1 = build(B, remat, int(q), 1, intra)
         cost = fn1.lower(p1, o1, b1).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0] if cost else {}
