@@ -215,12 +215,17 @@ class Trainer:
             nonlocal pending, pending_sig
             if not pending:
                 return
-            if len(pending) == 1:
-                batch, b_real = pending[0]
-                sharded = shard_batch(batch, self.mesh)
-                self.params, self.opt_state, stats, gnorm = self._fused_step(
-                    self.params, self.opt_state, sharded, self.global_step)
-                self._commit_step(stats, gnorm, b_real)
+            if len(pending) < self.scan_steps:
+                # partial window (shape change or epoch end): run the
+                # single-step executable per batch rather than compiling a
+                # fresh K-length scan for every remainder size — executables
+                # stay bounded to {fused, scan_K}
+                for batch, b_real in pending:
+                    sharded = shard_batch(batch, self.mesh)
+                    self.params, self.opt_state, stats, gnorm = \
+                        self._fused_step(self.params, self.opt_state, sharded,
+                                         self.global_step)
+                    self._commit_step(stats, gnorm, b_real)
             else:
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: np.stack(xs), *[b for b, _ in pending])

@@ -46,7 +46,10 @@ def build_corpus(root: Path, n_utts: int) -> None:
     for i in range(n_utts):
         wave = (rng.normal(size=UTT_SAMPLES) * 0.1).astype("float32")
         write_wav(root / f"u{i}.wav", wave, 16000)
-        text = " ".join(rng.choice(words, size=12))
+        # constant transcript -> constant token count -> ONE padded batch
+        # signature, so the scan_steps path forms full K-windows (varying
+        # u_pad would split the pending queue into partial flushes)
+        text = " ".join(words[i % len(words)] for i in range(12))
         entries.append({"id": f"u{i}", "audio": str(root / f"u{i}.wav"),
                         "text": text, "frames": UTT_SAMPLES})
     write_manifest(entries, root / "manifests" / "train-960.jsonl")
