@@ -36,6 +36,17 @@ def _to_host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), jax.device_get(tree))
 
 
+def to_host_state(state: dict) -> dict:
+    """Numpy-ify params/opt_state ONCE so a state written to several paths
+    (epoch file + latest) pays a single device fetch — device->host transfer
+    dominates save time on remote-attached devices."""
+    out = dict(state)
+    for key in ("params", "opt_state"):
+        if key in out:
+            out[key] = _to_host(out[key])
+    return out
+
+
 def save_checkpoint(path: str | Path, state: dict,
                     backend: str = "pickle") -> None:
     """Atomic write: serialize to tmp, fsync, rename (pickle) or write an

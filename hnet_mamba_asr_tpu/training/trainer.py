@@ -448,12 +448,13 @@ class Trainer:
     def save_checkpoint(self) -> None:
         if not self.is_main:
             return
-        state = {"params": self.params,
-                 "opt_state": ckpt.tree_to_path_dict(self.opt_state),
-                 "opt_state_format": "path_dict",
-                 "epoch": self.epoch, "global_step": self.global_step,
-                 "metric_history": self.metric_history, "config": self.cfg,
-                 "seed": self.seed}
+        state = ckpt.to_host_state(
+            {"params": self.params,
+             "opt_state": ckpt.tree_to_path_dict(self.opt_state),
+             "opt_state_format": "path_dict",
+             "epoch": self.epoch, "global_step": self.global_step,
+             "metric_history": self.metric_history, "config": self.cfg,
+             "seed": self.seed})          # one device fetch for both writes
         ckpt.save_checkpoint(self.ckpt_dir / f"epoch{self.epoch:04d}.ckpt", state,
                              backend=self.ckpt_backend)
         ckpt.save_checkpoint(self.ckpt_dir / "latest.ckpt", state,
