@@ -231,6 +231,54 @@ def _lbfgs_fit(X_train, y_train, X_test, *, max_iter: int, C: float):
     return np.asarray([classes[i] for i in scores.argmax(axis=1)]), int(sol.nit)
 
 
+@__import__("functools").lru_cache(maxsize=32)
+def _jax_lbfgs_prog(d: int, k: int, max_iter: int, C: float):
+    """Compiled LBFGS fit for feature dim d, k classes: ``fit(X, y) ->
+    (theta, n_iter)``. Cached per SHAPE so a probe report's many fits reuse
+    one executable (a closure-per-fit jit would re-trace and re-compile
+    every call — measured as the dominant cost)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import optax.tree_utils as otu
+
+    def objective(theta, X, y):
+        W = theta[:d * k].reshape(d, k)
+        bias = theta[d * k:]
+        z = X @ W + bias
+        nll = (jax.nn.logsumexp(z, axis=1)
+               - jnp.take_along_axis(z, y[:, None], 1)[:, 0]).sum()
+        return 0.5 * (W ** 2).sum() + C * nll
+
+    opt = optax.lbfgs()
+
+    @jax.jit
+    def fit(X, y):
+        obj = lambda theta: objective(theta, X, y)
+        value_and_grad = optax.value_and_grad_from_state(obj)
+
+        def step(carry):
+            theta, state = carry
+            value, grad = value_and_grad(theta, state=state)
+            updates, state = opt.update(grad, state, theta, value=value,
+                                        grad=grad, value_fn=obj)
+            return optax.apply_updates(theta, updates), state
+
+        def continuing(carry):
+            _, state = carry
+            count = otu.tree_get(state, "count")
+            grad = otu.tree_get(state, "grad")
+            return (count == 0) | ((count < max_iter)
+                                   & (jnp.abs(grad).max() >= 1e-5))
+
+        theta0 = jnp.zeros(d * k + k, jnp.float32)
+        theta, state = jax.lax.while_loop(
+            continuing, step, (theta0, opt.init(theta0)))
+        return theta, otu.tree_get(state, "count")
+
+    return fit
+
+
 def _jax_lbfgs_fit(X_train, y_train, X_test, *, max_iter: int, C: float):
     """Device-side L-BFGS on sklearn's exact multinomial objective — the TPU
     analog of the reference's ~135x torch-LBFGS GPU backend (reference:
@@ -241,52 +289,17 @@ def _jax_lbfgs_fit(X_train, y_train, X_test, *, max_iter: int, C: float):
     predictions match sklearn (parity-tested to the reference's own 2e-5
     bar on predicted probabilities). Stops at inf-norm(grad) < 1e-5 (tighter
     than scipy L-BFGS-B's 1e-4 gtol — fp32 needs the extra slack consumed to
-    hold the 2e-5 probability parity) or ``max_iter``."""
-    import jax
+    hold the 2e-5 probability parity) or ``max_iter``. The compiled program
+    is cached per (d, k, max_iter, C) — see _jax_lbfgs_prog."""
     import jax.numpy as jnp
-    import optax
-    import optax.tree_utils as otu
 
     classes = sorted(set(y_train))
     index = {c: i for i, c in enumerate(classes)}
     X = jnp.asarray(np.asarray(X_train, dtype=np.float32))
-    y = jnp.asarray([index[c] for c in y_train])
-    n, d = X.shape
+    y = jnp.asarray(np.asarray([index[c] for c in y_train], dtype=np.int32))
+    d = X.shape[1]
     k = len(classes)
-
-    def objective(theta):
-        W = theta[:d * k].reshape(d, k)
-        bias = theta[d * k:]
-        z = X @ W + bias
-        nll = (jax.nn.logsumexp(z, axis=1)
-               - jnp.take_along_axis(z, y[:, None], 1)[:, 0]).sum()
-        return 0.5 * (W ** 2).sum() + C * nll
-
-    opt = optax.lbfgs()
-    value_and_grad = optax.value_and_grad_from_state(objective)
-
-    def step(carry):
-        theta, state = carry
-        value, grad = value_and_grad(theta, state=state)
-        updates, state = opt.update(grad, state, theta, value=value,
-                                    grad=grad, value_fn=objective)
-        return optax.apply_updates(theta, updates), state
-
-    def continuing(carry):
-        _, state = carry
-        count = otu.tree_get(state, "count")
-        grad = otu.tree_get(state, "grad")
-        return (count == 0) | ((count < max_iter)
-                               & (jnp.abs(grad).max() >= 1e-5))
-
-    @jax.jit
-    def fit():
-        theta0 = jnp.zeros(d * k + k, jnp.float32)
-        theta, state = jax.lax.while_loop(
-            continuing, step, (theta0, opt.init(theta0)))
-        return theta, otu.tree_get(state, "count")
-
-    theta, n_iter = fit()
+    theta, n_iter = _jax_lbfgs_prog(d, k, int(max_iter), float(C))(X, y)
     W = np.asarray(theta[:d * k]).reshape(d, k)
     bias = np.asarray(theta[d * k:])
     scores = np.asarray(X_test, dtype=np.float32) @ W + bias

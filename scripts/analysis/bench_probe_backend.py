@@ -23,13 +23,14 @@ REPO = Path(__file__).resolve().parent.parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def make_data(rng, n, d, k, spread=1.5):
+def make_data(rng, n, d, k, base, spread=0.08):
+    """Class means ``base`` are SHARED between train and test splits (the
+    first run drew fresh means per split and measured chance accuracy)."""
     import numpy as np
     X, y = [], []
-    base = rng.normal(size=(k, d)) * spread
     counts = rng.multinomial(n, rng.dirichlet(np.ones(k) * 4.0))
     for c in range(k):
-        X.append(rng.normal(size=(counts[c], d)) + base[c])
+        X.append(rng.normal(size=(counts[c], d)) + base[c] * spread)
         y += [f"ph{c}"] * counts[c]
     return np.concatenate(X).astype(np.float32), y
 
@@ -52,8 +53,9 @@ def main(argv=None) -> None:
     from hnet_mamba_asr_tpu.interp.probes import train_probe
 
     rng = np.random.default_rng(0)
-    Xtr, ytr = make_data(rng, args.n_train, args.d, args.classes)
-    Xte, yte = make_data(rng, args.n_test, args.d, args.classes)
+    base = rng.normal(size=(args.classes, args.d))
+    Xtr, ytr = make_data(rng, args.n_train, args.d, args.classes, base)
+    Xte, yte = make_data(rng, args.n_test, args.d, args.classes, base)
 
     results = {}
     for backend in ("jax", "sklearn"):
