@@ -61,9 +61,10 @@ def main() -> None:
 
     COST = {}                       # per-(B, policy) XLA cost analysis
 
-    def measure(B: int, remat_policy: str) -> float:
+    def measure(B: int, remat_policy: str, intra: str | None = None) -> float:
         cfg = dict(base_cfg, encoder_conf=dict(base_cfg["encoder_conf"],
-                                               remat_policy=remat_policy))
+                                               remat_policy=remat_policy,
+                                               ssd_intra_dtype=intra))
         model = build_model(cfg, vocab)
         params = model.init_params(jax.random.PRNGKey(0))
         batch = _batch(B=B, frames=1000, n_mels=80, vocab=vocab)
@@ -123,7 +124,9 @@ def main() -> None:
     fps_ref_budget = measure(64, "full")
     for policy in ("none", "dots"):          # lightest remat that fits wins
         try:
-            fps_production = measure(32, policy)
+            # bf16 intra-chunk storage = the production recipe
+            # (configs/typeA_small_N1.yaml; +3.4% and -2.4 GB within-run)
+            fps_production = measure(32, policy, intra="bf16")
             break
         except Exception as e:
             # Only a memory failure justifies falling through to a heavier
