@@ -144,10 +144,23 @@ def main(argv=None) -> None:
 
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
-    out.write_text(json.dumps({
-        "device": str(jax.devices()[0]),
-        "utt_frames": UTT_FRAMES, "n_utts": args.utts,
-        "results": results}, indent=2))
+    # Merge into an existing artifact (narrative keys like "diagnosis" are
+    # curated by hand — never clobber them; replace rows per variant name).
+    doc = {}
+    if out.exists():
+        try:
+            doc = json.loads(out.read_text())
+        except (json.JSONDecodeError, OSError):
+            doc = {}
+    doc.setdefault("device", str(jax.devices()[0]))
+    doc["utt_frames"] = UTT_FRAMES
+    doc["n_utts"] = args.utts
+    merged = list(doc.get("results", []))
+    for r in results:
+        merged = [m for m in merged if m.get("variant") != r["variant"]]
+        merged.append(r)
+    doc["results"] = merged
+    out.write_text(json.dumps(doc, indent=2))
     print(f"wrote {out}")
 
 
