@@ -133,10 +133,18 @@ def pad_targets(n_samples_list: Sequence[int], token_lens_list: Sequence[int], *
 
 
 def _fill_rows(rows: Sequence[dict | None], n_pad: int, u_pad: int, *,
-               pad_id: int, seed: int, epoch: int) -> dict:
-    """Materialize padded arrays for ``rows`` (None = padding row)."""
+               pad_id: int, seed: int, epoch: int,
+               wire_dtype: str = "float32") -> dict:
+    """Materialize padded arrays for ``rows`` (None = padding row).
+
+    ``wire_dtype="int16"`` ships PCM16-quantized waveforms (half the
+    host->device bytes of float32 — the dominant per-step upload). The
+    frontend rescales by 1/32768 on device (ops/melspec.py), which is EXACT
+    for PCM16 sources; speed-perturbed rows re-quantize with error <=
+    1/65536 of full scale (below the source medium's own quantization)."""
     R = len(rows)
-    wave = np.zeros((R, n_pad), dtype=np.float32)
+    wave = np.zeros((R, n_pad),
+                    dtype=np.int16 if wire_dtype == "int16" else np.float32)
     # wave_lens for padded rows must cover one window so the frontend is valid
     wave_lens = np.full(R, 400, dtype=np.int32)
     tokens = np.full((R, u_pad), pad_id, dtype=np.int32)
@@ -147,7 +155,10 @@ def _fill_rows(rows: Sequence[dict | None], n_pad: int, u_pad: int, *,
     for i, s in enumerate(rows):
         if s is None:
             continue
-        wave[i, :min(s["n_samples"], n_pad)] = s["wave"][:n_pad]
+        w = s["wave"][:n_pad]
+        if wave.dtype == np.int16:
+            w = np.clip(np.round(w * 32768.0), -32768, 32767)
+        wave[i, :min(s["n_samples"], n_pad)] = w
         wave_lens[i] = min(s["n_samples"], n_pad)
         tokens[i, :len(s["tokens"])] = s["tokens"]
         token_lens[i] = len(s["tokens"])
@@ -162,14 +173,15 @@ def _fill_rows(rows: Sequence[dict | None], n_pad: int, u_pad: int, *,
 
 def collate_batch(samples: Sequence[dict], *, pad_id: int, seed: int, epoch: int,
                   batch_multiple: int = 1, snap_lengths: bool = True,
-                  token_multiple: int = 8) -> dict:
+                  token_multiple: int = 8, wire_dtype: str = "float32") -> dict:
     """Pad a list of items into a static-shape batch with row masking."""
     B_pad, n_pad, u_pad = pad_targets(
         [s["n_samples"] for s in samples], [len(s["tokens"]) for s in samples],
         batch_multiple=batch_multiple, snap_lengths=snap_lengths,
         token_multiple=token_multiple)
     rows = list(samples) + [None] * (B_pad - len(samples))
-    return _fill_rows(rows, n_pad, u_pad, pad_id=pad_id, seed=seed, epoch=epoch)
+    return _fill_rows(rows, n_pad, u_pad, pad_id=pad_id, seed=seed, epoch=epoch,
+                      wire_dtype=wire_dtype)
 
 
 class BucketBatchSampler:
@@ -245,12 +257,16 @@ class DataLoader:
 
     def __init__(self, dataset: ASRDataset, sampler: BucketBatchSampler, *,
                  batch_multiple: int = 1, snap_lengths: bool = True,
-                 prefetch: int = 0, row_shard: tuple[int, int] | None = None):
+                 prefetch: int = 0, row_shard: tuple[int, int] | None = None,
+                 wire_dtype: str = "float32"):
         self.dataset = dataset
         self.sampler = sampler
         self.batch_multiple = batch_multiple
         self.snap_lengths = snap_lengths
         self.prefetch = int(prefetch)
+        if wire_dtype not in ("float32", "int16"):
+            raise ValueError(f"wire_dtype must be float32|int16, got {wire_dtype!r}")
+        self.wire_dtype = wire_dtype
         self.row_shard = tuple(row_shard) if row_shard else None
         if self.row_shard:
             rank, count = self.row_shard
@@ -287,7 +303,8 @@ class DataLoader:
             return collate_batch(samples, pad_id=self.dataset.pad_id,
                                  seed=self.dataset.seed, epoch=self.dataset.epoch,
                                  batch_multiple=self.batch_multiple,
-                                 snap_lengths=self.snap_lengths)
+                                 snap_lengths=self.snap_lengths,
+                                 wire_dtype=self.wire_dtype)
         rank, count = self.row_shard
         n_samps = [self.dataset.samples[i] for i in batch_idx]
         tok_lens = [self.dataset.token_len(i) for i in batch_idx]
@@ -300,7 +317,8 @@ class DataLoader:
         rows = [self._fetch_checked(batch_idx[r], n_samps[r]) if r < B else None
                 for r in range(lo, lo + per)]
         return _fill_rows(rows, n_pad, u_pad, pad_id=self.dataset.pad_id,
-                          seed=self.dataset.seed, epoch=self.dataset.epoch)
+                          seed=self.dataset.seed, epoch=self.dataset.epoch,
+                          wire_dtype=self.wire_dtype)
 
     def __iter__(self) -> Iterator[dict]:
         if self.prefetch <= 0:
@@ -336,7 +354,8 @@ class DataLoader:
 def make_dataloader(dataset: ASRDataset, max_frames: int, *, shuffle: bool = False,
                     seed: int = 0, num_replicas: int = 1, rank: int = 0,
                     batch_multiple: int = 1, snap_lengths: bool = True,
-                    prefetch: int = 0, row_shard: bool = False):
+                    prefetch: int = 0, row_shard: bool = False,
+                    wire_dtype: str = "float32"):
     """``row_shard=True`` turns (rank, num_replicas) into ROW sharding of a
     shared global batch sequence (the multi-host contract — see DataLoader);
     otherwise ranks take disjoint batches (single-host / host-local use)."""
@@ -346,5 +365,6 @@ def make_dataloader(dataset: ASRDataset, max_frames: int, *, shuffle: bool = Fal
                                  shuffle=shuffle, seed=seed)
     loader = DataLoader(dataset, sampler, batch_multiple=batch_multiple,
                         snap_lengths=snap_lengths, prefetch=prefetch,
-                        row_shard=(rank, num_replicas) if row_shard else None)
+                        row_shard=(rank, num_replicas) if row_shard else None,
+                        wire_dtype=wire_dtype)
     return loader, sampler

@@ -98,7 +98,14 @@ def log_mel_spectrogram(wave: jax.Array, lengths: jax.Array | None = None, *,
         raise ValueError(f"waveform ({N} samples) shorter than one window ({win_length})")
     if lengths is None:
         lengths = jnp.full((B,), N, dtype=jnp.int32)
-    wave = wave.astype(jnp.float32)
+    if jnp.issubdtype(wave.dtype, jnp.integer):
+        # int16 PCM wire format (data.wire_dtype: int16): the loader ships
+        # quantized samples to halve host->device bytes; i/32768 restores the
+        # float path exactly for PCM16 sources. The scale fuses into the DFT
+        # matmul below, so the device-side cost is zero.
+        wave = wave.astype(jnp.float32) * (1.0 / 32768.0)
+    else:
+        wave = wave.astype(jnp.float32)
 
     # TPU-fast STFT: (1) framing as STATIC slices of a hop-aligned reshape —
     # rows[t] = wave[t*hop : (t+1)*hop], frame t = rows t..t+k concatenated —

@@ -65,6 +65,9 @@ def build_dataloaders(cfg, repo_root, tokenizer, *, n_devices: int | None = None
     # overlap host IO/collate with device compute (bounded queue; exceptions
     # propagate; order deterministic) — load-bearing on slim hosts
     prefetch = int(train_cfg.get("prefetch", 2))
+    # int16 wire format halves the dominant host->device payload (the padded
+    # waveform); the frontend rescales on device (ops/melspec.py)
+    wire = str((cfg.get("data", {}) or {}).get("wire_dtype", "float32"))
     train_manifest, dev_manifests = resolve_manifests(cfg, repo_root)
     n_dev = n_devices if n_devices is not None else jax.device_count()
 
@@ -74,13 +77,14 @@ def build_dataloaders(cfg, repo_root, tokenizer, *, n_devices: int | None = None
         train_ds, batch_bins, shuffle=True, seed=seed,
         num_replicas=jax.process_count(), rank=jax.process_index(),
         batch_multiple=max(1, n_dev), row_shard=jax.process_count() > 1,
-        prefetch=prefetch)
+        prefetch=prefetch, wire_dtype=wire)
     dev_loaders = {}
     for name, mpath in dev_manifests.items():
         ds = ASRDataset(mpath, tokenizer, augment=False, seed=seed)
         loader, _ = make_dataloader(ds, batch_bins, shuffle=False, seed=seed,
                                     num_replicas=1, rank=0,
-                                    batch_multiple=max(1, n_dev))
+                                    batch_multiple=max(1, n_dev),
+                                    wire_dtype=wire)
         dev_loaders[name] = loader
     logger.info("dataloaders: train=%d batches (%s), dev=%s", len(train_sampler),
                 train_manifest.name, {k: len(v) for k, v in dev_loaders.items()})

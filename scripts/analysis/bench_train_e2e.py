@@ -57,11 +57,12 @@ def build_corpus(root: Path, n_utts: int) -> None:
                     hard_vocab_limit=False)
 
 
-def config_yaml(root: Path, *, accum: int, scan: int) -> str:
+def config_yaml(root: Path, *, accum: int, scan: int,
+                wire: str = "float32") -> str:
     return f"""
 experiment: {{name: e2e_bench, seed: 0}}
 data: {{manifests_dir: {root}/manifests, train_manifest: train-960,
-        dev_splits: []}}
+        dev_splits: [], wire_dtype: {wire}}}
 bpemodel: {root}/bpe.model
 frontend_conf: {{n_mels: 80}}
 encoder: dcasr
@@ -82,12 +83,12 @@ best_model_criterion: [[train, loss, min]]
 
 
 def measure_variant(root: Path, name: str, *, accum: int, scan: int,
-                    epochs: int) -> dict:
+                    epochs: int, wire: str = "float32") -> dict:
     import train as train_script
 
     exp = root / f"exp_{name}"
     cfg_path = root / f"cfg_{name}.yaml"
-    cfg_path.write_text(config_yaml(root, accum=accum, scan=scan))
+    cfg_path.write_text(config_yaml(root, accum=accum, scan=scan, wire=wire))
     train_script.run(train_script.parse_args(
         ["--config", str(cfg_path), "--exp-dir", str(exp),
          f"train.max_epoch={epochs}"]))
@@ -108,6 +109,7 @@ def measure_variant(root: Path, name: str, *, accum: int, scan: int,
     frames_per_opt = 32 * UTT_FRAMES * micro_per_opt
     fps = opt_steps * frames_per_opt / (t1 - t0)
     return {"variant": name, "accum": accum, "scan_steps": scan,
+            "wire_dtype": wire,
             "opt_steps_timed": int(opt_steps),
             "frames_per_s": round(fps, 1),
             "sec_per_opt_step": round((t1 - t0) / max(1, opt_steps), 4)}
@@ -135,7 +137,8 @@ def main(argv=None) -> None:
 
     spec = {"accum2": dict(accum=2, scan=1),
             "fused": dict(accum=1, scan=1),
-            "scan8": dict(accum=1, scan=8)}
+            "scan8": dict(accum=1, scan=8),
+            "scan8_i16": dict(accum=1, scan=8, wire="int16")}
     results = []
     for name in args.variants.split(","):
         r = measure_variant(root, name, epochs=args.epochs, **spec[name])

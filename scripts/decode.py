@@ -87,7 +87,9 @@ def run(args) -> None:
         manifest = mdir / f"{split}.jsonl"
         audio_s = audio_seconds_from_manifest(manifest)
         ds = ASRDataset(manifest, tokenizer, augment=False)
-        loader, _ = make_dataloader(ds, batch_bins, batch_multiple=1)
+        loader, _ = make_dataloader(
+            ds, batch_bins, batch_multiple=1,
+            wire_dtype=str(data.get("wire_dtype", "float32")))
         if bool(dc.get("share_encoder", False)):
             # one encoder pass per batch fanned out to every cell (the
             # per-cell default keeps the reference's accounting)

@@ -169,3 +169,20 @@ def test_specaug_resume_exact(setup):
     f3, _ = model.features({k: jnp.asarray(v) for k, v in b3.items() if k != "ids"},
                            train=True)
     assert not np.array_equal(np.asarray(f1), np.asarray(f3))
+
+
+def test_int16_wire_batch_same_loss(setup):
+    """data.wire_dtype int16: the model consumes the quantized batch directly
+    (device-side dequant in the frontend) with identical loss for PCM16
+    sources — the WAV corpus here IS PCM16, so equality is exact."""
+    manifest, tok, model = setup
+    params = model.init_params(jax.random.PRNGKey(0))
+    ds = ASRDataset(manifest, tok, augment=False)
+    b32 = next(iter(make_dataloader(ds, max_frames=2000, batch_multiple=8)[0]))
+    b16 = next(iter(make_dataloader(ds, max_frames=2000, batch_multiple=8,
+                                    wire_dtype="int16")[0]))
+    b32.pop("ids"); b16.pop("ids")
+    assert b16["wave"].dtype == np.int16
+    loss32, _ = model.loss_fn(params, b32, 0, False)
+    loss16, _ = model.loss_fn(params, b16, 0, False)
+    assert float(loss16) == float(loss32)

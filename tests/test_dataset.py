@@ -197,3 +197,69 @@ def test_row_shard_rejects_lying_manifest(corpus):
     loader = DataLoader(ds, sampler, batch_multiple=2, row_shard=(0, 2))
     with pytest.raises(ValueError, match="manifest"):
         list(loader)
+
+
+# ---- int16 wire format (data.wire_dtype) -----------------------------------
+
+def _pcm16_samples():
+    """Two samples whose floats are exactly i/32768 (PCM16-representable)."""
+    rng = np.random.default_rng(7)
+    out = []
+    for i, n in enumerate((5000, 3000)):
+        ints = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        out.append({"wave": ints.astype(np.float32) / 32768.0, "n_samples": n,
+                    "tokens": np.array([4 + i], np.int32), "id": f"s{i}",
+                    "index": i})
+    return out
+
+
+def test_collate_int16_wire_exact_for_pcm16():
+    samples = _pcm16_samples()
+    b32 = collate_batch(samples, pad_id=3, seed=1, epoch=2)
+    b16 = collate_batch(samples, pad_id=3, seed=1, epoch=2, wire_dtype="int16")
+    assert b16["wave"].dtype == np.int16
+    assert b16["wave"].shape == b32["wave"].shape
+    # dequantized int16 wire == the float32 wire bit-for-bit (PCM16 source)
+    np.testing.assert_array_equal(b16["wave"].astype(np.float32) / 32768.0,
+                                  b32["wave"])
+    # every non-wave field identical
+    for k in ("wave_lens", "tokens", "token_lens", "row_mask", "item_index"):
+        np.testing.assert_array_equal(b16[k], b32[k])
+
+
+def test_collate_int16_wire_quantization_bound():
+    # arbitrary floats (speed-perturb output): requantization error is at
+    # most one PCM16 step (clip at the +1.0 edge costs a full 1/32768)
+    rng = np.random.default_rng(3)
+    w = np.clip(rng.normal(size=4096) * 0.4, -1.0, 1.0).astype(np.float32)
+    s = [{"wave": w, "n_samples": len(w), "tokens": np.array([5], np.int32),
+          "id": "q", "index": 0}]
+    b16 = collate_batch(s, pad_id=3, seed=0, epoch=0, wire_dtype="int16")
+    deq = b16["wave"][0, :len(w)].astype(np.float32) / 32768.0
+    assert np.max(np.abs(deq - w)) <= 1.0 / 32768.0
+
+
+def test_melspec_int16_wire_matches_float32():
+    import jax.numpy as jnp
+
+    from hnet_mamba_asr_tpu.ops.melspec import log_mel_spectrogram
+
+    rng = np.random.default_rng(11)
+    ints = rng.integers(-32768, 32768, size=(2, 4000)).astype(np.int16)
+    lens = np.array([4000, 2500], np.int32)
+    f32, l32 = log_mel_spectrogram(jnp.asarray(ints.astype(np.float32) / 32768.0),
+                                   jnp.asarray(lens))
+    f16, l16 = log_mel_spectrogram(jnp.asarray(ints), jnp.asarray(lens))
+    np.testing.assert_array_equal(np.asarray(l32), np.asarray(l16))
+    # the 1/32768 rescale is a power of two: bit-identical feature path
+    np.testing.assert_array_equal(np.asarray(f32), np.asarray(f16))
+
+
+def test_loader_wire_dtype_plumbed_and_validated(corpus):
+    manifest, tok = corpus
+    ds = ASRDataset(load_manifest(manifest), tok)
+    loader, _ = make_dataloader(ds, max_frames=4000, wire_dtype="int16")
+    batch = next(iter(loader))
+    assert batch["wave"].dtype == np.int16
+    with pytest.raises(ValueError, match="wire_dtype"):
+        make_dataloader(ds, max_frames=4000, wire_dtype="int8")

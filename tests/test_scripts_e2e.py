@@ -53,6 +53,7 @@ data:
   train_manifest: train-960
   dev_splits: [dev-clean]
   eval_splits: [test-clean]
+  wire_dtype: int16            # production wire format through the real CLIs
   lm_corpus: {root}/data/lm/corpus.txt
 bpemodel: {root}/tok/bpe.model
 frontend_conf: {{sample_rate: 16000, n_mels: 20, win_length: 400, hop_length: 160,
