@@ -130,13 +130,15 @@ def tree_to_path_dict(tree) -> dict[str, np.ndarray]:
     tree path makes the checkpoint immune to both (reference kept full torch
     state_dicts, which are path-keyed for the same reason:
     src/dcasr/training/trainer.py:515-519)."""
-    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    # one batched fetch for the whole tree: per-leaf device_get costs one
+    # relay round trip each on remote-attached devices
+    flat, _ = jax.tree_util.tree_flatten_with_path(jax.device_get(tree))
     out: dict[str, np.ndarray] = {}
     for path, leaf in flat:
         key = jax.tree_util.keystr(path)
         if key in out:
             raise ValueError(f"duplicate tree path {key!r} while flattening")
-        out[key] = np.asarray(jax.device_get(leaf))
+        out[key] = np.asarray(leaf)
     return out
 
 

@@ -25,6 +25,7 @@ src/dcasr/training/trainer.py) with the DDP-era machinery translated to SPMD:
 """
 from __future__ import annotations
 
+import copy
 import time
 from pathlib import Path
 
@@ -38,6 +39,7 @@ from hnet_mamba_asr_tpu.parallel.mesh import (
     make_mesh, place_params, replicate, shard_batch,
 )
 from hnet_mamba_asr_tpu.training import checkpoint as ckpt
+from hnet_mamba_asr_tpu.training.async_ckpt import AsyncWriter
 from hnet_mamba_asr_tpu.training.optim import build_optimizer
 from hnet_mamba_asr_tpu.utils.logging_utils import get_logger
 
@@ -79,6 +81,11 @@ class Trainer:
         self.keep_all = bool(g("keep_all_checkpoints", False))
         self.max_steps = g("max_steps")
         self.ckpt_backend = str(g("ckpt_backend", "pickle"))
+        # overlap ckpt device->host fetch + disk IO with the next epoch's
+        # compute (the fetch is ~30 s/100 MB on remote-attached devices).
+        # Costs one extra device-resident generation of (params, opt_state)
+        # while a save is in flight — disable at memory budgets that need it.
+        self.async_ckpt = bool(g("async_ckpt", True))
         self.best_model_criterion = [tuple(c) for c in
                                      g("best_model_criterion", [["valid", "loss", "min"]])]
         self.early_stopping = dict(g("early_stopping", {}) or {})
@@ -100,6 +107,13 @@ class Trainer:
 
         self.epoch, self.global_step = 0, 0
         self.metric_history: dict[tuple[str, str], dict[int, float]] = {}
+        self._ckpt_writer = (AsyncWriter() if (self.async_ckpt and self.is_main)
+                             else None)
+        # on-device snapshot: the train step DONATES params/opt_state buffers
+        # (donate_argnums below), so an in-flight save must copy before the
+        # next step dispatches; the writer thread fetches from the copies.
+        self._snapshot_state = jax.jit(
+            lambda t: jax.tree_util.tree_map(jnp.copy, t))
         self._build_steps()
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.params))
         logger.info("Trainer: devices=%d processes=%d params=%.1fM accum_grad=%d "
@@ -372,11 +386,20 @@ class Trainer:
 
     # ---- selection / early stop --------------------------------------------------
     def _update_best_symlinks(self) -> None:
+        # decision (which criteria this epoch is best for) is computed NOW on
+        # live metric_history; the file op rides the writer queue so it lands
+        # AFTER the epoch file it points to
         if not self.is_main:
             return
-        for phase, metric, mode in self.best_model_criterion:
-            if self._best_epoch(phase, metric, mode) == self.epoch:
-                ckpt.update_best_symlink(self.ckpt_dir, phase, metric, self.epoch)
+        updates = [(phase, metric) for phase, metric, mode in
+                   self.best_model_criterion
+                   if self._best_epoch(phase, metric, mode) == self.epoch]
+        epoch = self.epoch
+
+        def apply() -> None:
+            for phase, metric in updates:
+                ckpt.update_best_symlink(self.ckpt_dir, phase, metric, epoch)
+        self._ckpt_writer.submit(apply) if self._ckpt_writer else apply()
 
     def _prune_checkpoints(self) -> None:
         if not self.is_main or self.keep_nbest <= 0 or self.keep_all:
@@ -387,9 +410,12 @@ class Trainer:
             top = sorted(hist, key=lambda e: hist[e],
                          reverse=(mode == "max"))[:self.keep_nbest]
             keep.update(top)
-        for p in self.ckpt_dir.glob("epoch*.ckpt"):
-            if int(p.stem[5:]) not in keep:
-                ckpt.remove_checkpoint(p)
+
+        def apply() -> None:
+            for p in self.ckpt_dir.glob("epoch*.ckpt"):
+                if int(p.stem[5:]) not in keep:
+                    ckpt.remove_checkpoint(p)
+        self._ckpt_writer.submit(apply) if self._ckpt_writer else apply()
 
     def _last_significant_best(self, phase, metric, mode, min_delta):
         """Last epoch that beat the running best by MORE than min_delta —
@@ -430,6 +456,7 @@ class Trainer:
     def _average_nbest(self) -> None:
         if not self.is_main or self.keep_nbest <= 0:
             return
+        self.flush_checkpoints()          # averaging reads the epoch files
         for phase, metric, mode in self.best_model_criterion:
             hist = self.metric_history.get((phase, metric), {})
             top = sorted(hist, key=lambda e: hist[e],
@@ -448,19 +475,36 @@ class Trainer:
     def save_checkpoint(self) -> None:
         if not self.is_main:
             return
-        state = ckpt.to_host_state(
-            {"params": self.params,
-             "opt_state": ckpt.tree_to_path_dict(self.opt_state),
-             "opt_state_format": "path_dict",
-             "epoch": self.epoch, "global_step": self.global_step,
-             "metric_history": self.metric_history, "config": self.cfg,
-             "seed": self.seed})          # one device fetch for both writes
-        ckpt.save_checkpoint(self.ckpt_dir / f"epoch{self.epoch:04d}.ckpt", state,
-                             backend=self.ckpt_backend)
-        ckpt.save_checkpoint(self.ckpt_dir / "latest.ckpt", state,
-                             backend=self.ckpt_backend)
+        # metadata is snapshotted NOW (metric_history keeps mutating); arrays
+        # are snapshotted on device and fetched by the writer thread
+        meta = {"opt_state_format": "path_dict",
+                "epoch": self.epoch, "global_step": self.global_step,
+                "metric_history": copy.deepcopy(self.metric_history),
+                "config": self.cfg, "seed": self.seed}
+        paths = [self.ckpt_dir / f"epoch{self.epoch:04d}.ckpt",
+                 self.ckpt_dir / "latest.ckpt"]
+        if self._ckpt_writer is None:
+            self._write_checkpoint(self.params, self.opt_state, meta, paths)
+            return
+        params, opt_state = self._snapshot_state((self.params, self.opt_state))
+        self._ckpt_writer.submit(
+            lambda: self._write_checkpoint(params, opt_state, meta, paths))
+
+    def _write_checkpoint(self, params, opt_state, meta, paths) -> None:
+        state = dict(meta)
+        state["params"] = jax.tree_util.tree_map(np.asarray,
+                                                 jax.device_get(params))
+        state["opt_state"] = ckpt.tree_to_path_dict(opt_state)
+        for p in paths:                   # one device fetch for all writes
+            ckpt.save_checkpoint(p, state, backend=self.ckpt_backend)
+
+    def flush_checkpoints(self) -> None:
+        """Wait for pending async saves; re-raise any writer failure."""
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.flush()
 
     def load_checkpoint(self, path) -> None:
+        self.flush_checkpoints()
         state = ckpt.load_checkpoint(path)
         self.params = place_params(
             jax.tree_util.tree_map(jnp.asarray, state["params"]), self.mesh)
@@ -511,6 +555,9 @@ class Trainer:
                     self.save_checkpoint()
                 break
         self._average_nbest()
+        if self._ckpt_writer is not None:
+            self._ckpt_writer.close()
+            self._ckpt_writer = None      # later saves (if any) run sync
         if self.is_main and self.metrics is not None:
             summary = {"final_step": self.global_step, "epochs": self.epoch + 1,
                        "n_devices": int(self.mesh.devices.size), "config": self.cfg}

@@ -277,6 +277,7 @@ def test_prune_keeps_best_union_and_latest(tmp_path, mesh):
         tr.metric_history.setdefault(("valid", "loss"), {})[e] = v
         tr.save_checkpoint()
     tr._prune_checkpoints()
+    tr.flush_checkpoints()                # saves/prune ride the async writer
     kept = sorted(p.name for p in (tmp_path / "ck").glob("epoch*.ckpt"))
     assert kept == ["epoch0001.ckpt", "epoch0003.ckpt", "epoch0004.ckpt"]
 
