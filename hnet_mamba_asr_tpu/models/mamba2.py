@@ -114,11 +114,18 @@ class Mamba2(nn.Module):
         y = y + d_skip[None, None, :, None].astype(y.dtype) * x
         y = y.reshape(Bsz, L, d_inner)
 
-        # gated RMSNorm in fp32 (norm after gating, mamba_ssm convention)
+        # gated RMSNorm (norm after gating, mamba_ssm convention). Statistics
+        # are fp32 but the stored activation stays in compute dtype: the fp32
+        # gated/z copies this line used to make were the largest [B,L,D] HBM
+        # shape families in the compiled production train step
+        # (docs/results/bytes_breakdown.json) — the upcasts now fuse into the
+        # variance reduce / output convert and never materialize.
         g = self.param("norm_scale", nn.initializers.ones, (d_inner,), jnp.float32)
-        gated = y.astype(jnp.float32) * nn.silu(z.astype(jnp.float32))
-        rms = jax.lax.rsqrt(jnp.mean(gated ** 2, axis=-1, keepdims=True) + 1e-5)
-        y = (gated * rms * g).astype(self.dtype)
+        gated = y * nn.silu(z)                                    # compute dtype
+        rms = jax.lax.rsqrt(
+            jnp.mean(jnp.square(gated.astype(jnp.float32)), axis=-1,
+                     keepdims=True) + 1e-5)
+        y = (gated.astype(jnp.float32) * rms * g).astype(self.dtype)
 
         return nn.Dense(self.d_model, use_bias=False, dtype=self.dtype,
                         param_dtype=jnp.float32, name="out_proj")(y)

@@ -74,12 +74,124 @@ def ssd_reference(x: jax.Array, dt: jax.Array, A: jax.Array, B: jax.Array,
     return (y, S_final) if return_final else y
 
 
+def _normalize_intra_dtype(intra_dtype: str | None) -> str | None:
+    """'bf16'/'bfloat16' -> 'bf16'; None/'fp32'/'float32' -> None; else raise.
+
+    A silently-unrecognized value would fall through to the fp32 path and
+    double the intra-chunk HBM traffic — fail loudly instead (this repo's
+    bytes-breakdown tool itself hit exactly that with 'bfloat16')."""
+    if intra_dtype in (None, "", "fp32", "float32"):
+        return None
+    if intra_dtype in ("bf16", "bfloat16"):
+        return "bf16"
+    raise ValueError(f"ssd intra_dtype must be None/'fp32' or 'bf16', "
+                     f"got {intra_dtype!r}")
+
+
+def _intra_impl(ac, dtc, Cc, Bc, xc, intra_dtype: str | None):
+    """Intra-chunk masked decay attention: y[q] = sum_{s<=q} w[q,s] x[s] with
+    w = (C_q.B_s) * exp(ac_q - ac_s) * dt_s. Returns (y_intra fp32, weights)."""
+    Q = ac.shape[-1]
+    seg = ac[..., :, None] - ac[..., None, :]                     # [B,K,H,Q,S]
+    causal = jnp.tril(jnp.ones((Q, Q), dtype=bool))
+    # mask BEFORE exp: future-position differences are POSITIVE and their exp
+    # overflows; an overflow in the unselected where branch leaks NaN into
+    # gradients (zero cotangent times inf)
+    seg = jnp.where(causal, seg, -jnp.inf)
+    if intra_dtype == "bf16":
+        decay = jnp.exp(seg).astype(jnp.bfloat16)
+        scores = jnp.einsum("bkhqn,bkhsn->bkhqs", Cc, Bc,
+                            preferred_element_type=jnp.bfloat16)
+        weights = (scores * decay
+                   * dtc[..., None, :].astype(jnp.bfloat16)).astype(xc.dtype)
+    else:
+        decay = jnp.exp(seg)
+        scores = jnp.einsum("bkhqn,bkhsn->bkhqs", Cc, Bc,
+                            preferred_element_type=jnp.float32)   # C_q . B_s
+        weights = (scores * decay * dtc[..., None, :]).astype(xc.dtype)
+    y = jnp.einsum("bkhqs,bkhsp->bkhqp", weights, xc,
+                   preferred_element_type=jnp.float32)
+    return y, weights
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _intra_attn(ac, dtc, Cc, Bc, xc, intra_dtype: str | None):
+    """Intra-chunk attention with a hand-written, flash-style backward.
+
+    Autodiff of the inline version saves three [B,K,H,Q,Q] residuals between
+    forward and backward and materializes its backward QQ intermediates in
+    fp32 (the transpose einsums inherit preferred_element_type=f32): at the
+    production shape those fp32 QQ tensors were the single largest HBM shape
+    family in the compiled step (docs/results/bytes_breakdown.json). The step
+    sits AT the v5e HBM-bandwidth roofline with MFU ~0.12, so FLOPs are free
+    and bytes are everything. This VJP therefore:
+
+    - saves only O(L) residuals (ac/dt/C/B/x and the fp32 y output) and
+      recomputes the QQ tensors in the backward (flash-attention recipe);
+    - keeps every backward QQ intermediate in ``intra_dtype`` (matmul
+      accumulation stays fp32 on the MXU);
+    - uses the flash-attention row-sum identity
+      sum_s dW[q,s] * W[q,s] = sum_p g[q,p] * y_intra[q,p]
+      so the positive d_ac term needs no QQ tensor at all, and phrases the
+      remaining QQ reductions as multiply->reduce chains XLA fuses without
+      materializing their products.
+    """
+    y, _ = _intra_impl(ac, dtc, Cc, Bc, xc, intra_dtype)
+    return y
+
+
+def _intra_attn_fwd(ac, dtc, Cc, Bc, xc, intra_dtype):
+    y, _ = _intra_impl(ac, dtc, Cc, Bc, xc, intra_dtype)
+    return y, (ac, dtc, Cc, Bc, xc, y)
+
+
+def _intra_attn_bwd(intra_dtype, res, g):
+    ac, dtc, Cc, Bc, xc, y = res
+    D = jnp.bfloat16 if intra_dtype == "bf16" else jnp.float32
+    _, weights = _intra_impl(ac, dtc, Cc, Bc, xc, intra_dtype)    # recompute
+    Q = ac.shape[-1]
+    seg = ac[..., :, None] - ac[..., None, :]
+    causal = jnp.tril(jnp.ones((Q, Q), dtype=bool))
+    decay = jnp.exp(jnp.where(causal, seg, -jnp.inf)).astype(D)
+    scores = jnp.einsum("bkhqn,bkhsn->bkhqs", Cc, Bc,
+                        preferred_element_type=D)
+    dtD = dtc[..., None, :].astype(D)
+
+    gD = g.astype(D)
+    d_xc = jnp.einsum("bkhqs,bkhqp->bkhsp", weights, g,
+                      preferred_element_type=jnp.float32).astype(xc.dtype)
+    d_weights = jnp.einsum("bkhqp,bkhsp->bkhqs", gD, xc.astype(D),
+                           preferred_element_type=D)
+
+    # d_ac[q] += sum_s dW*W  (flash row identity: == sum_p g*y, no QQ tensor);
+    # d_ac[s] -= sum_q dW*W  (multiply->reduce, fuses without materializing)
+    row = jnp.sum(g * y, axis=-1, dtype=jnp.float32)              # [B,K,H,Q]
+    col = jnp.sum((d_weights * weights.astype(D)).astype(jnp.float32),
+                  axis=-2)                                        # [B,K,H,S]
+    d_ac = row - col
+
+    # dt enters as the per-source column scale of weights
+    d_dt = jnp.sum((d_weights * scores * decay).astype(jnp.float32),
+                   axis=-2)                                       # [B,K,H,S]
+
+    d_scores = d_weights * decay * dtD
+    d_Cc = jnp.einsum("bkhqs,bkhsn->bkhqn", d_scores, Bc.astype(D),
+                      preferred_element_type=jnp.float32).astype(Cc.dtype)
+    d_Bc = jnp.einsum("bkhqs,bkhqn->bkhsn", d_scores, Cc.astype(D),
+                      preferred_element_type=jnp.float32).astype(Bc.dtype)
+    return d_ac, d_dt, d_Cc, d_Bc, d_xc
+
+
+_intra_attn.defvjp(_intra_attn_fwd, _intra_attn_bwd)
+
+
 @partial(jax.jit, static_argnames=("chunk_size", "return_final",
-                                   "intra_dtype"))
+                                   "intra_dtype", "custom_vjp"))
 def ssd_chunked(x: jax.Array, dt: jax.Array, A: jax.Array, B: jax.Array,
                 C: jax.Array, chunk_size: int = 256,
                 initial_state: jax.Array | None = None,
-                return_final: bool = False, intra_dtype: str | None = None):
+                return_final: bool = False, intra_dtype: str | None = None,
+                custom_vjp: bool = False):
     """Chunked SSD: identical outputs to ``ssd_reference`` (fp32-accumulated).
 
     L is padded up to a multiple of ``chunk_size`` internally (dt=0 padding is
@@ -94,7 +206,18 @@ def ssd_chunked(x: jax.Array, dt: jax.Array, A: jax.Array, B: jax.Array,
     reducible term; decay values are in (0, 1] and scores are O(1) dot
     products, so bf16's 8 mantissa bits cost ~1e-2 relative error on y —
     acceptable for training, opt-in via encoder_conf.ssd_intra_dtype.
+
+    ``custom_vjp=True`` opts into the flash-style hand-written backward for
+    the intra-chunk attention (O(L) residuals, recomputed QQ tensors in
+    ``intra_dtype``). Measured on the v5e at the production shape it is
+    ~2.5% SLOWER within-run than plain autodiff (208.5k vs 213.6k and
+    187.7k vs 193.4k frames/s in interleaved arms —
+    docs/results/custom_vjp_ab.json): the step is HBM-bound but XLA's
+    autodiff schedule already overlaps the QQ materializations well, and
+    the recompute adds traffic of its own. Kept as an off-by-default
+    measurement aid (same reasoning as the Pallas forward kernel).
     """
+    intra_dtype = _normalize_intra_dtype(intra_dtype)
     Bsz, L, H, P = x.shape
     Q = int(chunk_size)
     pad = (-L) % Q
@@ -121,29 +244,10 @@ def ssd_chunked(x: jax.Array, dt: jax.Array, A: jax.Array, B: jax.Array,
     ac = jnp.cumsum(a, axis=3)                                    # within-chunk cumsum
 
     # ── intra-chunk: masked decay attention ──────────────────────────────────
-    # decay(j -> q) = exp(ac[q] - ac[j]) for j <= q (excludes a_j itself).
-    # Mask BEFORE exp: future-position differences are POSITIVE (up to
-    # |A|*dt*Q) and their exp overflows; an overflow in the unselected where
-    # branch leaks NaN into the backward pass (zero cotangent times inf).
-    seg = ac[..., :, None] - ac[..., None, :]                     # [B,K,H,Q,S]
-    causal = jnp.tril(jnp.ones((Q, Q), dtype=bool))
-    seg = jnp.where(causal, seg, -jnp.inf)
-    if intra_dtype == "bf16":
-        # halve the HBM traffic of the two largest intermediates; the exp is
-        # still computed in fp32 (differences <= 0, no overflow) and only the
-        # STORED tensors round to bf16
-        decay_qs = jnp.exp(seg).astype(jnp.bfloat16)
-        scores = jnp.einsum("bkhqn,bkhsn->bkhqs", Cc, Bc,
-                            preferred_element_type=jnp.bfloat16)
-        weights = (scores * decay_qs
-                   * dtc[..., None, :].astype(jnp.bfloat16)).astype(x.dtype)
+    if custom_vjp:
+        y_intra = _intra_attn(ac, dtc, Cc, Bc, xc, intra_dtype)
     else:
-        decay_qs = jnp.exp(seg)
-        scores = jnp.einsum("bkhqn,bkhsn->bkhqs", Cc, Bc,
-                            preferred_element_type=jnp.float32)   # C_q . B_s
-        weights = (scores * decay_qs * dtc[..., None, :]).astype(x.dtype)
-    y_intra = jnp.einsum("bkhqs,bkhsp->bkhqp", weights, xc,
-                         preferred_element_type=jnp.float32)
+        y_intra, _ = _intra_impl(ac, dtc, Cc, Bc, xc, intra_dtype)
 
     # ── chunk boundary states ────────────────────────────────────────────────
     # S_k = sum_s exp(ac[last] - ac[s]) * dt_s * B_s outer x_s   -> [B,K,H,N,P]
@@ -179,7 +283,8 @@ def ssd_chunked(x: jax.Array, dt: jax.Array, A: jax.Array, B: jax.Array,
 
 
 def ssd(x, dt, A, B, C, chunk_size: int = 256, use_reference: bool = False,
-        backend: str = "xla", intra_dtype: str | None = None):
+        backend: str = "xla", intra_dtype: str | None = None,
+        custom_vjp: bool = False):
     """Dispatch: 'xla' chunked (default; differentiable), 'pallas' fused
     forward kernel (serving path, no VJP), or the sequential reference."""
     if use_reference:
@@ -188,4 +293,4 @@ def ssd(x, dt, A, B, C, chunk_size: int = 256, use_reference: bool = False,
         from hnet_mamba_asr_tpu.ops.ssd_pallas import ssd_pallas
         return ssd_pallas(x, dt, A, B, C, chunk_size=chunk_size)
     return ssd_chunked(x, dt, A, B, C, chunk_size=chunk_size,
-                       intra_dtype=intra_dtype)
+                       intra_dtype=intra_dtype, custom_vjp=custom_vjp)

@@ -213,3 +213,62 @@ def test_ssd_intra_dtype_plumbs_from_config(rng):
              "row_mask": np.array([True])}
     loss, stats = model.loss_fn(params, batch, 0, False)
     assert np.isfinite(float(loss))
+
+
+# ── flash-style custom VJP for the intra-chunk attention ────────────────────
+
+def _intra_args(rng, B=2, K=2, H=3, Q=16, N=8, P=4, dtype=jnp.float32):
+    ac = jnp.cumsum(jnp.asarray(
+        -rng.uniform(0.01, 0.3, size=(B, K, H, Q)).astype(np.float32)), axis=-1)
+    dtc = jnp.asarray(rng.uniform(0.001, 0.2, size=(B, K, H, Q)).astype(np.float32))
+    Cc = jnp.asarray(rng.normal(size=(B, K, H, Q, N)).astype(np.float32)).astype(dtype)
+    Bc = jnp.asarray(rng.normal(size=(B, K, H, Q, N)).astype(np.float32)).astype(dtype)
+    xc = jnp.asarray(rng.normal(size=(B, K, H, Q, P)).astype(np.float32)).astype(dtype)
+    return ac, dtc, Cc, Bc, xc
+
+
+def test_intra_custom_vjp_matches_autodiff(rng):
+    """The hand-written flash-style backward == jax autodiff of the same
+    forward (fp32: identical math, different materialization order)."""
+    from hnet_mamba_asr_tpu.ops.ssd import _intra_attn, _intra_impl
+
+    args = _intra_args(rng)
+    cot = jnp.asarray(rng.normal(size=(2, 2, 3, 16, 4)).astype(np.float32))
+
+    y_ref, vjp_ref = jax.vjp(lambda *a: _intra_impl(*a, None)[0], *args)
+    y_new, vjp_new = jax.vjp(lambda *a: _intra_attn(*a, None), *args)
+    np.testing.assert_allclose(np.asarray(y_new), np.asarray(y_ref), rtol=1e-6)
+    g_ref = vjp_ref(cot)
+    g_new = vjp_new(cot)
+    for a, b in zip(g_new, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_intra_custom_vjp_bf16_grads_close_and_finite(rng):
+    """bf16 intra path: hand-written grads finite and within bf16 rounding of
+    the fp32 autodiff grads."""
+    from hnet_mamba_asr_tpu.ops.ssd import _intra_attn, _intra_impl
+
+    args = _intra_args(rng)
+    cot = jnp.asarray(rng.normal(size=(2, 2, 3, 16, 4)).astype(np.float32))
+    _, vjp_ref = jax.vjp(lambda *a: _intra_impl(*a, None)[0], *args)
+    _, vjp_bf = jax.vjp(lambda *a: _intra_attn(*a, "bf16"), *args)
+    for a, b in zip(vjp_bf(cot), vjp_ref(cot)):
+        a = np.asarray(a, dtype=np.float32)
+        b = np.asarray(b, dtype=np.float32)
+        assert np.isfinite(a).all()
+        scale = np.maximum(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a, b, atol=0.05 * scale)
+
+
+def test_intra_dtype_unknown_value_raises(rng):
+    """'bfloat16' etc must not silently fall through to the fp32 path (that
+    doubles the intra-chunk HBM traffic); aliases normalize, junk raises."""
+    x, dt, A, Bm, Cm = _inputs(rng, L=8)
+    ok_alias = ssd_chunked(x, dt, A, Bm, Cm, chunk_size=8, intra_dtype="bfloat16")
+    ok_short = ssd_chunked(x, dt, A, Bm, Cm, chunk_size=8, intra_dtype="bf16")
+    np.testing.assert_allclose(np.asarray(ok_alias), np.asarray(ok_short),
+                               rtol=1e-6)
+    with pytest.raises(ValueError, match="intra_dtype"):
+        ssd_chunked(x, dt, A, Bm, Cm, chunk_size=8, intra_dtype="half")
