@@ -1,0 +1,120 @@
+"""AOT serving export: trace the decode path once, serve it anywhere.
+
+The reference deploys by shipping its source tree and torch checkpoints (no
+export path exists — see /root/reference/scripts/decode.sh loading the full
+repo). The TPU-idiomatic deployment unit is an ahead-of-time traced program:
+``jax.export`` serializes the jitted frontend -> encoder -> head computation
+to StableHLO, which any jax install (CPU/GPU/TPU serving hosts, any topology)
+compiles and runs WITHOUT this framework — the self-contained loader is
+hnet_mamba_asr_tpu/serving/runtime.py (one file, jax + numpy only).
+
+Weights are NOT baked into the traced programs (that would duplicate ~300 MB
+per shape bucket); they ship once as a path-keyed ``params.npz`` and are
+passed as a pytree argument at call time — identical calling convention for
+every bucket.
+
+Emit modes (any subset):
+  frame_ids    CTC frame argmax [B, T_enc] + enc_lengths — the serving
+               contract for greedy transcription (runtime collapses repeats/
+               blanks host-side; reference: src/dcasr/decoders/ctc_decode.py
+               greedy path)
+  log_probs    full CTC log-posteriors [B, T_enc, V+1] — feeds external
+               beam/lattice decoders
+  aed_ids      AED greedy ids [B, max_decode_len] (KV-cached scan)
+
+Static shapes are a feature here, not a limitation: serving hosts bucket
+requests anyway, and each (batch, samples) bucket is one pre-compiled XLA
+program with zero recompilation at steady state.
+"""
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import jax
+import numpy as np
+from jax import export as jax_export
+
+from hnet_mamba_asr_tpu.serving.runtime import FORMAT_VERSION
+from hnet_mamba_asr_tpu.training.checkpoint import tree_to_path_dict
+
+VALID_EMIT = ("frame_ids", "log_probs", "aed_ids")
+
+
+def _serve_fn(model, emit: tuple[str, ...]):
+    def fn(params, wave, wave_lens):
+        enc = model.encode(params, {"wave": wave, "wave_lens": wave_lens},
+                           train=False)
+        out = {"enc_lengths": enc.lengths}
+        if "frame_ids" in emit:
+            out["frame_ids"] = model.ctc.apply(
+                {"params": params["ctc"]}, enc.features, method="frame_argmax")
+        if "log_probs" in emit:
+            out["log_probs"] = model.ctc.apply(
+                {"params": params["ctc"]}, enc.features, method="log_probs")
+        if "aed_ids" in emit:
+            out["aed_ids"] = model.aed.apply(
+                {"params": params["aed"]}, enc.features, enc.lengths,
+                method="greedy_decode")
+        return out
+    return fn
+
+
+def save_serving_artifact(out_dir: str | Path, model, params,
+                          buckets: list[tuple[int, int]],
+                          emit: tuple[str, ...] = ("frame_ids",),
+                          extra_meta: dict | None = None) -> Path:
+    """Export ``model``/``params`` for the given (batch, samples) buckets.
+
+    Returns the artifact directory. Fails loudly on an emit mode the model
+    cannot serve (no CTC head / no AED head) or on duplicate buckets.
+    """
+    emit = tuple(emit)
+    for e in emit:
+        if e not in VALID_EMIT:
+            raise ValueError(f"unknown emit mode {e!r}; choices: {VALID_EMIT}")
+    if not emit:
+        raise ValueError("emit must name at least one output")
+    if ("frame_ids" in emit or "log_probs" in emit) and model.ctc is None:
+        raise ValueError("frame_ids/log_probs require a CTC head")
+    if "aed_ids" in emit and model.aed is None:
+        raise ValueError("aed_ids requires an AED head")
+    if len(set(buckets)) != len(buckets):
+        raise ValueError(f"duplicate buckets in {buckets}")
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    flat = tree_to_path_dict(params)
+    np.savez(out / "params.npz", **flat)
+
+    fn = jax.jit(_serve_fn(model, emit))
+    param_spec = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), params)
+    rows = []
+    for B, S in buckets:
+        if B < 1 or S < 400:
+            raise ValueError(f"bucket ({B}, {S}) must be >=1 row and >=400 "
+                             "samples (one STFT window)")
+        exp = jax_export.export(fn)(
+            param_spec,
+            jax.ShapeDtypeStruct((B, S), np.float32),
+            jax.ShapeDtypeStruct((B,), np.int32))
+        name = f"f_{B}x{S}.shlo"
+        (out / name).write_bytes(exp.serialize())
+        rows.append({"batch": int(B), "samples": int(S), "file": name})
+
+    vocab = (model.ctc.num_classes - 1 if model.ctc is not None
+             else model.aed.vocab_size)
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "vocab_size": int(vocab),
+        "blank_id": int(model.ctc.blank_id) if model.ctc is not None else None,
+        "emit": list(emit),
+        "buckets": rows,
+        "jax_version": jax.__version__,
+        **(extra_meta or {}),
+    }
+    (out / "manifest.json").write_text(json.dumps(manifest, indent=2))
+    return out

@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Export a trained checkpoint as a deployable AOT serving artifact.
+
+Usage:
+    python scripts/export_serving.py --config <yaml> --checkpoint <ckpt> \
+        --out <dir> [--buckets 8x160000 1x160000] \
+        [--emit frame_ids log_probs aed_ids] [key=value ...]
+
+The artifact directory (manifest.json + params.npz + one StableHLO program
+per shape bucket) is served by hnet_mamba_asr_tpu/serving/runtime.py — a
+single self-contained file needing only jax + numpy, no framework install.
+Buckets are (batch)x(samples); audio longer than the largest bucket must be
+chunked upstream (or use models/streaming.py).
+
+The reference has no export path (deployment = full source tree + torch
+checkpoint); this is the jax-native TorchScript/ONNX equivalent.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--config", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--buckets", nargs="+", default=["8x160000"],
+                    help="(batch)x(samples) shape buckets, e.g. 8x160000")
+    ap.add_argument("--emit", nargs="+", default=["frame_ids"],
+                    choices=["frame_ids", "log_probs", "aed_ids"])
+    ap.add_argument("overrides", nargs="*")
+    return ap.parse_args(argv)
+
+
+def run(args) -> None:
+    from hnet_mamba_asr_tpu.serving.export import save_serving_artifact
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+    from hnet_mamba_asr_tpu.tasks.build import build_cmvn, build_tokenizer
+    from hnet_mamba_asr_tpu.tasks.decode_task import load_model_params
+    from hnet_mamba_asr_tpu.utils.config import load_config
+    from hnet_mamba_asr_tpu.utils.logging_utils import get_logger, setup_logging
+
+    cfg = load_config(args.config, args.overrides)
+    out = Path(args.out)
+    setup_logging("export_serving", out / "logs")
+    logger = get_logger("export_serving")
+
+    buckets = []
+    for s in args.buckets:
+        try:
+            b, n = s.lower().split("x")
+            buckets.append((int(b), int(n)))
+        except ValueError:
+            raise SystemExit(f"bad bucket {s!r}: expected <batch>x<samples>")
+
+    tokenizer = build_tokenizer(cfg, REPO_ROOT)
+    cmvn = build_cmvn(cfg, REPO_ROOT)
+    model = build_model(cfg, tokenizer.vocab_size, cmvn=cmvn)
+    params, meta = load_model_params(args.checkpoint)
+
+    d = save_serving_artifact(
+        out, model, params, buckets=buckets, emit=tuple(args.emit),
+        extra_meta={"config": str(args.config),
+                    "checkpoint": str(args.checkpoint), **meta})
+    logger.info("exported %s buckets=%s emit=%s -> %s",
+                Path(args.checkpoint).name, buckets, args.emit, d)
+    print(d)
+
+
+if __name__ == "__main__":
+    run(parse_args())

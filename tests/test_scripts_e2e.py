@@ -159,3 +159,31 @@ def test_full_pipeline(workspace):
     assert scores["gate"]["evaluated"]
     report = (root / "exp" / "decode" / "score" / "report.txt").read_text()
     assert "GATE" in report
+
+    # 7. serving export from the trained checkpoint, served via the
+    # self-contained runtime — hyp ids must match a live greedy decode
+    import export_serving
+    export_serving.run(export_serving.parse_args(
+        ["--config", str(cfg_path),
+         "--checkpoint", str(root / "exp" / "checkpoints" / "latest.ckpt"),
+         "--out", str(root / "serve"), "--buckets", "2x16000",
+         "--emit", "frame_ids"]))
+    from hnet_mamba_asr_tpu.serving import load_serving_artifact
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+    from hnet_mamba_asr_tpu.tasks.build import build_cmvn, build_tokenizer as bt
+    from hnet_mamba_asr_tpu.tasks.decode_task import load_model_params
+    from hnet_mamba_asr_tpu.utils.config import load_config
+    sm = load_serving_artifact(root / "serve")
+    cfg = load_config(cfg_path, [])
+    tok = bt(cfg, root)
+    assert sm.vocab_size == tok.vocab_size and sm.blank_id == tok.vocab_size
+    model = build_model(cfg, tok.vocab_size, cmvn=build_cmvn(cfg, root))
+    params, _ = load_model_params(root / "exp" / "checkpoints" / "latest.ckpt")
+    rng = np.random.default_rng(3)
+    wave = (rng.normal(size=(2, 9000)) * 0.1).astype(np.float32)
+    lens = np.array([9000, 7200], np.int32)
+    served_ids = sm.transcribe_ids(wave, lens)
+    live = model.greedy_decode(
+        params, {"wave": np.pad(wave, ((0, 0), (0, 16000 - 9000))),
+                 "wave_lens": lens})
+    assert served_ids == live

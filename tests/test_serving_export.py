@@ -1,0 +1,184 @@
+"""Serving export: AOT StableHLO artifacts round-trip exactly and load
+WITHOUT the framework (runtime.py is self-contained — proven by running it
+in a subprocess with the repo stripped from sys.path).
+
+Beyond-reference capability: the reference deploys by shipping its source
+tree + torch checkpoints (no export path exists)."""
+import json
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+
+import jax  # noqa: E402  (conftest pins the cpu platform)
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    from __graft_entry__ import _small_config
+    from hnet_mamba_asr_tpu.serving import save_serving_artifact
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    cfg = _small_config(tiny=True)
+    cfg["model_conf"] = {"ctc_weight": 0.5, "aed_weight": 0.5,
+                         "lsm_weight": 0.1}
+    # fp32: the exported program and the live jit compile with different
+    # fusion orders, so parity is only bit-tight at fp32 (at bf16 the same
+    # comparison shows ~1e-2 rounding noise, which would mask real bugs)
+    cfg["train"] = {"precision": "fp32"}
+    model = build_model(cfg, 30)
+    params = model.init_params(jax.random.PRNGKey(0))
+    art = tmp_path_factory.mktemp("art") / "artifact"
+    save_serving_artifact(art, model, params,
+                          buckets=[(2, 4000), (4, 8000)],
+                          emit=("frame_ids", "log_probs", "aed_ids"))
+    return model, params, art
+
+
+def _wave(B=2, S=3500, seed=0):
+    rng = np.random.default_rng(seed)
+    wave = (rng.normal(size=(B, S)) * 0.1).astype(np.float32)
+    lens = np.array([S, S - 900][:B], np.int32)
+    return wave, lens
+
+
+def test_ctc_ids_match_live_greedy(served):
+    from hnet_mamba_asr_tpu.serving import load_serving_artifact
+    model, params, art = served
+    sm = load_serving_artifact(art)
+    wave, lens = _wave()
+    ids = sm.transcribe_ids(wave, lens)
+    # live model runs on the same padded shape the bucket imposes
+    live = model.greedy_decode(
+        params, {"wave": np.pad(wave, ((0, 0), (0, 4000 - wave.shape[1]))),
+                 "wave_lens": lens})
+    assert ids == live
+
+
+def test_log_probs_match_live(served):
+    from hnet_mamba_asr_tpu.serving import load_serving_artifact
+    model, params, art = served
+    sm = load_serving_artifact(art)
+    wave, lens = _wave()
+    out = sm(wave, lens)
+    enc = model.encode(
+        params, {"wave": np.pad(wave, ((0, 0), (0, 4000 - wave.shape[1]))),
+                 "wave_lens": lens})
+    live = model.ctc.apply({"params": params["ctc"]}, enc.features,
+                           method="log_probs")
+    np.testing.assert_allclose(out["log_probs"], np.asarray(live),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(out["enc_lengths"], np.asarray(enc.lengths))
+
+
+def test_bucket_padding_slices_back(served):
+    """B=1 request pads to the (2, 4000) bucket and slices outputs to B=1,
+    equal to row 0 of the full-bucket call."""
+    from hnet_mamba_asr_tpu.serving import load_serving_artifact
+    _, _, art = served
+    sm = load_serving_artifact(art)
+    wave, lens = _wave()
+    full = sm(wave, lens)
+    one = sm(wave[:1], lens[:1])
+    assert one["frame_ids"].shape[0] == 1
+    np.testing.assert_array_equal(one["frame_ids"], full["frame_ids"][:1])
+    np.testing.assert_array_equal(one["enc_lengths"], full["enc_lengths"][:1])
+
+
+def test_bucket_selection_and_overflow(served):
+    from hnet_mamba_asr_tpu.serving import load_serving_artifact
+    _, _, art = served
+    sm = load_serving_artifact(art)
+    assert sm.buckets == [(2, 4000), (4, 8000)]
+    # 3 rows need the (4, 8000) bucket
+    wave = np.zeros((3, 5000), np.float32)
+    out = sm(wave, np.full(3, 5000, np.int32))
+    assert out["frame_ids"].shape[0] == 3
+    with pytest.raises(ValueError, match="no bucket fits"):
+        sm(np.zeros((5, 4000), np.float32), np.full(5, 4000, np.int32))
+    with pytest.raises(ValueError, match="no bucket fits"):
+        sm(np.zeros((1, 9000), np.float32), np.full(1, 9000, np.int32))
+
+
+def test_emit_validation():
+    from __graft_entry__ import _small_config
+    from hnet_mamba_asr_tpu.serving import save_serving_artifact
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    cfg = _small_config(tiny=True)
+    cfg["model_conf"] = {"ctc_weight": 1.0, "aed_weight": 0.0}  # no AED head
+    model = build_model(cfg, 30)
+    params = model.init_params(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="aed_ids requires"):
+        save_serving_artifact("/tmp/_nope", model, params, [(1, 4000)],
+                              emit=("aed_ids",))
+    with pytest.raises(ValueError, match="unknown emit"):
+        save_serving_artifact("/tmp/_nope", model, params, [(1, 4000)],
+                              emit=("beams",))
+    with pytest.raises(ValueError, match="duplicate buckets"):
+        save_serving_artifact("/tmp/_nope", model, params,
+                              [(1, 4000), (1, 4000)], emit=("frame_ids",))
+
+
+def test_format_version_mismatch_raises(served, tmp_path):
+    from hnet_mamba_asr_tpu.serving import load_serving_artifact
+    _, _, art = served
+    bad = tmp_path / "bad"
+    shutil.copytree(art, bad)
+    m = json.loads((bad / "manifest.json").read_text())
+    m["format_version"] = 999
+    (bad / "manifest.json").write_text(json.dumps(m))
+    with pytest.raises(ValueError, match="artifact format"):
+        load_serving_artifact(bad)
+
+
+def test_runtime_is_standalone(served, tmp_path):
+    """Copy ONLY runtime.py + the artifact to a scratch dir and transcribe
+    from a subprocess whose sys.path excludes the repo: the deployment story
+    is one file + jax + numpy."""
+    model, params, art = served
+    shutil.copy(REPO / "hnet_mamba_asr_tpu" / "serving" / "runtime.py",
+                tmp_path / "runtime.py")
+    wave, lens = _wave()
+    np.save(tmp_path / "wave.npy", wave)
+    np.save(tmp_path / "lens.npy", lens)
+    driver = tmp_path / "drive.py"
+    driver.write_text(
+        "import json, sys\n"
+        "bad = [p for p in sys.path if 'repo' in p]\n"
+        "assert not bad, f'repo leaked into sys.path: {bad}'\n"
+        "import numpy as np, runtime\n"
+        f"m = runtime.load_serving_artifact({str(art)!r})\n"
+        "wave = np.load('wave.npy'); lens = np.load('lens.npy')\n"
+        "print(json.dumps(m.transcribe_ids(wave, lens)))\n")
+    env = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+           "HOME": "/root", "PYTHONPATH": ""}
+    r = subprocess.run([sys.executable, "drive.py"], cwd=tmp_path, env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    ids = json.loads(r.stdout.strip().splitlines()[-1])
+    live = model.greedy_decode(
+        params, {"wave": np.pad(wave, ((0, 0), (0, 4000 - wave.shape[1]))),
+                 "wave_lens": lens})
+    assert ids == live
+
+
+def test_params_to_tree_roundtrip():
+    from hnet_mamba_asr_tpu.serving.runtime import params_to_tree
+    from hnet_mamba_asr_tpu.training.checkpoint import tree_to_path_dict
+    tree = {"a": {"b": np.arange(3), "c": {"d": np.ones((2, 2))}},
+            "e": np.zeros(1)}
+    flat = tree_to_path_dict(tree)
+    back = params_to_tree(flat)
+    assert jax.tree_util.tree_structure(back) == \
+        jax.tree_util.tree_structure(tree)
+    for x, y in zip(jax.tree_util.tree_leaves(back),
+                    jax.tree_util.tree_leaves(tree)):
+        np.testing.assert_array_equal(x, y)
+    with pytest.raises(ValueError, match="unparseable"):
+        params_to_tree({"noformat": np.zeros(1)})
