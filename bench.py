@@ -61,10 +61,12 @@ def main() -> None:
 
     COST = {}                       # per-(B, policy) XLA cost analysis
 
-    def measure(B: int, remat_policy: str, intra: str | None = None) -> float:
+    def measure(B: int, remat_policy: str, intra: str | None = None,
+                out_compute: bool = False) -> float:
         cfg = dict(base_cfg, encoder_conf=dict(base_cfg["encoder_conf"],
                                                remat_policy=remat_policy,
-                                               ssd_intra_dtype=intra))
+                                               ssd_intra_dtype=intra,
+                                               ssd_out_compute_dtype=out_compute))
         model = build_model(cfg, vocab)
         params = model.init_params(jax.random.PRNGKey(0))
         batch = _batch(B=B, frames=1000, n_mels=80, vocab=vocab)
@@ -124,9 +126,11 @@ def main() -> None:
     fps_ref_budget = measure(64, "full")
     for policy in ("none", "dots"):          # lightest remat that fits wins
         try:
-            # bf16 intra-chunk storage = the production recipe
-            # (configs/typeA_small_N1.yaml; +3.4% and -2.4 GB within-run)
-            fps_production = measure(32, policy, intra="bf16")
+            # bf16 intra-chunk + bf16 SSD-output storage = the production
+            # recipe (configs/typeA_small_N1.yaml; intra: +3.4%, out:
+            # +14-18% within-run — docs/results/config_ab_ssd_out_dtype.json)
+            fps_production = measure(32, policy, intra="bf16",
+                                     out_compute=True)
             break
         except Exception as e:
             # Only a memory failure justifies falling through to a heavier

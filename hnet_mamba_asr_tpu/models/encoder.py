@@ -96,6 +96,7 @@ class DCASREncoder(nn.Module):
     headdim: int = 64
     chunk_size: int = 256          # SSD scan chunk, not the H-Net N
     ssd_intra_dtype: str | None = None   # 'bf16': halve intra-chunk HBM traffic
+    ssd_out_compute_dtype: bool = False  # round the SSD fp32 output to compute dtype
     dtype: Any = jnp.float32
     use_reference_scan: bool = False
     remat_policy: str = "full"     # per-block remat: full | dots | none
@@ -106,6 +107,7 @@ class DCASREncoder(nn.Module):
         stack_kw = dict(bidirectional=self.bidirectional, d_state=self.d_state,
                         headdim=self.headdim, chunk_size=self.chunk_size,
                         ssd_intra_dtype=self.ssd_intra_dtype,
+                        ssd_out_compute_dtype=self.ssd_out_compute_dtype,
                         dtype=self.dtype, use_reference_scan=self.use_reference_scan,
                         remat_policy=self.remat_policy)
         dense_kw = dict(dtype=self.dtype, param_dtype=jnp.float32)

@@ -59,6 +59,7 @@ class Mamba2(nn.Module):
     ngroups: int = 1
     chunk_size: int = 256
     ssd_intra_dtype: str | None = None
+    ssd_out_compute_dtype: bool = False
     dtype: Any = jnp.float32
     a_init_range: tuple[float, float] = (1.0, 16.0)
     dt_min: float = 0.001
@@ -112,16 +113,21 @@ class Mamba2(nn.Module):
                 use_reference=self.use_reference_scan,
                 backend=self.scan_backend)                               # [B,L,H,P]
         y = y + d_skip[None, None, :, None].astype(y.dtype) * x
+        if self.ssd_out_compute_dtype:
+            # the SSD einsum accumulates fp32 on the MXU and hands back an
+            # fp32 [B,L,H,P] — the single largest fp32 activation family in
+            # the compiled production step (docs/results/bytes_breakdown.json,
+            # f32[32,249,16,64] ~21 GB/step incl. async copies). Rounding the
+            # STORED tensor to compute dtype once here halves that family;
+            # opt-in via encoder_conf.ssd_out_compute_dtype.
+            y = y.astype(self.dtype)
         y = y.reshape(Bsz, L, d_inner)
 
-        # gated RMSNorm (norm after gating, mamba_ssm convention). Statistics
-        # are fp32 but the stored activation stays in compute dtype: the fp32
-        # gated/z copies this line used to make were the largest [B,L,D] HBM
-        # shape families in the compiled production train step
-        # (docs/results/bytes_breakdown.json) — the upcasts now fuse into the
-        # variance reduce / output convert and never materialize.
+        # gated RMSNorm (norm after gating, mamba_ssm convention): statistics
+        # in fp32; the gated product inherits y's dtype (fp32 unless
+        # ssd_out_compute_dtype rounds it above).
         g = self.param("norm_scale", nn.initializers.ones, (d_inner,), jnp.float32)
-        gated = y * nn.silu(z)                                    # compute dtype
+        gated = y * nn.silu(z).astype(y.dtype)
         rms = jax.lax.rsqrt(
             jnp.mean(jnp.square(gated.astype(jnp.float32)), axis=-1,
                      keepdims=True) + 1e-5)

@@ -44,6 +44,7 @@ class MambaBlock(nn.Module):
     headdim: int = 64
     chunk_size: int = 256
     ssd_intra_dtype: str | None = None
+    ssd_out_compute_dtype: bool = False
     dtype: Any = jnp.float32
     use_reference_scan: bool = False
 
@@ -52,6 +53,7 @@ class MambaBlock(nn.Module):
         kw = dict(d_model=self.d_model, d_state=self.d_state, d_conv=self.d_conv,
                   expand=self.expand, headdim=self.headdim, chunk_size=self.chunk_size,
                   ssd_intra_dtype=self.ssd_intra_dtype,
+                  ssd_out_compute_dtype=self.ssd_out_compute_dtype,
                   dtype=self.dtype, use_reference_scan=self.use_reference_scan)
         h = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)
         y = Mamba2(**kw, name="fwd")(h)
@@ -79,6 +81,7 @@ class MambaStack(nn.Module):
     headdim: int = 64
     chunk_size: int = 256
     ssd_intra_dtype: str | None = None
+    ssd_out_compute_dtype: bool = False
     dtype: Any = jnp.float32
     use_reference_scan: bool = False
     remat: bool = True
@@ -106,5 +109,6 @@ class MambaStack(nn.Module):
                 d_state=self.d_state, d_conv=self.d_conv, expand=self.expand,
                 headdim=self.headdim, chunk_size=self.chunk_size, dtype=self.dtype,
                 ssd_intra_dtype=self.ssd_intra_dtype,
+                ssd_out_compute_dtype=self.ssd_out_compute_dtype,
                 use_reference_scan=self.use_reference_scan, name=f"block_{i}")(x, lengths)
         return nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32, name="norm")(x)

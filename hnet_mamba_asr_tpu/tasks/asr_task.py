@@ -58,6 +58,7 @@ def _build_dcasr_encoder(config, dtype) -> DCASREncoder:
         d_state=int(ec.get("d_state", 128)), headdim=int(ec.get("headdim", 64)),
         chunk_size=int(ec.get("ssd_chunk_size", 256)),
         ssd_intra_dtype=ec.get("ssd_intra_dtype"),
+        ssd_out_compute_dtype=bool(ec.get("ssd_out_compute_dtype", False)),
         remat_policy=str(ec.get("remat_policy", "full")), dtype=dtype)
 
 

@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Within-run A/B of two encoder_conf variants on the live chip.
+
+The relay's cross-process drift is ±15-50% (CLAUDE.md), so the ONLY valid
+perf comparison is interleaved arms inside one process. This generalizes
+bench_custom_vjp.py: both arms run the REAL production step (full hybrid
+loss, B=32x1000f, remat none, intra bf16) and differ only by the
+encoder_conf overrides given on the command line as JSON.
+
+Usage:
+  python scripts/analysis/bench_config_ab.py '{"ssd_out_compute_dtype": true}' \
+      [base_overrides_json] [n_scan_steps] [reps] [tag]
+
+Writes docs/results/config_ab_<tag>.json.
+"""
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_bench_cache")
+    import jax.numpy as jnp
+    import optax
+
+    from __graft_entry__ import _batch, _small_config
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    on_over = json.loads(sys.argv[1])
+    base_over = json.loads(sys.argv[2]) if len(sys.argv) > 2 else {}
+    N_STEPS = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    REPS = int(sys.argv[4]) if len(sys.argv) > 4 else 3
+    tag = sys.argv[5] if len(sys.argv) > 5 else "_".join(sorted(on_over))
+    vocab = 500
+    B, frames = 32, 1000
+
+    def bench(overrides: dict):
+        cfg = _small_config()
+        cfg["encoder_conf"] = dict(cfg["encoder_conf"], remat_policy="none",
+                                   ssd_intra_dtype="bf16", **base_over,
+                                   **overrides)
+        model = build_model(cfg, vocab)
+        params = model.init_params(jax.random.PRNGKey(0))
+        batch = _batch(B=B, frames=frames, n_mels=80, vocab=vocab)
+        tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(1e-3))
+        opt_state = tx.init(params)
+
+        @jax.jit
+        def run(params, opt_state, batch):
+            def body(carry, i):
+                params, opt_state = carry
+                (loss, _), grads = jax.value_and_grad(
+                    lambda p: model.loss_fn(p, batch, i, True),
+                    has_aux=True)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                return (optax.apply_updates(params, updates), opt_state), loss
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), jnp.arange(N_STEPS))
+            return params, opt_state, losses[-1]
+
+        params, opt_state, loss = run(params, opt_state, batch)
+        _ = float(loss)                      # fence (block_until_ready lies
+        best = float("inf")                  # through the relay)
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            params, opt_state, loss = run(params, opt_state, batch)
+            lv = float(loss)
+            best = min(best, (time.perf_counter() - t0) / N_STEPS)
+        del params, opt_state
+        return B * frames / best, lv
+
+    print(f"device={jax.devices()[0]} scan={N_STEPS} reps={REPS} "
+          f"on={on_over} base={base_over}", flush=True)
+    rows = {}
+    # interleave so slow relay drift cancels: off, on, off, on
+    for arm in ("off", "on", "off2", "on2"):
+        fps, loss = bench(on_over if arm.startswith("on") else {})
+        rows[arm] = fps
+        print(f"{arm:4s} {fps/1e3:8.1f}k frames/s/chip (loss {loss:.4f})",
+              flush=True)
+    off = max(rows["off"], rows["off2"])
+    on = max(rows["on"], rows["on2"])
+    print(f"best-of: off {off/1e3:.1f}k  on {on/1e3:.1f}k  "
+          f"ratio {on/off:.3f}", flush=True)
+
+    out = REPO / "docs" / "results" / f"config_ab_{tag}.json"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps({
+        "device": str(jax.devices()[0]), "B": B, "frames": frames,
+        "scan_steps": N_STEPS, "reps": REPS, "on_overrides": on_over,
+        "base_overrides": base_over, "rows_frames_per_s": rows,
+        "best_off": off, "best_on": on, "ratio_on_over_off": on / off,
+        "note": "full hybrid loss, remat none, intra bf16, interleaved arms",
+    }, indent=2))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -272,3 +272,33 @@ def test_intra_dtype_unknown_value_raises(rng):
                                rtol=1e-6)
     with pytest.raises(ValueError, match="intra_dtype"):
         ssd_chunked(x, dt, A, Bm, Cm, chunk_size=8, intra_dtype="half")
+
+
+def test_ssd_out_compute_dtype_plumbs_and_is_noop_at_fp32(rng):
+    """encoder_conf.ssd_out_compute_dtype reaches the Mamba2 layers, and at
+    fp32 compute dtype rounding y to compute dtype is the identity (the knob
+    only changes bytes at bf16 — see docs/results/config_ab_ssd_out_dtype)."""
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    base = {"encoder": "dcasr", "head": "ctc",
+            "frontend_conf": {"n_mels": 20},
+            "encoder_conf": {"d_outer": 16, "d_main": 24, "n_enc": 1,
+                             "n_main": 1, "n_dec": 1, "arch_type": "A",
+                             "d_state": 8, "headdim": 8, "ssd_chunk_size": 16,
+                             "hnet": {"compression_N": 1}},
+            "model_conf": {"ctc_weight": 1.0, "aed_weight": 0.0}}
+    on = {**base, "encoder_conf": {**base["encoder_conf"],
+                                   "ssd_out_compute_dtype": True}}
+    m_off = build_model(base, 12)
+    m_on = build_model(on, 12)
+    assert m_off.encoder.ssd_out_compute_dtype is False
+    assert m_on.encoder.ssd_out_compute_dtype is True
+    params = m_off.init_params(jax.random.PRNGKey(0))
+    wave = rng.normal(size=(1, 4000)).astype(np.float32)
+    batch = {"wave": wave, "wave_lens": np.array([4000], np.int32),
+             "tokens": np.array([[4, 5]], np.int32),
+             "token_lens": np.array([2], np.int32),
+             "row_mask": np.array([True])}
+    l_off, _ = m_off.loss_fn(params, batch, 0, False)
+    l_on, _ = m_on.loss_fn(params, batch, 0, False)
+    assert float(l_off) == float(l_on)
