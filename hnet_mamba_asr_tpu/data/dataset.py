@@ -19,6 +19,7 @@ per factor, Kaldi-style deterministic 3x data).
 from __future__ import annotations
 
 import math
+import os
 from fractions import Fraction
 from pathlib import Path
 from typing import Iterator, Sequence
@@ -62,7 +63,8 @@ class ASRDataset:
 
     def __init__(self, manifest, tokenizer, *, augment: bool = False, seed: int = 0,
                  speed_perturb: Sequence[float] | None = None,
-                 sample_rate: int = SAMPLE_RATE):
+                 sample_rate: int = SAMPLE_RATE,
+                 perturb_cache_dir: str | Path | None = None):
         self.entries = (load_manifest(manifest)
                         if isinstance(manifest, (str, Path)) else list(manifest))
         self.tokenizer = tokenizer
@@ -79,6 +81,10 @@ class ASRDataset:
                         for i, f in self.items]
         self.lengths = [feat_frames(s) for s in self.samples]
         self.pad_id = tokenizer.pad_id
+        self.perturb_cache_dir = (Path(perturb_cache_dir)
+                                  if perturb_cache_dir else None)
+        if self.perturb_cache_dir is not None:
+            self.perturb_cache_dir.mkdir(parents=True, exist_ok=True)
         self._tok_len_cache: dict[int, int] = {}
 
     def token_len(self, item: int) -> int:
@@ -96,14 +102,53 @@ class ASRDataset:
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
+    def _cached_perturb(self, e: dict, factor: float) -> np.ndarray:
+        """Resample-once disk cache for speed-perturbed waveforms.
+
+        The polyphase resample is ~2/3 of the host pipeline cost (profiled;
+        the reference recomputes it every epoch through torchaudio —
+        /root/reference/src/dcasr/data/librispeech.py speed-perturb path).
+        With ``perturb_cache_dir`` set, every (utterance, factor) pair is
+        resampled once and epochs >= 2 read a .npy back bit-identically
+        (float32 is exactly what the compute path returns). A cache file
+        with the wrong sample count (partial write from a crashed run,
+        stale manifest) is recomputed and atomically replaced, never
+        trusted."""
+        cache = self.perturb_cache_dir / f"{e['id']}#sp{factor}.npy"
+        expect = perturbed_samples(e["frames"], self.sample_rate, factor)
+        if cache.exists():
+            try:
+                w = np.load(cache)
+                if len(w) == expect and w.dtype == np.float32:
+                    return w
+            except Exception:  # noqa: BLE001 - corrupt cache = recompute
+                pass
+        wave, sr = read_audio(e["audio"])
+        if sr != self.sample_rate:
+            raise ValueError(f"{e['audio']}: sample rate {sr} != "
+                             f"{self.sample_rate}")
+        wave = apply_speed_perturb(wave, self.sample_rate, factor)
+        wave = wave.astype(np.float32)
+        tmp = cache.with_suffix(f".tmp{os.getpid()}.npy")
+        try:
+            np.save(tmp, wave)
+            os.replace(tmp, cache)
+        except OSError:                      # read-only/full disk: still train
+            tmp.unlink(missing_ok=True)
+        return wave
+
     def __getitem__(self, i: int) -> dict:
         idx, factor = self.items[i]
         e = self.entries[idx]
-        wave, sr = read_audio(e["audio"])
-        if sr != self.sample_rate:
-            raise ValueError(f"{e['audio']}: sample rate {sr} != {self.sample_rate}")
-        if factor != 1.0:
-            wave = apply_speed_perturb(wave, self.sample_rate, factor)
+        if factor != 1.0 and self.perturb_cache_dir is not None:
+            wave = self._cached_perturb(e, factor)
+        else:
+            wave, sr = read_audio(e["audio"])
+            if sr != self.sample_rate:
+                raise ValueError(f"{e['audio']}: sample rate {sr} != "
+                                 f"{self.sample_rate}")
+            if factor != 1.0:
+                wave = apply_speed_perturb(wave, self.sample_rate, factor)
         uid = e["id"] if factor == 1.0 else f"{e['id']}#sp{factor}"
         tokens = np.asarray(self.tokenizer.encode(e["text"]), dtype=np.int32)
         return {"wave": wave.astype(np.float32), "n_samples": len(wave),

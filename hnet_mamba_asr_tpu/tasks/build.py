@@ -71,8 +71,14 @@ def build_dataloaders(cfg, repo_root, tokenizer, *, n_devices: int | None = None
     train_manifest, dev_manifests = resolve_manifests(cfg, repo_root)
     n_dev = n_devices if n_devices is not None else jax.device_count()
 
+    # data.perturb_cache_dir: resample each (utt, factor) once to disk;
+    # epochs >= 2 read back bit-identically (the polyphase resample is ~2/3
+    # of the host pipeline cost — load-bearing on slim hosts)
+    pcache = (cfg.get("data", {}) or {}).get("perturb_cache_dir")
     train_ds = ASRDataset(train_manifest, tokenizer, augment=True, seed=seed,
-                          speed_perturb=speed)
+                          speed_perturb=speed,
+                          perturb_cache_dir=_resolve(pcache, Path(repo_root))
+                          if pcache else None)
     train_loader, train_sampler = make_dataloader(
         train_ds, batch_bins, shuffle=True, seed=seed,
         num_replicas=jax.process_count(), rank=jax.process_index(),

@@ -263,3 +263,47 @@ def test_loader_wire_dtype_plumbed_and_validated(corpus):
     assert batch["wave"].dtype == np.int16
     with pytest.raises(ValueError, match="wire_dtype"):
         make_dataloader(ds, max_frames=4000, wire_dtype="int8")
+
+
+def test_perturb_cache_bit_identical_and_corrupt_recovery(corpus, tmp_path):
+    """With perturb_cache_dir set, the first fetch writes <id>#sp<f>.npy and
+    later fetches return BIT-identical waves; a corrupt/truncated cache file
+    is recomputed and replaced, never trusted."""
+    manifest, tok = corpus
+    plain = ASRDataset(manifest, tok, augment=True, speed_perturb=[0.9, 1.0, 1.1])
+    cached = ASRDataset(manifest, tok, augment=True, speed_perturb=[0.9, 1.0, 1.1],
+                        perturb_cache_dir=tmp_path / "pc")
+    for i in range(len(plain)):
+        np.testing.assert_array_equal(cached[i]["wave"], plain[i]["wave"])
+    files = sorted(p.name for p in (tmp_path / "pc").iterdir())
+    # only non-unit factors are cached (identity reads are already cheap)
+    assert files and all("#sp" in f and "1.0" not in f for f in files)
+    assert not any(".tmp" in f for f in files)        # atomic, no debris
+
+    # warm fetches still bit-identical (now served from the cache)
+    for i in range(len(plain)):
+        np.testing.assert_array_equal(cached[i]["wave"], plain[i]["wave"])
+
+    # corrupt one cache file: wrong length must be recomputed + replaced
+    victim = (tmp_path / "pc") / files[0]
+    np.save(victim, np.zeros(3, np.float32))
+    idx = next(i for i in range(len(cached))
+               if f"{cached.entries[cached.items[i][0]]['id']}#sp" +
+               str(cached.items[i][1]) + ".npy" == files[0])
+    np.testing.assert_array_equal(cached[idx]["wave"], plain[idx]["wave"])
+    fixed = np.load(victim)
+    assert len(fixed) == plain[idx]["n_samples"]
+
+
+def test_perturb_cache_dir_plumbs_from_config(corpus, tmp_path):
+    from pathlib import Path
+    from hnet_mamba_asr_tpu.tasks.build import build_dataloaders
+    manifest, tok = corpus
+    root = Path(manifest).parent
+    cfg = {"data": {"manifests_dir": str(root), "train_manifest": "train",
+                    "perturb_cache_dir": str(tmp_path / "pcache")},
+           "batch_bins": 2000, "train": {"speed_perturb": [0.9, 1.0, 1.1]}}
+    loader, sampler, dev = build_dataloaders(cfg, root, tok, seed=0)
+    assert loader.dataset.perturb_cache_dir == tmp_path / "pcache"
+    next(iter(loader))                       # one batch populates the cache
+    assert any((tmp_path / "pcache").iterdir())
