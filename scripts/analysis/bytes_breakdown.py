@@ -138,8 +138,10 @@ def main(argv=None) -> None:
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--remat", default="none")
     ap.add_argument("--chunk", type=int, default=256)
-    ap.add_argument("--intra", default="bfloat16",
+    ap.add_argument("--intra", default="bf16",
                     help="ssd_intra_dtype ('' = fp32)")
+    ap.add_argument("--out-compute", action="store_true",
+                    help="encoder_conf.ssd_out_compute_dtype (production: on)")
     ap.add_argument("--hybrid", action="store_true",
                     help="full CTC+AED hybrid loss (default: CTC-only like "
                     "roofline.py)")
@@ -167,6 +169,7 @@ def main(argv=None) -> None:
     if not args.hybrid:
         cfg["model_conf"] = {"ctc_weight": 1.0, "aed_weight": 0.0}
     cfg["encoder_conf"] = dict(cfg["encoder_conf"], remat_policy=args.remat,
+                               ssd_out_compute_dtype=args.out_compute,
                                ssd_chunk_size=args.chunk,
                                ssd_intra_dtype=args.intra or None)
     vocab = 500
@@ -283,6 +286,7 @@ def main(argv=None) -> None:
         "device": str(jax.devices()[0]),
         "config": {"B": args.batch, "frames": args.frames,
                    "remat": args.remat, "Q": args.chunk, "intra": args.intra,
+                   "out_compute": args.out_compute,
                    "hybrid": bool(args.hybrid)},
         "xla_bytes_accessed": xla_bytes,
         "parsed_bytes": total,
