@@ -182,3 +182,71 @@ def test_params_to_tree_roundtrip():
         np.testing.assert_array_equal(x, y)
     with pytest.raises(ValueError, match="unparseable"):
         params_to_tree({"noformat": np.zeros(1)})
+
+
+# ── int8 weight-only quantization ───────────────────────────────────────────
+
+def test_quantize_tree_error_bound_and_selectivity():
+    from hnet_mamba_asr_tpu.serving.quant import (
+        dequantize_tree, quantization_error, quantize_tree)
+    rng = np.random.default_rng(0)
+    params = {"proj": {"kernel": rng.normal(size=(128, 64)).astype(np.float32),
+                       "bias": rng.normal(size=(64,)).astype(np.float32)},
+              "tiny": rng.normal(size=(4, 4)).astype(np.float32),
+              "step": np.array(3, np.int32)}
+    q = quantize_tree(params, min_size=1024)
+    assert set(q["proj"]["kernel"]) == {"~q8", "~scale"}
+    assert q["proj"]["kernel"]["~q8"].dtype == np.int8
+    # small/1-D/int leaves untouched
+    np.testing.assert_array_equal(q["proj"]["bias"], params["proj"]["bias"])
+    np.testing.assert_array_equal(q["tiny"], params["tiny"])
+    assert q["step"] == 3
+    # symmetric absmax: per-channel relative error <= 1/254 (half an lsb)
+    assert quantization_error(params, q) <= 1.0 / 254 + 1e-6
+    dq = dequantize_tree(q)
+    err = np.abs(np.asarray(dq["proj"]["kernel"]) - params["proj"]["kernel"])
+    amax = np.abs(params["proj"]["kernel"]).max(axis=0)
+    assert (err <= amax / 254 + 1e-6).all()
+
+
+def test_int8_artifact_smaller_and_outputs_close(served, tmp_path):
+    """int8 export: params.npz shrinks ~4x for the quantized mass and
+    log-posteriors stay within the quantization noise of the fp artifact
+    (same traced program modulo the fused dequant)."""
+    from hnet_mamba_asr_tpu.serving import (load_serving_artifact,
+                                            save_serving_artifact)
+    model, params, art = served
+    q_art = tmp_path / "q"
+    save_serving_artifact(q_art, model, params, buckets=[(2, 4000)],
+                          emit=("frame_ids", "log_probs"), quantize="int8",
+                          quantize_min_size=256)   # tiny model, tiny weights
+    man = json.loads((q_art / "manifest.json").read_text())
+    assert man["quantize"] == "int8"
+    fp_bytes = (art / "params.npz").stat().st_size
+    q_bytes = (q_art / "params.npz").stat().st_size
+    assert q_bytes < 0.65 * fp_bytes          # tiny model: much fp32 remains
+    # ... and the quantized mass itself shrank ~4x: verify per-leaf
+    with np.load(q_art / "params.npz") as z:
+        assert any(z[k].dtype == np.int8 for k in z.files)
+
+    sm_fp = load_serving_artifact(art)
+    sm_q = load_serving_artifact(q_art)
+    wave, lens = _wave()
+    out_fp = sm_fp(wave, lens)
+    out_q = sm_q(wave, lens)
+    np.testing.assert_array_equal(out_q["enc_lengths"], out_fp["enc_lengths"])
+    # log-softmax output: absolute tolerance, int8 weight noise compounds
+    # through ~4 matmul layers of this tiny net
+    np.testing.assert_allclose(out_q["log_probs"], out_fp["log_probs"],
+                               atol=0.35)
+    # quantized serving is itself deterministic
+    out_q2 = sm_q(wave, lens)
+    np.testing.assert_array_equal(out_q["log_probs"], out_q2["log_probs"])
+
+
+def test_quantize_unknown_mode_raises(served):
+    from hnet_mamba_asr_tpu.serving import save_serving_artifact
+    model, params, _ = served
+    with pytest.raises(ValueError, match="quantize"):
+        save_serving_artifact("/tmp/_nope", model, params, [(1, 4000)],
+                              quantize="int4")
