@@ -65,6 +65,7 @@ def save_serving_artifact(out_dir: str | Path, model, params,
                           emit: tuple[str, ...] = ("frame_ids",),
                           quantize: str | None = None,
                           quantize_min_size: int = 4096,
+                          platforms: tuple[str, ...] | None = None,
                           extra_meta: dict | None = None) -> Path:
     """Export ``model``/``params`` for the given (batch, samples) buckets.
 
@@ -72,6 +73,10 @@ def save_serving_artifact(out_dir: str | Path, model, params,
     per-channel scales (serving/quant.py): ~4x smaller params.npz and ~4x
     less weight HBM traffic at serve time; the dequantize is traced into the
     exported program so XLA fuses it into the consuming matmuls.
+
+    ``platforms`` (e.g. ("cpu", "tpu")) lowers each program for several
+    target platforms in one artifact — export on a CPU build host, serve on
+    TPU pods. Default: the exporting process's backend only.
 
     Returns the artifact directory. Fails loudly on an emit mode the model
     cannot serve (no CTC head / no AED head) or on duplicate buckets.
@@ -115,7 +120,8 @@ def save_serving_artifact(out_dir: str | Path, model, params,
         if B < 1 or S < 400:
             raise ValueError(f"bucket ({B}, {S}) must be >=1 row and >=400 "
                              "samples (one STFT window)")
-        exp = jax_export.export(fn)(
+        exp = jax_export.export(
+            fn, platforms=tuple(platforms) if platforms else None)(
             param_spec,
             jax.ShapeDtypeStruct((B, S), np.float32),
             jax.ShapeDtypeStruct((B,), np.int32))
@@ -131,6 +137,7 @@ def save_serving_artifact(out_dir: str | Path, model, params,
         "blank_id": int(model.ctc.blank_id) if model.ctc is not None else None,
         "emit": list(emit),
         "quantize": quantize,
+        "platforms": list(platforms) if platforms else [jax.default_backend()],
         "buckets": rows,
         "jax_version": jax.__version__,
         **(extra_meta or {}),

@@ -34,6 +34,9 @@ def parse_args(argv=None):
                     help="(batch)x(samples) shape buckets, e.g. 8x160000")
     ap.add_argument("--emit", nargs="+", default=["frame_ids"],
                     choices=["frame_ids", "log_probs", "aed_ids"])
+    ap.add_argument("--platforms", nargs="+", default=None,
+                    help="lower for these platforms (e.g. cpu tpu); "
+                         "default: the current backend")
     ap.add_argument("--quantize", default=None, choices=["int8"],
                     help="int8 weight-only quantization (~4x smaller "
                          "artifact, ~4x less weight HBM traffic)")
@@ -70,6 +73,7 @@ def run(args) -> None:
     d = save_serving_artifact(
         out, model, params, buckets=buckets, emit=tuple(args.emit),
         quantize=args.quantize,
+        platforms=tuple(args.platforms) if args.platforms else None,
         extra_meta={"config": str(args.config),
                     "checkpoint": str(args.checkpoint), **meta})
     logger.info("exported %s buckets=%s emit=%s quantize=%s -> %s",

@@ -250,3 +250,20 @@ def test_quantize_unknown_mode_raises(served):
     with pytest.raises(ValueError, match="quantize"):
         save_serving_artifact("/tmp/_nope", model, params, [(1, 4000)],
                               quantize="int4")
+
+
+def test_multi_platform_export(served, tmp_path):
+    """platforms=('cpu','tpu') lowers both targets into one artifact (export
+    on a CPU build host, serve on TPU pods); it still runs here on cpu."""
+    from hnet_mamba_asr_tpu.serving import (load_serving_artifact,
+                                            save_serving_artifact)
+    model, params, art = served
+    mp = tmp_path / "mp"
+    save_serving_artifact(mp, model, params, buckets=[(2, 4000)],
+                          emit=("frame_ids",), platforms=("cpu", "tpu"))
+    man = json.loads((mp / "manifest.json").read_text())
+    assert man["platforms"] == ["cpu", "tpu"]
+    sm = load_serving_artifact(mp)
+    ref = load_serving_artifact(art)
+    wave, lens = _wave()
+    assert sm.transcribe_ids(wave, lens) == ref.transcribe_ids(wave, lens)
