@@ -267,3 +267,38 @@ def test_multi_platform_export(served, tmp_path):
     ref = load_serving_artifact(art)
     wave, lens = _wave()
     assert sm.transcribe_ids(wave, lens) == ref.transcribe_ids(wave, lens)
+
+
+def test_collapse_ctc_edge_cases():
+    """Runtime's CTC collapse: repeats merge, blanks drop, blank separates
+    repeats, and only the valid span counts."""
+    from hnet_mamba_asr_tpu.serving.runtime import collapse_ctc
+    blank = 9
+    ids = np.array([
+        [1, 1, 9, 1, 2, 2, 9, 9, 3],     # 1,(blank),1,2,3 -> [1,1,2,3]
+        [9, 9, 9, 9, 9, 9, 9, 9, 9],     # all blank -> []
+        [4, 4, 4, 4, 5, 9, 5, 5, 7],     # past-length tail ignored
+    ])
+    lens = np.array([9, 9, 5])
+    out = collapse_ctc(ids, lens, blank)
+    assert out == [[1, 1, 2, 3], [], [4, 5]]
+    assert collapse_ctc(ids[:1], np.array([0]), blank) == [[]]
+
+
+def test_serving_model_rejects_empty_and_reports_buckets(served, tmp_path):
+    from hnet_mamba_asr_tpu.serving import load_serving_artifact
+    _, _, art = served
+    bad = tmp_path / "empty"
+    shutil.copytree(art, bad)
+    m = json.loads((bad / "manifest.json").read_text())
+    m["buckets"] = []
+    (bad / "manifest.json").write_text(json.dumps(m))
+    with pytest.raises(ValueError, match="no shape buckets"):
+        load_serving_artifact(bad)
+    sm = load_serving_artifact(art)
+    with pytest.raises(ValueError, match="frame_ids"):
+        # an artifact emitting frame_ids: transcribe works; fake a manifest
+        # without it to hit the guard
+        object.__setattr__(sm, "emit", ("log_probs",))
+        sm.transcribe_ids(np.zeros((1, 4000), np.float32),
+                          np.array([4000], np.int32))
