@@ -127,3 +127,34 @@ def test_fixed_vs_dynamic_n1_identical(rng):
     b = fix.apply(pf, x, mask, method="chunk")
     for fa, fb in zip(a, b):
         np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_typeb_with_bf16_storage_knobs_finite(rng):
+    """Type B (nested sqrt-N chunkers) trains finitely with the production
+    bf16 storage knobs (ssd_intra_dtype + ssd_out_compute_dtype)."""
+    import jax
+    import numpy as np
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    cfg = {"encoder": "dcasr", "head": "ctc",
+           "frontend_conf": {"n_mels": 20},
+           "train": {"precision": "bf16"},
+           "encoder_conf": {"d_outer": 16, "d_main": 24, "n_enc": 1,
+                            "n_main": 1, "n_dec": 1, "n_mid": 1,
+                            "arch_type": "B", "d_state": 8, "headdim": 8,
+                            "ssd_chunk_size": 16, "ssd_intra_dtype": "bf16",
+                            "ssd_out_compute_dtype": True,
+                            "hnet": {"compression_N": 4}},
+           "model_conf": {"ctc_weight": 1.0, "aed_weight": 0.0}}
+    model = build_model(cfg, 12)
+    params = model.init_params(jax.random.PRNGKey(0))
+    wave = rng.normal(size=(2, 8000)).astype(np.float32) * 0.1
+    batch = {"wave": wave, "wave_lens": np.array([8000, 6100], np.int32),
+             "tokens": np.array([[4, 5], [6, 0]], np.int32),
+             "token_lens": np.array([2, 1], np.int32),
+             "row_mask": np.array([True, True])}
+    loss, _ = model.loss_fn(params, batch, 0, True)
+    g = jax.grad(lambda p: model.loss_fn(p, batch, 0, True)[0])(params)
+    gsum = float(jax.tree_util.tree_reduce(
+        lambda a, b: a + np.abs(np.asarray(b, np.float32)).sum(), g, 0.0))
+    assert np.isfinite(float(loss)) and np.isfinite(gsum)

@@ -302,3 +302,56 @@ def test_serving_model_rejects_empty_and_reports_buckets(served, tmp_path):
         object.__setattr__(sm, "emit", ("log_probs",))
         sm.transcribe_ids(np.zeros((1, 4000), np.float32),
                           np.array([4000], np.int32))
+
+
+def test_aed_ids_match_live_greedy(served):
+    from hnet_mamba_asr_tpu.serving import load_serving_artifact
+    model, params, art = served
+    sm = load_serving_artifact(art)
+    wave, lens = _wave()
+    out = sm(wave, lens)
+    enc = model.encode(
+        params, {"wave": np.pad(wave, ((0, 0), (0, 4000 - wave.shape[1]))),
+                 "wave_lens": lens})
+    live = model.aed.apply({"params": params["aed"]}, enc.features,
+                           enc.lengths, method="greedy_decode")
+    np.testing.assert_array_equal(out["aed_ids"], np.asarray(live))
+
+
+def test_export_n2_dynamic_chunking_model(tmp_path):
+    """The dynamic H-Net chunking path (router + one-hot scatter + EMA)
+    exports and serves: ids == live greedy on an N=2 model."""
+    from __graft_entry__ import _small_config
+    from hnet_mamba_asr_tpu.serving import (load_serving_artifact,
+                                            save_serving_artifact)
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    cfg = _small_config(tiny=True)
+    cfg["encoder_conf"] = dict(cfg["encoder_conf"],
+                               hnet={"compression_N": 2})
+    cfg["model_conf"] = {"ctc_weight": 1.0, "aed_weight": 0.0}
+    cfg["train"] = {"precision": "fp32"}
+    model = build_model(cfg, 30)
+    params = model.init_params(jax.random.PRNGKey(2))
+    art = save_serving_artifact(tmp_path / "n2", model, params,
+                                buckets=[(2, 4000)], emit=("frame_ids",))
+    sm = load_serving_artifact(art)
+    wave, lens = _wave()
+    ids = sm.transcribe_ids(wave, lens)
+    live = model.greedy_decode(
+        params, {"wave": np.pad(wave, ((0, 0), (0, 4000 - wave.shape[1]))),
+                 "wave_lens": lens})
+    assert ids == live
+
+
+def test_quantize_zero_channel_roundtrips():
+    """A dead output channel (all-zero weights) must not divide by zero and
+    must reconstruct exactly."""
+    from hnet_mamba_asr_tpu.serving.quant import dequantize_tree, quantize_tree
+    w = np.random.default_rng(0).normal(size=(64, 32)).astype(np.float32)
+    w[:, 7] = 0.0
+    q = quantize_tree({"k": w}, min_size=16)
+    assert q["k"]["~scale"][7] == 1.0
+    dq = np.asarray(dequantize_tree(q)["k"])
+    np.testing.assert_array_equal(dq[:, 7], 0.0)
+    assert np.isfinite(dq).all()

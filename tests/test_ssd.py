@@ -302,3 +302,22 @@ def test_ssd_out_compute_dtype_plumbs_and_is_noop_at_fp32(rng):
     l_off, _ = m_off.loss_fn(params, batch, 0, False)
     l_on, _ = m_on.loss_fn(params, batch, 0, False)
     assert float(l_off) == float(l_on)
+
+
+def test_intra_custom_vjp_matches_autodiff_through_full_ssd(rng):
+    """custom_vjp grads == autodiff grads through ssd_chunked INCLUDING the
+    L-padding path (L not a multiple of Q) and the inter-chunk correction."""
+    x, dt, A, Bm, Cm = _inputs(rng, L=27)             # pads 27 -> 32 (Q=16)
+    cot_shape = ssd_chunked(x, dt, A, Bm, Cm, chunk_size=16).shape
+    cot = jnp.asarray(rng.normal(size=cot_shape).astype(np.float32))
+
+    def loss(custom):
+        def f(x_, dt_, B_, C_):
+            y = ssd_chunked(x_, dt_, A, B_, C_, chunk_size=16,
+                            custom_vjp=custom)
+            return jnp.vdot(y, cot)
+        return jax.grad(f, argnums=(0, 1, 2, 3))(x, dt, Bm, Cm)
+
+    for a, b in zip(loss(True), loss(False)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=3e-5)
