@@ -49,7 +49,8 @@ def main():
     for tag, q in (("fp", None), ("int8", "int8")):
         d = art_dir / tag
         save_serving_artifact(d, model, params, buckets=[(B, S)],
-                              emit=("frame_ids",), quantize=q)
+                              emit=("frame_ids",), quantize=q,
+                              platforms=("tpu",))   # axon presents a TPU
         arts[tag] = load_serving_artifact(d)
         npz = (d / "params.npz").stat().st_size / 1e6
         print(f"{tag}: params.npz {npz:.1f} MB", flush=True)

@@ -52,18 +52,18 @@ def run(args) -> None:
     from hnet_mamba_asr_tpu.utils.config import load_config
     from hnet_mamba_asr_tpu.utils.logging_utils import get_logger, setup_logging
 
+    buckets = []
+    for spec in args.buckets:
+        try:
+            b, n = spec.lower().split("x")
+            buckets.append((int(b), int(n)))
+        except ValueError:
+            raise SystemExit(f"bad bucket {spec!r}: expected <batch>x<samples>")
+
     cfg = load_config(args.config, args.overrides)
     out = Path(args.out)
     setup_logging("export_serving", out / "logs")
     logger = get_logger("export_serving")
-
-    buckets = []
-    for s in args.buckets:
-        try:
-            b, n = s.lower().split("x")
-            buckets.append((int(b), int(n)))
-        except ValueError:
-            raise SystemExit(f"bad bucket {s!r}: expected <batch>x<samples>")
 
     tokenizer = build_tokenizer(cfg, REPO_ROOT)
     cmvn = build_cmvn(cfg, REPO_ROOT)

@@ -355,3 +355,22 @@ def test_quantize_zero_channel_roundtrips():
     dq = np.asarray(dequantize_tree(q)["k"])
     np.testing.assert_array_equal(dq[:, 7], 0.0)
     assert np.isfinite(dq).all()
+
+
+def test_export_cli_bad_bucket_string_exits(tmp_path):
+    import sys as _sys
+    _sys.path.insert(0, str(REPO / "scripts"))
+    import export_serving
+    args = export_serving.parse_args(
+        ["--config", "x.yaml", "--checkpoint", "y.ckpt",
+         "--out", str(tmp_path), "--buckets", "8by160000"])
+    with pytest.raises(SystemExit):
+        export_serving.run(args)
+
+
+def test_bucket_too_small_raises(served):
+    from hnet_mamba_asr_tpu.serving import save_serving_artifact
+    model, params, _ = served
+    with pytest.raises(ValueError, match="400"):
+        save_serving_artifact("/tmp/_nope", model, params, [(1, 100)],
+                              emit=("frame_ids",))
