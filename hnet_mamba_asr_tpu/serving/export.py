@@ -144,3 +144,93 @@ def save_serving_artifact(out_dir: str | Path, model, params,
     }
     (out / "manifest.json").write_text(json.dumps(manifest, indent=2))
     return out
+
+
+def save_streaming_artifact(out_dir: str | Path, model, params,
+                            block_enc: int = 16,
+                            quantize: str | None = None,
+                            quantize_min_size: int = 4096,
+                            platforms: tuple[str, ...] | None = None,
+                            extra_meta: dict | None = None) -> Path:
+    """Export EXACT causal streaming as one step program + initial states.
+
+    Wraps models/streaming.py's CausalStreamingEncoder step (carried conv
+    tails, SSD recurrence states, router/EMA chunking state — exact vs
+    offline at any block size, requires ``bidirectional: false``) with the
+    on-device log-mel frontend and the CTC frame argmax:
+
+        f(params, wave_window [1, s_win] f32, states) -> (frame_ids, states')
+
+    The runtime side (StreamingServingModel) only buffers samples, slices
+    fixed windows, carries the state pytree, and collapses CTC — so
+    streaming deployment needs the same single runtime.py file. Emits
+    ``block_enc`` encoder frames (= 4*block_enc mel frames = 640 ms at
+    default rates) per call; latency is one block plus compute.
+    """
+    import jax.numpy as jnp
+
+    from hnet_mamba_asr_tpu.models.streaming import CausalStreamingEncoder
+    from hnet_mamba_asr_tpu.ops.melspec import log_mel_spectrogram
+
+    if model.ctc is None:
+        raise ValueError("streaming serving requires a CTC head")
+    cse = CausalStreamingEncoder(model, params, block_enc=block_enc)
+    W_mel = cse.W_mel
+    S_win = (W_mel - 1) * cse.hop + cse.win
+    cmvn = model.cmvn
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    states0 = jax.tree_util.tree_map(np.asarray, cse._fresh_states())
+
+    def step(p, wave, states):
+        feats, _ = log_mel_spectrogram(
+            wave, jnp.array([S_win]), win_length=cse.win,
+            hop_length=cse.hop, n_mels=model.n_mels)
+        if cmvn is not None:
+            feats = (feats - jnp.asarray(cmvn.mean)) * jnp.asarray(cmvn.istd)
+        feats = feats[:, :W_mel].astype(jnp.float32)
+        x_out, new_states = cse._step(p["encoder"], feats, states)
+        ids = model.ctc.apply({"params": p["ctc"]}, x_out,
+                              method="frame_argmax")
+        return ids, new_states
+
+    if quantize == "int8":
+        from hnet_mamba_asr_tpu.serving.quant import (dequantize_tree,
+                                                      quantize_tree)
+        params = quantize_tree(params, min_size=quantize_min_size)
+        inner = step
+
+        def step(qp, wave, states):
+            return inner(dequantize_tree(qp), wave, states)
+    elif quantize is not None:
+        raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    np.savez(out / "params.npz", **tree_to_path_dict(params))
+    np.savez(out / "states.npz", **tree_to_path_dict(states0))
+
+    spec = lambda t: jax.tree_util.tree_map(  # noqa: E731
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t)
+    exp = jax_export.export(
+        jax.jit(step), platforms=tuple(platforms) if platforms else None)(
+        spec(params), jax.ShapeDtypeStruct((1, S_win), np.float32),
+        spec(states0))
+    (out / "stream_step.shlo").write_bytes(exp.serialize())
+
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "kind": "streaming",
+        "vocab_size": int(model.ctc.num_classes - 1),
+        "blank_id": int(model.ctc.blank_id),
+        "emit": ["frame_ids"],
+        "quantize": quantize,
+        "platforms": list(platforms) if platforms else [jax.default_backend()],
+        "streaming": {"block_enc": int(block_enc), "w_mel": int(W_mel),
+                      "s_win": int(S_win), "hop": int(cse.hop),
+                      "win": int(cse.win), "file": "stream_step.shlo"},
+        "jax_version": jax.__version__,
+        **(extra_meta or {}),
+    }
+    (out / "manifest.json").write_text(json.dumps(manifest, indent=2))
+    return out

@@ -31,21 +31,35 @@ from pathlib import Path
 import numpy as np
 
 FORMAT_VERSION = 1
-_KEY_RE = re.compile(r"\['([^']*)'\]")
+_KEY_RE = re.compile(r"\['([^']*)'\]|\[(\d+)\]")
 
 
-def params_to_tree(flat: dict) -> dict:
-    """Path-keyed flat dict (jax keystr paths like "['a']['b']") -> nested dict."""
+def params_to_tree(flat: dict):
+    """Path-keyed flat dict (jax keystr paths like "['a'][0]['b']") ->
+    nested dicts/lists. Integer segments ("[0]") become list indices, so
+    state pytrees containing per-layer lists round-trip too."""
     tree: dict = {}
     for path, leaf in flat.items():
-        keys = _KEY_RE.findall(path)
-        if not keys:
+        keys = [name if name else int(idx)
+                for name, idx in _KEY_RE.findall(path)]
+        if not keys or "".join(_KEY_RE.sub("", path).split()):
             raise ValueError(f"unparseable params key {path!r}")
         node = tree
         for k in keys[:-1]:
             node = node.setdefault(k, {})
         node[keys[-1]] = leaf
-    return tree
+
+    def listify(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: listify(v) for k, v in node.items()}
+        if node and all(isinstance(k, int) for k in node):
+            if sorted(node) != list(range(len(node))):
+                raise ValueError(f"non-contiguous list indices {sorted(node)}")
+            return [node[i] for i in range(len(node))]
+        return node
+
+    return listify(tree)
 
 
 def collapse_ctc(frame_ids: np.ndarray, lengths: np.ndarray,
@@ -129,6 +143,98 @@ class ServingModel:
 
 def load_serving_artifact(artifact_dir: str | Path) -> ServingModel:
     return ServingModel(artifact_dir)
+
+
+class StreamingServingModel:
+    """Incremental transcription over a streaming artifact (kind=streaming).
+
+    The artifact holds ONE exported step program
+    ``f(params, wave_window, states) -> (frame_ids, new_states)`` plus the
+    initial state pytree (states.npz). This class only buffers samples,
+    slices fixed windows, carries the states, and collapses CTC frames —
+    all trivially host-side, so streaming deployment needs nothing beyond
+    this file either. Feed arbitrary-size sample blocks; token ids stream
+    back with one-block latency; ``finish()`` drains the causal-safe
+    zero-padded tail.
+    """
+
+    def __init__(self, artifact_dir: str | Path):
+        d = Path(artifact_dir)
+        manifest = json.loads((d / "manifest.json").read_text())
+        if manifest.get("format_version") != FORMAT_VERSION:
+            raise ValueError(
+                f"artifact format {manifest.get('format_version')!r} != "
+                f"supported {FORMAT_VERSION} — re-export with this runtime")
+        if manifest.get("kind") != "streaming":
+            raise ValueError("not a streaming artifact — use "
+                             "load_serving_artifact for offline kinds")
+        self.manifest = manifest
+        s = manifest["streaming"]
+        self.E = int(s["block_enc"])
+        self.hop, self.win = int(s["hop"]), int(s["win"])
+        self.W_mel = int(s["w_mel"])
+        self.S_win = int(s["s_win"])
+        self.blank_id = int(manifest["blank_id"])
+
+        from jax import export as jax_export
+        with np.load(d / "params.npz") as z:
+            self._params = params_to_tree({k: z[k] for k in z.files})
+        with np.load(d / "states.npz") as z:
+            self._states0 = params_to_tree({k: z[k] for k in z.files})
+        self._fn = jax_export.deserialize((d / s["file"]).read_bytes())
+        self.reset()
+
+    def reset(self) -> None:
+        self._buf = np.zeros(0, np.float32)
+        self._buf_start = 0                      # absolute sample offset
+        self._e0 = 0                             # emitted encoder frames
+        self._total = 0
+        self._prev = -1                          # CTC collapse carry
+        self._states = self._states0
+
+    def _mel_ready(self) -> int:
+        return max(0, (self._total - self.win) // self.hop + 1)
+
+    def _advance(self, n_valid: int) -> list[int]:
+        s0 = 4 * self._e0 * self.hop
+        seg = self._buf[s0 - self._buf_start:s0 - self._buf_start + self.S_win]
+        wave = np.zeros((1, self.S_win), np.float32)
+        wave[0, : len(seg)] = seg
+        ids, self._states = self._fn.call(self._params, wave, self._states)
+        self._e0 += n_valid
+        keep = 4 * self._e0 * self.hop
+        if keep > self._buf_start:
+            self._buf = self._buf[keep - self._buf_start:]
+            self._buf_start = keep
+        toks = []
+        for t in np.asarray(ids)[0, : n_valid]:
+            t = int(t)
+            if t != self._prev and t != self.blank_id:
+                toks.append(t)
+            self._prev = t
+        return toks
+
+    def feed(self, samples) -> list[int]:
+        """Accept any number of samples; return newly final token ids."""
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._buf = np.concatenate([self._buf, samples])
+        self._total += len(samples)
+        out = []
+        while self._mel_ready() >= 4 * (self._e0 + self.E) + 4:
+            out.extend(self._advance(self.E))
+        return out
+
+    def finish(self) -> list[int]:
+        """Drain the tail (zero-padded window is causal-safe)."""
+        total_enc = max(0, ((self._mel_ready() - 1) // 2 - 1) // 2)
+        out = []
+        while total_enc - self._e0 > 0:
+            out.extend(self._advance(min(self.E, total_enc - self._e0)))
+        return out
+
+
+def load_streaming_artifact(artifact_dir: str | Path) -> StreamingServingModel:
+    return StreamingServingModel(artifact_dir)
 
 
 if __name__ == "__main__":  # smoke: python runtime.py <artifact_dir> <wav...>

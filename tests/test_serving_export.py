@@ -374,3 +374,104 @@ def test_bucket_too_small_raises(served):
     with pytest.raises(ValueError, match="400"):
         save_serving_artifact("/tmp/_nope", model, params, [(1, 100)],
                               emit=("frame_ids",))
+
+
+# ── streaming serving artifacts ─────────────────────────────────────────────
+
+@pytest.fixture(scope="module")
+def stream_served(tmp_path_factory):
+    from __graft_entry__ import _small_config
+    from hnet_mamba_asr_tpu.serving import save_streaming_artifact
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    cfg = _small_config(tiny=True)
+    cfg["encoder_conf"] = dict(cfg["encoder_conf"], bidirectional=False)
+    cfg["model_conf"] = {"ctc_weight": 1.0, "aed_weight": 0.0}
+    cfg["train"] = {"precision": "fp32"}
+    model = build_model(cfg, 30)
+    params = model.init_params(jax.random.PRNGKey(0))
+    art = tmp_path_factory.mktemp("sart") / "stream"
+    save_streaming_artifact(art, model, params, block_enc=8)
+    return model, params, art
+
+
+def test_streaming_serve_matches_offline_greedy(stream_served):
+    """Tokens streamed through the exported step (ragged block sizes) ==
+    offline greedy decode — the CausalStreamingEncoder exactness carried
+    through export."""
+    from hnet_mamba_asr_tpu.serving import load_streaming_artifact
+    model, params, art = stream_served
+    sm = load_streaming_artifact(art)
+    rng = np.random.default_rng(0)
+    wave = (rng.normal(size=12000) * 0.1).astype(np.float32)
+    toks, i = [], 0
+    for sz in [700, 1300, 2500, 333, 4000, 2000, 1167]:
+        toks += sm.feed(wave[i:i + sz]); i += sz
+    toks += sm.feed(wave[i:]) + sm.finish()
+    live = model.greedy_decode(
+        params, {"wave": wave[None],
+                 "wave_lens": np.array([len(wave)], np.int32)})
+    assert toks == live[0]
+
+    # reset() makes the session reusable and deterministic
+    sm.reset()
+    toks2 = sm.feed(wave) + sm.finish()
+    assert toks2 == live[0]
+
+
+def test_streaming_artifact_kind_checks(stream_served, served):
+    from hnet_mamba_asr_tpu.serving import (load_serving_artifact,
+                                            load_streaming_artifact)
+    _, _, sart = stream_served
+    _, _, oart = served
+    with pytest.raises(ValueError, match="not a streaming artifact"):
+        load_streaming_artifact(oart)
+    with pytest.raises(KeyError):
+        load_serving_artifact(sart)          # no offline buckets inside
+
+
+def test_streaming_runtime_is_standalone(stream_served, tmp_path):
+    """The SAME single runtime.py serves the streaming artifact from a
+    repo-stripped subprocess."""
+    model, params, art = stream_served
+    shutil.copy(REPO / "hnet_mamba_asr_tpu" / "serving" / "runtime.py",
+                tmp_path / "runtime.py")
+    rng = np.random.default_rng(1)
+    wave = (rng.normal(size=9000) * 0.1).astype(np.float32)
+    np.save(tmp_path / "wave.npy", wave)
+    (tmp_path / "drive.py").write_text(
+        "import json, sys\n"
+        "bad = [p for p in sys.path if 'repo' in p]\n"
+        "assert not bad, bad\n"
+        "import numpy as np, runtime\n"
+        f"m = runtime.load_streaming_artifact({str(art)!r})\n"
+        "w = np.load('wave.npy')\n"
+        "toks = m.feed(w[:4000]) + m.feed(w[4000:]) + m.finish()\n"
+        "print(json.dumps(toks))\n")
+    env = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+           "HOME": "/root", "PYTHONPATH": ""}
+    r = subprocess.run([sys.executable, "drive.py"], cwd=tmp_path, env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    toks = json.loads(r.stdout.strip().splitlines()[-1])
+    live = model.greedy_decode(
+        params, {"wave": wave[None],
+                 "wave_lens": np.array([len(wave)], np.int32)})
+    assert toks == live[0]
+
+
+def test_params_to_tree_list_indices():
+    """'[0]' path segments rebuild LISTS (state pytrees carry per-layer
+    lists); non-contiguous indices fail loudly."""
+    from hnet_mamba_asr_tpu.serving.runtime import params_to_tree
+    from hnet_mamba_asr_tpu.training.checkpoint import tree_to_path_dict
+    tree = {"enc": [{"conv": np.ones((2, 3)), "ssd": np.zeros(4)},
+                    {"conv": np.full((2, 3), 2.0), "ssd": np.ones(4)}],
+            "flag": np.array([True])}
+    back = params_to_tree(tree_to_path_dict(tree))
+    assert isinstance(back["enc"], list) and len(back["enc"]) == 2
+    np.testing.assert_array_equal(back["enc"][1]["conv"], tree["enc"][1]["conv"])
+    assert jax.tree_util.tree_structure(back) == \
+        jax.tree_util.tree_structure(tree)
+    with pytest.raises(ValueError, match="non-contiguous"):
+        params_to_tree({"['a'][0]": np.zeros(1), "['a'][2]": np.zeros(1)})
