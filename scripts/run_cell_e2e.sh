@@ -89,9 +89,13 @@ stage_done() { [[ -f "$MARK/$1.done" ]]; }
 mark_done()  { touch "$MARK/$1.done"; plog "STAGE $1 DONE"; }
 
 # ── device preflight: the backend must really initialize ─────────────────────
+# Bounded: a wedged accelerator transport can leave jax.devices() hanging
+# forever (observed on a remote-attached TPU relay) — a hang here must count
+# as a failed node and requeue, same as an init error.
+PREFLIGHT_TIMEOUT="${PREFLIGHT_TIMEOUT:-120}"
 if ! stage_done preflight_ok; then
-  if ! "$PY" -c "import jax; n = len(jax.devices()); print(f'preflight: jax sees {n} device(s)'); raise SystemExit(0 if n >= 1 else 1)"; then
-    plog "PREFLIGHT FAILED on $(hostname): jax cannot initialize a backend"
+  if ! timeout "$PREFLIGHT_TIMEOUT" "$PY" -c "import jax; n = len(jax.devices()); print(f'preflight: jax sees {n} device(s)'); raise SystemExit(0 if n >= 1 else 1)"; then
+    plog "PREFLIGHT FAILED on $(hostname): jax cannot initialize a backend (or hung ${PREFLIGHT_TIMEOUT}s)"
     requeue_self
   fi
   mark_done preflight_ok

@@ -71,7 +71,10 @@ def _cfg(root: Path) -> Path:
 
 
 def _run(cfg, exp, stub, extra_env=None, timeout=150):
-    env = dict(os.environ, PYTHON=str(stub), EXP_DIR=str(exp))
+    env = dict(os.environ, PYTHON=str(stub), EXP_DIR=str(exp),
+               JAX_PLATFORMS="cpu",   # preflight must not need the real chip
+               PALLAS_AXON_POOL_IPS="")  # ...nor the relay (a wedged tunnel
+                                         # blocks `import jax` in sitecustomize)
     env.pop("SLURM_JOB_ID", None)
     env.pop("SLURM_RESTART_COUNT", None)
     env.update(extra_env or {})
@@ -84,7 +87,8 @@ def test_usr1_drains_and_exits_tempfail(tmp_path):
     stub = _write_stub(tmp_path, "hang")
     cfg = _cfg(tmp_path)
     exp = tmp_path / "exp"
-    env = dict(os.environ, PYTHON=str(stub), EXP_DIR=str(exp))
+    env = dict(os.environ, PYTHON=str(stub), EXP_DIR=str(exp),
+               JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     env.pop("SLURM_JOB_ID", None)
     proc = subprocess.Popen(["bash", str(SCRIPT), str(cfg), "pre"],
                             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
@@ -112,7 +116,8 @@ def test_relaunch_resumes_and_completes(tmp_path):
     stub_hang = _write_stub(tmp_path, "hang")
     cfg = _cfg(tmp_path)
     exp = tmp_path / "exp"
-    env = dict(os.environ, PYTHON=str(stub_hang), EXP_DIR=str(exp))
+    env = dict(os.environ, PYTHON=str(stub_hang), EXP_DIR=str(exp),
+               JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     env.pop("SLURM_JOB_ID", None)
     proc = subprocess.Popen(["bash", str(SCRIPT), str(cfg), "pre"],
                             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
