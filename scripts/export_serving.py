@@ -34,6 +34,11 @@ def parse_args(argv=None):
                     help="(batch)x(samples) shape buckets, e.g. 8x160000")
     ap.add_argument("--emit", nargs="+", default=["frame_ids"],
                     choices=["frame_ids", "log_probs", "aed_ids"])
+    ap.add_argument("--streaming", type=int, default=None, metavar="BLOCK_ENC",
+                    help="export an exact-causal STREAMING artifact instead "
+                         "(one step program + carried states; requires "
+                         "bidirectional: false); value = encoder frames per "
+                         "block (16 -> 640 ms blocks)")
     ap.add_argument("--platforms", nargs="+", default=None,
                     help="lower for these platforms (e.g. cpu tpu); "
                          "default: the current backend")
@@ -53,7 +58,7 @@ def run(args) -> None:
     from hnet_mamba_asr_tpu.utils.logging_utils import get_logger, setup_logging
 
     buckets = []
-    for spec in args.buckets:
+    for spec in args.buckets if args.streaming is None else []:
         try:
             b, n = spec.lower().split("x")
             buckets.append((int(b), int(n)))
@@ -70,15 +75,27 @@ def run(args) -> None:
     model = build_model(cfg, tokenizer.vocab_size, cmvn=cmvn)
     params, meta = load_model_params(args.checkpoint)
 
-    d = save_serving_artifact(
-        out, model, params, buckets=buckets, emit=tuple(args.emit),
-        quantize=args.quantize,
-        platforms=tuple(args.platforms) if args.platforms else None,
-        extra_meta={"config": str(args.config),
-                    "checkpoint": str(args.checkpoint), **meta})
-    logger.info("exported %s buckets=%s emit=%s quantize=%s -> %s",
-                Path(args.checkpoint).name, buckets, args.emit,
-                args.quantize, d)
+    if args.streaming is not None:
+        from hnet_mamba_asr_tpu.serving.export import save_streaming_artifact
+        d = save_streaming_artifact(
+            out, model, params, block_enc=args.streaming,
+            quantize=args.quantize,
+            platforms=tuple(args.platforms) if args.platforms else None,
+            extra_meta={"config": str(args.config),
+                        "checkpoint": str(args.checkpoint), **meta})
+        logger.info("exported STREAMING %s block_enc=%d quantize=%s -> %s",
+                    Path(args.checkpoint).name, args.streaming,
+                    args.quantize, d)
+    else:
+        d = save_serving_artifact(
+            out, model, params, buckets=buckets, emit=tuple(args.emit),
+            quantize=args.quantize,
+            platforms=tuple(args.platforms) if args.platforms else None,
+            extra_meta={"config": str(args.config),
+                        "checkpoint": str(args.checkpoint), **meta})
+        logger.info("exported %s buckets=%s emit=%s quantize=%s -> %s",
+                    Path(args.checkpoint).name, buckets, args.emit,
+                    args.quantize, d)
     print(d)
 
 

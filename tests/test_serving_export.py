@@ -475,3 +475,48 @@ def test_params_to_tree_list_indices():
         jax.tree_util.tree_structure(tree)
     with pytest.raises(ValueError, match="non-contiguous"):
         params_to_tree({"['a'][0]": np.zeros(1), "['a'][2]": np.zeros(1)})
+
+
+def test_streaming_export_cli(tmp_path):
+    """--streaming through the real CLI: config + ckpt -> artifact -> served
+    tokens == offline greedy."""
+    import sys as _sys
+    _sys.path.insert(0, str(REPO / "scripts"))
+    import export_serving
+    from hnet_mamba_asr_tpu.data.tokenizer import Tokenizer
+    from hnet_mamba_asr_tpu.serving import load_streaming_artifact
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+    from hnet_mamba_asr_tpu.training.checkpoint import save_checkpoint
+
+    tok = Tokenizer.train(["aa bb cc", "bb cc aa"], tmp_path / "bpe",
+                          vocab_size=16, hard_vocab_limit=False)
+    cfg_path = tmp_path / "cfg.yaml"
+    cfg_path.write_text(f"""
+bpemodel: {tmp_path}/bpe.model
+frontend_conf: {{n_mels: 20}}
+encoder: dcasr
+encoder_conf: {{arch_type: A, d_outer: 16, d_main: 24, n_enc: 1, n_main: 1,
+                n_dec: 1, d_state: 8, headdim: 8, ssd_chunk_size: 16,
+                bidirectional: false, hnet: {{compression_N: 1}}}}
+head: ctc
+model_conf: {{ctc_weight: 1.0, aed_weight: 0.0}}
+train: {{precision: fp32}}
+""")
+    from hnet_mamba_asr_tpu.utils.config import load_config
+    cfg = load_config(cfg_path, [])
+    model = build_model(cfg, tok.vocab_size)
+    params = model.init_params(jax.random.PRNGKey(0))
+    ckpt = tmp_path / "m.ckpt"
+    save_checkpoint(ckpt, {"params": params, "epoch": 0, "global_step": 0})
+
+    export_serving.run(export_serving.parse_args(
+        ["--config", str(cfg_path), "--checkpoint", str(ckpt),
+         "--out", str(tmp_path / "art"), "--streaming", "8"]))
+    sm = load_streaming_artifact(tmp_path / "art")
+    rng = np.random.default_rng(5)
+    wave = (rng.normal(size=10000) * 0.1).astype(np.float32)
+    toks = sm.feed(wave) + sm.finish()
+    live = model.greedy_decode(
+        params, {"wave": wave[None],
+                 "wave_lens": np.array([len(wave)], np.int32)})
+    assert toks == live[0]
