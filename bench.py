@@ -126,9 +126,10 @@ def main() -> None:
     fps_ref_budget = measure(64, "full")
     for policy in ("none", "dots"):          # lightest remat that fits wins
         try:
-            # bf16 intra-chunk + bf16 SSD-output storage = the production
-            # recipe (configs/typeA_small_N1.yaml; intra: +3.4%, out:
-            # +14-18% within-run — docs/results/config_ab_ssd_out_dtype.json)
+            # bf16 intra-chunk storage = the production recipe
+            # (configs/typeA_small_N1.yaml; intra: +3.4% within-run).
+            # out_compute is a RETRACTED no-op (identical jaxpr — see
+            # config_ab_ssd_out_dtype.json post_hoc); harmless to pass.
             fps_production = measure(32, policy, intra="bf16",
                                      out_compute=True)
             break

@@ -114,12 +114,13 @@ class Mamba2(nn.Module):
                 backend=self.scan_backend)                               # [B,L,H,P]
         y = y + d_skip[None, None, :, None].astype(y.dtype) * x
         if self.ssd_out_compute_dtype:
-            # the SSD einsum accumulates fp32 on the MXU and hands back an
-            # fp32 [B,L,H,P] — the single largest fp32 activation family in
-            # the compiled production step (docs/results/bytes_breakdown.json,
-            # f32[32,249,16,64] ~21 GB/step incl. async copies). Rounding the
-            # STORED tensor to compute dtype once here halves that family;
-            # opt-in via encoder_conf.ssd_out_compute_dtype.
+            # RETRACTED no-op kept for config compat: ops/ssd.py casts y to
+            # x.dtype (== self.dtype here) before returning, so this convert
+            # folds away — flag on/off compiles to an IDENTICAL jaxpr
+            # (verified at production dims, r3). The "+14-18%" once recorded
+            # for it (docs/results/config_ab_ssd_out_dtype.json) was relay
+            # drift between interleaved arms, not a real effect; see the
+            # arms-identical guard in scripts/analysis/bench_config_ab.py.
             y = y.astype(self.dtype)
         y = y.reshape(Bsz, L, d_inner)
 

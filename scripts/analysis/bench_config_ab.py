@@ -74,6 +74,33 @@ def main():
         del params, opt_state
         return B * frames / best, lv
 
+    # ---- arms-identical guard (r3 lesson) -----------------------------------
+    # The ssd_out_compute_dtype A/B credited "+14-18%" to a flag that
+    # compiles to an IDENTICAL jaxpr — pure relay drift between interleaved
+    # arms. Trace both arms at a reduced shape (same code path) and hash the
+    # jaxprs: when they match, the measured ratio is a drift calibration,
+    # not a win, and the artifact says so.
+    import hashlib
+
+    def _arm_jaxpr_hash(overrides: dict) -> str:
+        cfg = _small_config()
+        cfg["encoder_conf"] = dict(cfg["encoder_conf"], remat_policy="none",
+                                   ssd_intra_dtype="bf16", **base_over,
+                                   **overrides)
+        model = build_model(cfg, vocab)
+        params = model.init_params(jax.random.PRNGKey(0))
+        small = _batch(B=2, frames=128, n_mels=80, vocab=vocab)
+        jaxpr = jax.make_jaxpr(
+            jax.grad(lambda p: model.loss_fn(p, small, 0, True)[0]))(params)
+        return hashlib.sha256(str(jaxpr).encode()).hexdigest()[:16]
+
+    print("tracing both arms for the identical-program guard ...", flush=True)
+    arms_identical = _arm_jaxpr_hash({}) == _arm_jaxpr_hash(on_over)
+    if arms_identical:
+        print("WARNING: both arms compile to the SAME jaxpr — any measured "
+              "ratio below is relay drift, not an effect of the override.",
+              flush=True)
+
     print(f"device={jax.devices()[0]} scan={N_STEPS} reps={REPS} "
           f"on={on_over} base={base_over}", flush=True)
     rows = {}
@@ -95,7 +122,10 @@ def main():
         "scan_steps": N_STEPS, "reps": REPS, "on_overrides": on_over,
         "base_overrides": base_over, "rows_frames_per_s": rows,
         "best_off": off, "best_on": on, "ratio_on_over_off": on / off,
-        "note": "full hybrid loss, remat none, intra bf16, interleaved arms",
+        "arms_identical_jaxpr": arms_identical,
+        "note": "full hybrid loss, remat none, intra bf16, interleaved arms"
+                + ("; ARMS IDENTICAL — ratio is drift calibration"
+                   if arms_identical else ""),
     }, indent=2))
     print(f"wrote {out}")
 
