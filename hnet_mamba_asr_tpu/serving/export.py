@@ -41,6 +41,18 @@ from hnet_mamba_asr_tpu.training.checkpoint import tree_to_path_dict
 VALID_EMIT = ("frame_ids", "log_probs", "aed_ids")
 
 
+def _tokenizer_meta(tokenizer) -> dict:
+    """Embed the id->piece table so the standalone runtime can emit text."""
+    if tokenizer is None:
+        return {}
+    return {"tokenizer": {
+        "pieces": list(tokenizer.pieces),
+        "drop_ids": sorted({int(tokenizer.bos_id), int(tokenizer.eos_id),
+                            int(tokenizer.pad_id), 0}),   # 0 = unk
+        "word_boundary": "▁",
+    }}
+
+
 def _serve_fn(model, emit: tuple[str, ...]):
     def fn(params, wave, wave_lens):
         enc = model.encode(params, {"wave": wave, "wave_lens": wave_lens},
@@ -66,8 +78,13 @@ def save_serving_artifact(out_dir: str | Path, model, params,
                           quantize: str | None = None,
                           quantize_min_size: int = 4096,
                           platforms: tuple[str, ...] | None = None,
-                          extra_meta: dict | None = None) -> Path:
+                          extra_meta: dict | None = None,
+                          tokenizer=None) -> Path:
     """Export ``model``/``params`` for the given (batch, samples) buckets.
+
+    ``tokenizer`` (data/tokenizer.Tokenizer, optional) embeds the id->piece
+    table in the manifest so the standalone runtime/server can emit TEXT,
+    not just token ids, with no framework install.
 
     ``quantize="int8"`` stores projection/conv/embedding weights as int8 +
     per-channel scales (serving/quant.py): ~4x smaller params.npz and ~4x
@@ -140,6 +157,7 @@ def save_serving_artifact(out_dir: str | Path, model, params,
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "buckets": rows,
         "jax_version": jax.__version__,
+        **_tokenizer_meta(tokenizer),
         **(extra_meta or {}),
     }
     (out / "manifest.json").write_text(json.dumps(manifest, indent=2))
@@ -151,7 +169,8 @@ def save_streaming_artifact(out_dir: str | Path, model, params,
                             quantize: str | None = None,
                             quantize_min_size: int = 4096,
                             platforms: tuple[str, ...] | None = None,
-                            extra_meta: dict | None = None) -> Path:
+                            extra_meta: dict | None = None,
+                            tokenizer=None) -> Path:
     """Export EXACT causal streaming as one step program + initial states.
 
     Wraps models/streaming.py's CausalStreamingEncoder step (carried conv
@@ -230,6 +249,7 @@ def save_streaming_artifact(out_dir: str | Path, model, params,
                       "s_win": int(S_win), "hop": int(cse.hop),
                       "win": int(cse.win), "file": "stream_step.shlo"},
         "jax_version": jax.__version__,
+        **_tokenizer_meta(tokenizer),
         **(extra_meta or {}),
     }
     (out / "manifest.json").write_text(json.dumps(manifest, indent=2))

@@ -140,6 +140,29 @@ class ServingModel:
         out = self(wave, wave_lens)
         return collapse_ctc(out["frame_ids"], out["enc_lengths"], self.blank_id)
 
+    def transcribe_text(self, wave: np.ndarray,
+                        wave_lens: np.ndarray) -> list[str]:
+        """Greedy transcripts; needs a manifest exported with tokenizer=."""
+        tok = self.manifest.get("tokenizer")
+        if tok is None:
+            raise ValueError("artifact has no embedded tokenizer — re-export "
+                             "with save_serving_artifact(..., tokenizer=tok) "
+                             "or consume transcribe_ids() instead")
+        return [detokenize(tok, ids)
+                for ids in self.transcribe_ids(wave, wave_lens)]
+
+
+def detokenize(tok_meta: dict, ids) -> str:
+    """ids -> text from the manifest's embedded tokenizer table (exported
+    with ``tokenizer=`` — mirrors data/tokenizer.Tokenizer.decode: drop
+    specials/out-of-range, join pieces, map the word boundary to space)."""
+    pieces = tok_meta["pieces"]
+    drop = set(tok_meta.get("drop_ids", ()))
+    wb = tok_meta.get("word_boundary", "▁")
+    out = [pieces[int(i)] for i in ids
+           if 0 <= int(i) < len(pieces) and int(i) not in drop]
+    return "".join(out).replace(wb, " ").strip()
+
 
 def load_serving_artifact(artifact_dir: str | Path) -> ServingModel:
     return ServingModel(artifact_dir)

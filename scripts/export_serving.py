@@ -82,7 +82,8 @@ def run(args) -> None:
             quantize=args.quantize,
             platforms=tuple(args.platforms) if args.platforms else None,
             extra_meta={"config": str(args.config),
-                        "checkpoint": str(args.checkpoint), **meta})
+                        "checkpoint": str(args.checkpoint), **meta},
+            tokenizer=tokenizer)
         logger.info("exported STREAMING %s block_enc=%d quantize=%s -> %s",
                     Path(args.checkpoint).name, args.streaming,
                     args.quantize, d)
@@ -92,7 +93,8 @@ def run(args) -> None:
             quantize=args.quantize,
             platforms=tuple(args.platforms) if args.platforms else None,
             extra_meta={"config": str(args.config),
-                        "checkpoint": str(args.checkpoint), **meta})
+                        "checkpoint": str(args.checkpoint), **meta},
+            tokenizer=tokenizer)
         logger.info("exported %s buckets=%s emit=%s quantize=%s -> %s",
                     Path(args.checkpoint).name, buckets, args.emit,
                     args.quantize, d)

@@ -1,0 +1,208 @@
+"""Micro-batching serving server (serving/server.py): batched results are
+identical to direct ServingModel calls, concurrent requests coalesce into
+one program call, text decoding rides the manifest-embedded tokenizer, and
+the HTTP surface round-trips over a real socket."""
+import io
+import json
+import threading
+import urllib.error
+import urllib.request
+import wave as wave_mod
+from concurrent.futures import ThreadPoolExecutor
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax  # noqa: E402  (conftest pins the cpu platform)
+
+VOCAB = 30
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    from __graft_entry__ import _small_config
+    from hnet_mamba_asr_tpu.data.tokenizer import Tokenizer
+    from hnet_mamba_asr_tpu.serving import save_serving_artifact
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    td = tmp_path_factory.mktemp("srv")
+    tok = Tokenizer.train(["the cat sat", "a dog ran", "cats and dogs"],
+                          td / "tok", vocab_size=VOCAB,
+                          hard_vocab_limit=False)
+    cfg = _small_config(tiny=True)
+    cfg["model_conf"] = {"ctc_weight": 1.0, "aed_weight": 0.0}
+    cfg["train"] = {"precision": "fp32"}
+    model = build_model(cfg, tok.vocab_size)
+    params = model.init_params(jax.random.PRNGKey(0))
+    art = td / "artifact"
+    save_serving_artifact(art, model, params, buckets=[(4, 4000)],
+                          emit=("frame_ids",), tokenizer=tok)
+    return art, tok
+
+
+def _wave(S=3200, seed=0):
+    return (np.random.default_rng(seed).normal(size=S) * 0.1).astype(np.float32)
+
+
+def test_manifest_embeds_tokenizer(artifact):
+    art, tok = artifact
+    man = json.loads((art / "manifest.json").read_text())
+    assert man["tokenizer"]["pieces"] == list(tok.pieces)
+    assert set(man["tokenizer"]["drop_ids"]) == {0, tok.bos_id, tok.eos_id,
+                                                 tok.pad_id}
+
+
+def test_transcribe_text_matches_tokenizer_decode(artifact):
+    from hnet_mamba_asr_tpu.serving import load_serving_artifact
+    art, tok = artifact
+    sm = load_serving_artifact(art)
+    wave = np.stack([_wave(seed=1), _wave(seed=2)])
+    lens = np.array([3200, 2500], np.int32)
+    ids = sm.transcribe_ids(wave, lens)
+    text = sm.transcribe_text(wave, lens)
+    assert text == [tok.decode(r) for r in ids]
+
+
+def test_batcher_matches_direct_calls(artifact):
+    from hnet_mamba_asr_tpu.serving import load_serving_artifact
+    from hnet_mamba_asr_tpu.serving.server import MicroBatcher
+    art, tok = artifact
+    sm = load_serving_artifact(art)
+    b = MicroBatcher(sm, max_wait_ms=50)
+    waves = [_wave(3200 - 173 * i, seed=i) for i in range(6)]
+    try:
+        futs = [b.submit(w) for w in waves]
+        got = [f.result(timeout=60) for f in futs]
+    finally:
+        b.close()
+    for w, r in zip(waves, got):
+        direct = sm.transcribe_ids(w[None, :], np.array([len(w)], np.int32))[0]
+        assert r["ids"] == direct
+        assert r["text"] == tok.decode(direct)
+    st = b.stats()
+    assert st["requests"] == 6
+    # 6 requests into a max-batch-4 bucket: at most 3 program calls, and at
+    # least one batch must have coalesced more than one request
+    assert st["batches"] <= 3 and st["mean_batch_occupancy"] > 1.0
+
+
+def test_batcher_rejects_oversized(artifact):
+    from hnet_mamba_asr_tpu.serving import load_serving_artifact
+    from hnet_mamba_asr_tpu.serving.server import MicroBatcher
+    sm = load_serving_artifact(artifact[0])
+    b = MicroBatcher(sm)
+    try:
+        with pytest.raises(ValueError, match="exceeds the largest"):
+            b.submit(np.zeros(5000, np.float32))
+    finally:
+        b.close()
+
+
+def _post(url, body, ctype):
+    req = urllib.request.Request(url, data=body,
+                                 headers={"Content-Type": ctype})
+    with urllib.request.urlopen(req, timeout=60) as r:
+        return json.loads(r.read())
+
+
+def test_http_roundtrip(artifact):
+    from hnet_mamba_asr_tpu.serving import load_serving_artifact
+    from hnet_mamba_asr_tpu.serving.server import make_server
+    art, tok = artifact
+    sm = load_serving_artifact(art)
+    httpd, batcher = make_server(art, port=0, max_wait_ms=5)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = httpd.server_address[:2]
+        base = f"http://{host}:{port}"
+        with urllib.request.urlopen(base + "/v1/health", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["status"] == "ok" and h["buckets"] == [[4, 4000]]
+
+        w = _wave(seed=3)
+        # raw float32 PCM
+        res = _post(base + "/v1/transcribe", w.tobytes(),
+                    "application/octet-stream")
+        direct = sm.transcribe_ids(w[None, :], np.array([len(w)], np.int32))[0]
+        assert res["ids"] == direct and res["text"] == tok.decode(direct)
+
+        # WAV PCM16 (quantized to int16 — transcribe the quantized wave
+        # directly for the parity check)
+        pcm = np.clip(w * 32768.0, -32768, 32767).astype("<i2")
+        buf = io.BytesIO()
+        with wave_mod.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(16000)
+            wv.writeframes(pcm.tobytes())
+        res2 = _post(base + "/v1/transcribe", buf.getvalue(), "audio/wav")
+        wq = (pcm.astype(np.float32) / 32768.0)
+        direct2 = sm.transcribe_ids(wq[None, :],
+                                    np.array([len(wq)], np.int32))[0]
+        assert res2["ids"] == direct2
+
+        with urllib.request.urlopen(base + "/v1/stats", timeout=30) as r:
+            st = json.loads(r.read())
+        assert st["requests"] >= 2 and st["latency_ms_p50"] is not None
+    finally:
+        httpd.shutdown()
+        batcher.close()
+
+
+def test_http_bad_requests(artifact):
+    from hnet_mamba_asr_tpu.serving.server import make_server
+    httpd, batcher = make_server(artifact[0], port=0, max_wait_ms=5)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = httpd.server_address[:2]
+        base = f"http://{host}:{port}"
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/v1/transcribe", b"abc",
+                  "application/octet-stream")      # not a multiple of 4
+        assert ei.value.code == 400
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base + "/v1/nope", b"", "application/octet-stream")
+        assert ei.value.code == 404
+    finally:
+        httpd.shutdown()
+        batcher.close()
+
+
+def test_server_file_is_standalone(artifact, tmp_path):
+    """server.py + runtime.py copied next to the artifact serve without the
+    repo on sys.path (the deployment story, same bar as runtime.py)."""
+    import shutil
+    import subprocess
+    import sys
+    REPO = Path(__file__).resolve().parent.parent
+    art, tok = artifact
+    shutil.copy(REPO / "hnet_mamba_asr_tpu" / "serving" / "runtime.py",
+                tmp_path / "runtime.py")
+    shutil.copy(REPO / "hnet_mamba_asr_tpu" / "serving" / "server.py",
+                tmp_path / "server.py")
+    drive = tmp_path / "drive.py"
+    drive.write_text(f"""
+import sys
+sys.path = [p for p in sys.path if "repo" not in p]
+sys.path.insert(0, {str(tmp_path)!r})
+import numpy as np
+from server import MicroBatcher
+from runtime import load_serving_artifact
+sm = load_serving_artifact({str(art)!r})
+b = MicroBatcher(sm, max_wait_ms=5)
+w = (np.random.default_rng(5).normal(size=3000) * 0.1).astype(np.float32)
+res = b.submit(w).result(timeout=120)
+b.close()
+direct = sm.transcribe_ids(w[None, :], np.array([3000], np.int32))[0]
+assert res["ids"] == direct, (res["ids"], direct)
+assert isinstance(res.get("text", ""), str)
+print("STANDALONE-SERVER-OK")
+""")
+    env = {"PATH": "/usr/bin:/bin", "JAX_PLATFORMS": "cpu",
+           "HOME": str(tmp_path)}
+    r = subprocess.run([sys.executable, "drive.py"], cwd=tmp_path, env=env,
+                       capture_output=True, text=True, timeout=600)
+    assert "STANDALONE-SERVER-OK" in r.stdout, r.stdout + r.stderr
