@@ -47,8 +47,10 @@ def _tokenizer_meta(tokenizer) -> dict:
         return {}
     return {"tokenizer": {
         "pieces": list(tokenizer.pieces),
+        # mirror data/tokenizer.Tokenizer.decode exactly: drop bos/eos/pad
+        # but KEEP unk (it renders as its piece text)
         "drop_ids": sorted({int(tokenizer.bos_id), int(tokenizer.eos_id),
-                            int(tokenizer.pad_id), 0}),   # 0 = unk
+                            int(tokenizer.pad_id)}),
         "word_boundary": "▁",
     }}
 

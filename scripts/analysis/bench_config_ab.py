@@ -103,17 +103,30 @@ def main():
 
     print(f"device={jax.devices()[0]} scan={N_STEPS} reps={REPS} "
           f"on={on_over} base={base_over}", flush=True)
-    rows = {}
-    # interleave so slow relay drift cancels: off, on, off, on
-    for arm in ("off", "on", "off2", "on2"):
-        fps, loss = bench(on_over if arm.startswith("on") else {})
-        rows[arm] = fps
-        print(f"{arm:4s} {fps/1e3:8.1f}k frames/s/chip (loss {loss:.4f})",
-              flush=True)
-    off = max(rows["off"], rows["off2"])
-    on = max(rows["on"], rows["on2"])
-    print(f"best-of: off {off/1e3:.1f}k  on {on/1e3:.1f}k  "
-          f"ratio {on/off:.3f}", flush=True)
+    # Paired, order-flipped design (r3 methodology upgrade after the
+    # ssd_out_compute_dtype retraction): relay drift is time-correlated, so
+    # adjacent measurements pair up and the pair ORDER alternates (off-on,
+    # on-off, ...) to cancel linear drift. The headline is the MEDIAN of the
+    # per-pair ratios with the pair count behind it — never a best-of.
+    PAIRS = 3
+    rows, pair_ratios = {}, []
+    for i in range(PAIRS):
+        order = ("off", "on") if i % 2 == 0 else ("on", "off")
+        fps = {}
+        for arm in order:
+            f, loss = bench(on_over if arm == "on" else {})
+            fps[arm] = f
+            rows[f"{arm}{i}"] = f
+            print(f"pair {i} {arm:3s} {f/1e3:8.1f}k frames/s/chip "
+                  f"(loss {loss:.4f})", flush=True)
+        pair_ratios.append(fps["on"] / fps["off"])
+    pair_ratios_sorted = sorted(pair_ratios)
+    median_ratio = pair_ratios_sorted[len(pair_ratios) // 2]
+    wins = sum(r > 1.0 for r in pair_ratios)
+    print(f"per-pair on/off ratios: {[round(r, 4) for r in pair_ratios]} — "
+          f"median {median_ratio:.4f}, on wins {wins}/{PAIRS}", flush=True)
+    off = max(v for k, v in rows.items() if k.startswith("off"))
+    on = max(v for k, v in rows.items() if k.startswith("on"))
 
     out = REPO / "docs" / "results" / f"config_ab_{tag}.json"
     out.parent.mkdir(parents=True, exist_ok=True)
@@ -121,9 +134,12 @@ def main():
         "device": str(jax.devices()[0]), "B": B, "frames": frames,
         "scan_steps": N_STEPS, "reps": REPS, "on_overrides": on_over,
         "base_overrides": base_over, "rows_frames_per_s": rows,
+        "pair_ratios_on_over_off": pair_ratios,
+        "median_ratio": median_ratio, "on_wins": f"{wins}/{PAIRS}",
         "best_off": off, "best_on": on, "ratio_on_over_off": on / off,
         "arms_identical_jaxpr": arms_identical,
-        "note": "full hybrid loss, remat none, intra bf16, interleaved arms"
+        "note": "full hybrid loss, remat none, intra bf16; paired "
+                "order-flipped arms, median-of-pair-ratios headline"
                 + ("; ARMS IDENTICAL — ratio is drift calibration"
                    if arms_identical else ""),
     }, indent=2))

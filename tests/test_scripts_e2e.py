@@ -187,3 +187,24 @@ def test_full_pipeline(workspace):
         params, {"wave": np.pad(wave, ((0, 0), (0, 16000 - 9000))),
                  "wave_lens": lens})
     assert served_ids == live
+    # the export CLI embeds the tokenizer -> standalone text == tok.decode
+    assert sm.transcribe_text(wave, lens) == [tok.decode(r) for r in live]
+
+    # 8. ad-hoc transcription CLI (no manifest): hyp == live greedy decode
+    import transcribe
+    out_jsonl = root / "adhoc.jsonl"
+    wavs = [str(root / "u0.wav"), str(root / "u2.wav")]
+    recs = transcribe.run(transcribe.parse_args(
+        ["--config", str(cfg_path),
+         "--checkpoint", str(root / "exp" / "checkpoints" / "latest.ckpt"),
+         "--cell", "ctc_greedy", "--out", str(out_jsonl)] + wavs))
+    assert [r["id"] for r in recs] == wavs
+    from hnet_mamba_asr_tpu.data.audio import read_wav
+    for r, p in zip(recs, wavs):
+        w, sr = read_wav(p)
+        S = ((w.shape[0] + sr - 1) // sr) * sr           # the CLI's 1 s grid
+        ids = model.greedy_decode(
+            params, {"wave": np.pad(w, (0, S - w.shape[0]))[None, :]
+                     .astype(np.float32),
+                     "wave_lens": np.array([w.shape[0]], np.int32)})[0]
+        assert r["hyp"] == tok.decode(ids)

@@ -49,7 +49,7 @@ def test_manifest_embeds_tokenizer(artifact):
     art, tok = artifact
     man = json.loads((art / "manifest.json").read_text())
     assert man["tokenizer"]["pieces"] == list(tok.pieces)
-    assert set(man["tokenizer"]["drop_ids"]) == {0, tok.bos_id, tok.eos_id,
+    assert set(man["tokenizer"]["drop_ids"]) == {tok.bos_id, tok.eos_id,
                                                  tok.pad_id}
 
 
