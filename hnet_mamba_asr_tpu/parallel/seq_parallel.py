@@ -298,6 +298,43 @@ def sp_encode(model, params: dict, feats: jax.Array, flens: jax.Array,
                          (jnp.ones((), jnp.float32),))
 
 
+class SPModel:
+    """Duck-typed Trainer adapter (model contract: training/trainer.py:17)
+    that executes the encoder sequence-parallel — long-form training becomes
+    config-only: ``train.sp: N`` (scripts/train.py builds the (dp, sp) mesh
+    and wraps the model; everything else in the Trainer is untouched).
+
+    Constraint inherited from sp_encode: every batch's mel frame count must
+    divide by 4*sp — pick data batch grids accordingly (the error message is
+    self-diagnosing). Validation loss runs SP too; ``greedy_decode``
+    delegates to the offline path (dev batches are small).
+    """
+
+    def __init__(self, model, mesh: Mesh, *, dp_axis: str = "dp",
+                 sp_axis: str = "sp", remat: bool = True):
+        ok, why = sp_supported(model.encoder)
+        if not ok:
+            raise ValueError(why)
+        if sp_axis not in mesh.axis_names:
+            raise ValueError(f"mesh {mesh.axis_names} has no {sp_axis!r} axis")
+        self.model, self.mesh = model, mesh
+        self.dp_axis, self.sp_axis, self.remat = dp_axis, sp_axis, remat
+
+    def init_params(self, key):
+        return self.model.init_params(key)
+
+    def loss_fn(self, params, batch, step, train):
+        return sp_loss_fn(self.model, params, batch, step, train, self.mesh,
+                          dp_axis=self.dp_axis, sp_axis=self.sp_axis,
+                          remat=self.remat)
+
+    def greedy_decode(self, params, batch):
+        return self.model.greedy_decode(params, batch)
+
+    def __getattr__(self, name):                 # ctc/aed/encoder/weights/...
+        return getattr(self.model, name)
+
+
 def sp_loss_fn(model, params: dict, batch: dict, step, train: bool,
                mesh: Mesh, *, dp_axis: str = "dp", sp_axis: str = "sp",
                remat: bool = True):

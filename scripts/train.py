@@ -62,7 +62,21 @@ def run(args) -> None:
     model = build_model(cfg, tokenizer.vocab_size, cmvn=cmvn)
     from hnet_mamba_asr_tpu.parallel.mesh import make_mesh
     flat = flatten_config(cfg)
-    mesh = make_mesh(tp=int(flat.get("tp", 1)))
+    sp = int(flat.get("sp", 1))
+    if sp > 1:
+        # long-form sequence parallelism: (dp, sp) mesh + the SPModel adapter
+        # (parallel/seq_parallel.py) — the Trainer itself is untouched
+        if int(flat.get("tp", 1)) > 1:
+            raise ValueError("train.sp and train.tp are mutually exclusive")
+        if int(flat.get("scan_steps", 1)) > 1:
+            raise ValueError("train.sp with train.scan_steps is not "
+                             "supported (shard_map inside the fused scan is "
+                             "untested); use accum_grad instead")
+        from hnet_mamba_asr_tpu.parallel.seq_parallel import SPModel
+        mesh = make_mesh(tp=sp, tp_axis="sp")
+        model = SPModel(model, mesh)
+    else:
+        mesh = make_mesh(tp=int(flat.get("tp", 1)))
     is_main = jax.process_index() == 0
     metrics = MetricsLogger(exp_dir, resume=args.resume is not None,
                             is_main=is_main)

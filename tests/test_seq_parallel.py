@@ -147,6 +147,56 @@ def test_sp_one_optimizer_step_matches(tmp_path):
             jax.tree_util.keystr(path)
 
 
+class _OneBatchLoader:
+    def __init__(self, batch):
+        self.batch = batch
+
+    def set_epoch(self, epoch):
+        pass
+
+    def __iter__(self):
+        return iter([dict(self.batch)])
+
+    def __len__(self):
+        return 1
+
+
+def test_sp_trainer_step_matches_plain(tmp_path):
+    """The real Trainer drives SPModel (train.sp wiring) and lands on the
+    same parameters as the plain data-parallel Trainer."""
+    from hnet_mamba_asr_tpu.parallel.seq_parallel import SPModel
+    from hnet_mamba_asr_tpu.training.trainer import Trainer
+    model, params, batch, feats, flens = _setup(_config(True))
+    tcfg = {"max_epoch": 1, "grad_clip": 5.0, "accum_grad": 1,
+            "log_interval": 1, "valid_interval_epoch": 1,
+            "keep_nbest_models": 0, "optim": "adamw",
+            "optim_conf": {"lr": 1e-3, "weight_decay": 0.01},
+            "scheduler": "warmuplr", "scheduler_conf": {"warmup_steps": 10}}
+
+    sp_mesh = make_mesh(8, tp=4, tp_axis="sp")               # (dp=2, sp=4)
+    tr_sp = Trainer(SPModel(model, sp_mesh), _OneBatchLoader(batch), tcfg,
+                    ckpt_dir=tmp_path / "sp", mesh=sp_mesh)
+    tr_sp._train_epoch()
+    assert tr_sp.global_step == 1
+
+    tr = Trainer(model, _OneBatchLoader(batch), tcfg,
+                 ckpt_dir=tmp_path / "plain", mesh=make_mesh(2))
+    tr._train_epoch()
+
+    flat_sp = dict(jax.tree_util.tree_leaves_with_path(tr_sp.params))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tr.params):
+        err = np.abs(np.asarray(leaf, np.float64)
+                     - np.asarray(flat_sp[path], np.float64)).max()
+        assert err < 1e-4, f"{jax.tree_util.keystr(path)}: {err}"
+
+
+def test_sp_model_rejects_bad_mesh():
+    from hnet_mamba_asr_tpu.parallel.seq_parallel import SPModel
+    model, *_ = _setup(_config(True))
+    with pytest.raises(ValueError, match="no 'sp' axis"):
+        SPModel(model, make_mesh(2))
+
+
 def test_sp_rejects_unsupported():
     model, params, batch, feats, flens = _setup(_config(True, N=4))
     ok, why = sp_supported(model.encoder)
