@@ -168,12 +168,20 @@ def save_serving_artifact(out_dir: str | Path, model, params,
 
 def save_streaming_artifact(out_dir: str | Path, model, params,
                             block_enc: int = 16,
+                            batch: int = 1,
                             quantize: str | None = None,
                             quantize_min_size: int = 4096,
                             platforms: tuple[str, ...] | None = None,
                             extra_meta: dict | None = None,
                             tokenizer=None) -> Path:
     """Export EXACT causal streaming as one step program + initial states.
+
+    ``batch=B`` exports the step at batch B for MULTI-SESSION serving: the
+    runtime's StreamingSessionPool advances up to B concurrent streams in
+    one program call (states.npz stays a one-row template the pool tiles).
+    Requires N == 1 — at N = 1 every step op is batch-parallel, so pooled
+    rows are bitwise independent; the dynamic-chunk streaming machinery
+    (N > 1) is single-row (models/streaming._compact).
 
     Wraps models/streaming.py's CausalStreamingEncoder step (carried conv
     tails, SSD recurrence states, router/EMA chunking state — exact vs
@@ -195,6 +203,13 @@ def save_streaming_artifact(out_dir: str | Path, model, params,
 
     if model.ctc is None:
         raise ValueError("streaming serving requires a CTC head")
+    if batch < 1:
+        raise ValueError(f"batch must be >= 1, got {batch}")
+    if batch > 1 and float(model.encoder.N) != 1.0:
+        raise ValueError(
+            "batched streaming export requires N == 1 (the dynamic-chunk "
+            "streaming machinery compacts single-row buffers); export "
+            "batch=1 artifacts for chunked configs")
     cse = CausalStreamingEncoder(model, params, block_enc=block_enc)
     W_mel = cse.W_mel
     S_win = (W_mel - 1) * cse.hop + cse.win
@@ -205,7 +220,7 @@ def save_streaming_artifact(out_dir: str | Path, model, params,
 
     def step(p, wave, states):
         feats, _ = log_mel_spectrogram(
-            wave, jnp.array([S_win]), win_length=cse.win,
+            wave, jnp.full((wave.shape[0],), S_win), win_length=cse.win,
             hop_length=cse.hop, n_mels=model.n_mels)
         if cmvn is not None:
             feats = (feats - jnp.asarray(cmvn.mean)) * jnp.asarray(cmvn.istd)
@@ -233,10 +248,12 @@ def save_streaming_artifact(out_dir: str | Path, model, params,
 
     spec = lambda t: jax.tree_util.tree_map(  # noqa: E731
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t)
+    states_b = states0 if batch == 1 else jax.tree_util.tree_map(
+        lambda a: np.concatenate([a] * batch, axis=0), states0)
     exp = jax_export.export(
         jax.jit(step), platforms=tuple(platforms) if platforms else None)(
-        spec(params), jax.ShapeDtypeStruct((1, S_win), np.float32),
-        spec(states0))
+        spec(params), jax.ShapeDtypeStruct((batch, S_win), np.float32),
+        spec(states_b))
     (out / "stream_step.shlo").write_bytes(exp.serialize())
 
     manifest = {
@@ -249,7 +266,8 @@ def save_streaming_artifact(out_dir: str | Path, model, params,
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "streaming": {"block_enc": int(block_enc), "w_mel": int(W_mel),
                       "s_win": int(S_win), "hop": int(cse.hop),
-                      "win": int(cse.win), "file": "stream_step.shlo"},
+                      "win": int(cse.win), "batch": int(batch),
+                      "file": "stream_step.shlo"},
         "jax_version": jax.__version__,
         **_tokenizer_meta(tokenizer),
         **(extra_meta or {}),

@@ -198,6 +198,10 @@ class StreamingServingModel:
         self.W_mel = int(s["w_mel"])
         self.S_win = int(s["s_win"])
         self.blank_id = int(manifest["blank_id"])
+        if int(s.get("batch", 1)) != 1:
+            raise ValueError(
+                f"artifact exported at batch {s['batch']} — use "
+                "StreamingSessionPool for multi-session artifacts")
 
         from jax import export as jax_export
         with np.load(d / "params.npz") as z:
@@ -258,6 +262,184 @@ class StreamingServingModel:
 
 def load_streaming_artifact(artifact_dir: str | Path) -> StreamingServingModel:
     return StreamingServingModel(artifact_dir)
+
+
+class _StreamSession:
+    __slots__ = ("buf", "buf_start", "e0", "total", "prev", "states",
+                 "pending", "finishing", "target_enc")
+
+    def __init__(self, states):
+        self.buf = np.zeros(0, np.float32)
+        self.buf_start = 0
+        self.e0 = 0
+        self.total = 0
+        self.prev = -1
+        self.states = states                     # pytree, leading dim 1
+        self.pending: list[int] = []             # ids emitted by pool ticks
+        self.finishing = False
+        self.target_enc = 0
+
+
+class StreamingSessionPool:
+    """Multi-session streaming transcription over a batch-B artifact.
+
+    One exported step f(params, wave [B, s_win], states) advances up to B
+    concurrent sessions per call: sessions map to batch rows only for the
+    duration of a tick; their state rows are gathered before and scattered
+    back after, so row independence (exact at N == 1 — every step op is
+    batch-parallel) makes pooled sessions bitwise equal to running each
+    alone. Unused rows carry zero audio + template states and are ignored.
+
+    open() -> sid; feed(sid, samples) -> newly final ids (for ANY progress
+    the tick made on that session); finish(sid) drains the tail and frees
+    the slot. Thread-safe (one lock around ticks).
+    """
+
+    def __init__(self, artifact_dir: str | Path):
+        import threading
+        d = Path(artifact_dir)
+        manifest = json.loads((d / "manifest.json").read_text())
+        if manifest.get("format_version") != FORMAT_VERSION:
+            raise ValueError(
+                f"artifact format {manifest.get('format_version')!r} != "
+                f"supported {FORMAT_VERSION} — re-export with this runtime")
+        if manifest.get("kind") != "streaming":
+            raise ValueError("not a streaming artifact")
+        self.manifest = manifest
+        s = manifest["streaming"]
+        self.B = int(s.get("batch", 1))
+        self.E = int(s["block_enc"])
+        self.hop, self.win = int(s["hop"]), int(s["win"])
+        self.S_win = int(s["s_win"])
+        self.blank_id = int(manifest["blank_id"])
+        from jax import export as jax_export
+        with np.load(d / "params.npz") as z:
+            self._params = params_to_tree({k: z[k] for k in z.files})
+        with np.load(d / "states.npz") as z:
+            self._template = params_to_tree({k: z[k] for k in z.files})
+        self._fn = jax_export.deserialize((d / s["file"]).read_bytes())
+        self._sessions: dict[int, _StreamSession] = {}
+        self._next_sid = 0
+        self._lock = threading.Lock()
+
+    # -- session lifecycle ----------------------------------------------------
+    def open(self) -> int:
+        with self._lock:
+            sid = self._next_sid
+            self._next_sid += 1
+            self._sessions[sid] = _StreamSession(_tree_copy(self._template))
+            return sid
+
+    def close(self, sid: int) -> None:
+        with self._lock:
+            self._sessions.pop(sid, None)
+
+    @property
+    def active(self) -> int:
+        with self._lock:
+            return len(self._sessions)
+
+    def feed(self, sid: int, samples) -> list[int]:
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        with self._lock:
+            ses = self._sessions[sid]
+            if ses.finishing:
+                raise ValueError(f"session {sid} is finished")
+            ses.buf = np.concatenate([ses.buf, samples])
+            ses.total += len(samples)
+            self._drain()
+            out, ses.pending = ses.pending, []
+            return out
+
+    def finish(self, sid: int) -> list[int]:
+        with self._lock:
+            ses = self._sessions[sid]
+            ses.finishing = True
+            mel = max(0, (ses.total - self.win) // self.hop + 1)
+            ses.target_enc = max(0, ((mel - 1) // 2 - 1) // 2)
+            self._drain()
+            out = ses.pending
+            del self._sessions[sid]
+            return out
+
+    # -- pooled ticking ---------------------------------------------------------
+    def _ready(self, ses: _StreamSession) -> int:
+        """Encoder frames this session can finalize in one tick (0 = not
+        ready). Same advance rule as StreamingServingModel."""
+        mel = max(0, (ses.total - self.win) // self.hop + 1)
+        if mel >= 4 * (ses.e0 + self.E) + 4:
+            return self.E
+        if ses.finishing and ses.target_enc - ses.e0 > 0:
+            return min(self.E, ses.target_enc - ses.e0)
+        return 0
+
+    def _drain(self) -> None:
+        while True:
+            ready = [(sid, n) for sid, ses in self._sessions.items()
+                     if (n := self._ready(ses)) > 0]
+            if not ready:
+                return
+            for i in range(0, len(ready), self.B):
+                self._tick(ready[i:i + self.B])
+
+    def _tick(self, group: list[tuple[int, int]]) -> None:
+        wave = np.zeros((self.B, self.S_win), np.float32)
+        rows = []
+        for slot, (sid, _n) in enumerate(group):
+            ses = self._sessions[sid]
+            s0 = 4 * ses.e0 * self.hop
+            seg = ses.buf[s0 - ses.buf_start:s0 - ses.buf_start + self.S_win]
+            wave[slot, :len(seg)] = seg
+            rows.append(ses.states)
+        while len(rows) < self.B:
+            rows.append(self._template)
+        states = _tree_concat(rows)
+        ids, new_states = self._fn.call(self._params, wave, states)
+        ids = np.asarray(ids)
+        for slot, (sid, n_valid) in enumerate(group):
+            ses = self._sessions[sid]
+            ses.states = _tree_row(new_states, slot)
+            ses.e0 += n_valid
+            keep = 4 * ses.e0 * self.hop
+            if keep > ses.buf_start:
+                ses.buf = ses.buf[keep - ses.buf_start:]
+                ses.buf_start = keep
+            for t in ids[slot, :n_valid]:
+                t = int(t)
+                if t != ses.prev and t != self.blank_id:
+                    ses.pending.append(t)
+                ses.prev = t
+
+
+def _tree_copy(tree):
+    if isinstance(tree, dict):
+        return {k: _tree_copy(v) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [_tree_copy(v) for v in tree]
+    return np.array(tree, copy=True)
+
+
+def _tree_concat(rows):
+    """Concatenate a list of one-row pytrees along the leading axis."""
+    first = rows[0]
+    if isinstance(first, dict):
+        return {k: _tree_concat([r[k] for r in rows]) for k in first}
+    if isinstance(first, list):
+        return [_tree_concat([r[i] for r in rows]) for i in range(len(first))]
+    return np.concatenate([np.asarray(r) for r in rows], axis=0)
+
+
+def _tree_row(tree, i: int):
+    """Slice row i of every leaf, keeping the leading dim (-> one-row tree)."""
+    if isinstance(tree, dict):
+        return {k: _tree_row(v, i) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [_tree_row(v, i) for v in tree]
+    return np.asarray(tree)[i:i + 1]
+
+
+def load_streaming_pool(artifact_dir: str | Path) -> StreamingSessionPool:
+    return StreamingSessionPool(artifact_dir)
 
 
 if __name__ == "__main__":  # smoke: python runtime.py <artifact_dir> <wav...>

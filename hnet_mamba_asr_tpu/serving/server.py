@@ -204,14 +204,88 @@ def _collapse_rows(frame_ids, enc_lengths, blank_id) -> list[list[int]]:
     return out
 
 
+def make_streaming_server(artifact_dir: str | Path, host: str = "127.0.0.1",
+                          port: int = 0):
+    """HTTP front for a multi-session streaming artifact (kind=streaming).
+
+    POST /v1/stream/open            -> {"sid": n}
+    POST /v1/stream/<sid>           body = audio chunk -> {"ids", "text"}
+    POST /v1/stream/<sid>/finish    -> tail {"ids", "text"}; frees the slot
+    GET  /v1/health                 -> kind/batch/active sessions
+
+    Up to manifest ``streaming.batch`` concurrent sessions advance in ONE
+    program call per tick (runtime.StreamingSessionPool).
+    """
+    try:
+        from hnet_mamba_asr_tpu.serving.runtime import StreamingSessionPool
+    except ImportError:
+        from runtime import StreamingSessionPool  # type: ignore
+    pool = StreamingSessionPool(artifact_dir)
+    tok = pool.manifest.get("tokenizer")
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/v1/health":
+                self._json(200, {"status": "ok", "kind": "streaming",
+                                 "batch": pool.B, "active": pool.active})
+            else:
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            parts = self.path.strip("/").split("/")
+            try:
+                if parts == ["v1", "stream", "open"]:
+                    self._json(200, {"sid": pool.open()})
+                    return
+                if len(parts) >= 3 and parts[:2] == ["v1", "stream"]:
+                    sid = int(parts[2])
+                    if len(parts) == 4 and parts[3] == "finish":
+                        ids = pool.finish(sid)
+                    else:
+                        n = int(self.headers.get("Content-Length", 0))
+                        wave = decode_audio(
+                            self.rfile.read(n),
+                            self.headers.get("Content-Type", ""))
+                        ids = pool.feed(sid, wave)
+                    res = {"ids": ids}
+                    if tok is not None:
+                        res["text"] = detokenize(tok, ids)
+                    self._json(200, res)
+                    return
+                self._json(404, {"error": f"unknown path {self.path}"})
+            except (ValueError, KeyError) as e:
+                self._json(400, {"error": f"{type(e).__name__}: {e}"})
+            except Exception as e:  # noqa: BLE001
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    httpd.pool = pool
+    return httpd, pool
+
+
 def make_server(artifact_dir: str | Path, host: str = "127.0.0.1",
                 port: int = 0, max_wait_ms: float = 20.0,
                 max_batch: int | None = None):
     """Build (ThreadingHTTPServer, MicroBatcher); caller runs serve_forever.
 
     port=0 binds an ephemeral port (tests); the bound port is
-    ``server.server_address[1]``.
+    ``server.server_address[1]``. Streaming artifacts (kind=streaming)
+    route to ``make_streaming_server`` automatically.
     """
+    manifest = json.loads((Path(artifact_dir) / "manifest.json").read_text())
+    if manifest.get("kind") == "streaming":
+        return make_streaming_server(artifact_dir, host, port)
     model = load_serving_artifact(artifact_dir)
     batcher = MicroBatcher(model, max_batch=max_batch,
                            max_wait_ms=max_wait_ms)
@@ -268,15 +342,20 @@ def main(argv=None):
     ap.add_argument("--max-wait-ms", type=float, default=20.0)
     ap.add_argument("--max-batch", type=int, default=None)
     args = ap.parse_args(argv)
-    httpd, batcher = make_server(args.artifact_dir, args.host, args.port,
-                                 args.max_wait_ms, args.max_batch)
-    print(f"serving {args.artifact_dir} on {httpd.server_address} "
-          f"(buckets {batcher.model.buckets}, emit {batcher.model.emit})",
-          flush=True)
+    httpd, ctl = make_server(args.artifact_dir, args.host, args.port,
+                             args.max_wait_ms, args.max_batch)
+    if isinstance(ctl, MicroBatcher):
+        print(f"serving {args.artifact_dir} on {httpd.server_address} "
+              f"(buckets {ctl.model.buckets}, emit {ctl.model.emit})",
+              flush=True)
+    else:
+        print(f"serving STREAMING {args.artifact_dir} on "
+              f"{httpd.server_address} (pool batch {ctl.B})", flush=True)
     try:
         httpd.serve_forever()
     finally:
-        batcher.close()
+        if isinstance(ctl, MicroBatcher):
+            ctl.close()
 
 
 if __name__ == "__main__":

@@ -39,6 +39,9 @@ def parse_args(argv=None):
                          "(one step program + carried states; requires "
                          "bidirectional: false); value = encoder frames per "
                          "block (16 -> 640 ms blocks)")
+    ap.add_argument("--stream-batch", type=int, default=1,
+                    help="with --streaming: export the step at batch B for "
+                         "multi-session pooled serving (N=1 configs)")
     ap.add_argument("--platforms", nargs="+", default=None,
                     help="lower for these platforms (e.g. cpu tpu); "
                          "default: the current backend")
@@ -79,14 +82,15 @@ def run(args) -> None:
         from hnet_mamba_asr_tpu.serving.export import save_streaming_artifact
         d = save_streaming_artifact(
             out, model, params, block_enc=args.streaming,
+            batch=args.stream_batch,
             quantize=args.quantize,
             platforms=tuple(args.platforms) if args.platforms else None,
             extra_meta={"config": str(args.config),
                         "checkpoint": str(args.checkpoint), **meta},
             tokenizer=tokenizer)
-        logger.info("exported STREAMING %s block_enc=%d quantize=%s -> %s",
-                    Path(args.checkpoint).name, args.streaming,
-                    args.quantize, d)
+        logger.info("exported STREAMING %s block_enc=%d batch=%d "
+                    "quantize=%s -> %s", Path(args.checkpoint).name,
+                    args.streaming, args.stream_batch, args.quantize, d)
     else:
         d = save_serving_artifact(
             out, model, params, buckets=buckets, emit=tuple(args.emit),

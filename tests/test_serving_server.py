@@ -171,6 +171,133 @@ def test_http_bad_requests(artifact):
         batcher.close()
 
 
+# ── multi-session streaming pool ─────────────────────────────────────────────
+
+@pytest.fixture(scope="module")
+def pool_artifact(tmp_path_factory):
+    from __graft_entry__ import _small_config
+    from hnet_mamba_asr_tpu.data.tokenizer import Tokenizer
+    from hnet_mamba_asr_tpu.serving import save_streaming_artifact
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    td = tmp_path_factory.mktemp("pool")
+    tok = Tokenizer.train(["streaming pools serve many"], td / "tok",
+                          vocab_size=30, hard_vocab_limit=False)
+    cfg = _small_config(tiny=True)
+    cfg["encoder_conf"] = dict(cfg["encoder_conf"], bidirectional=False)
+    cfg["model_conf"] = {"ctc_weight": 1.0, "aed_weight": 0.0}
+    cfg["train"] = {"precision": "fp32"}
+    model = build_model(cfg, tok.vocab_size)
+    params = model.init_params(jax.random.PRNGKey(0))
+    art = td / "stream3"
+    save_streaming_artifact(art, model, params, block_enc=8, batch=3,
+                            tokenizer=tok)
+    return model, params, art, tok
+
+
+def _offline_greedy(model, params, wave):
+    return model.greedy_decode(
+        params, {"wave": wave[None],
+                 "wave_lens": np.array([len(wave)], np.int32)})[0]
+
+
+def test_pool_single_session_matches_offline(pool_artifact):
+    from hnet_mamba_asr_tpu.serving.runtime import StreamingSessionPool
+    model, params, art, tok = pool_artifact
+    pool = StreamingSessionPool(art)
+    assert pool.B == 3
+    wave = _wave(12000, seed=7)
+    sid = pool.open()
+    toks, i = [], 0
+    for sz in (700, 2500, 4000, 1800):
+        toks += pool.feed(sid, wave[i:i + sz]); i += sz
+    toks += pool.feed(sid, wave[i:])
+    toks += pool.finish(sid)
+    assert toks == _offline_greedy(model, params, wave)
+    assert pool.active == 0
+
+
+def test_pool_concurrent_sessions_are_independent(pool_artifact):
+    """Interleaved sessions (different lengths and block schedules) each
+    produce exactly their solo offline transcript — pooled rows never
+    interact."""
+    from hnet_mamba_asr_tpu.serving.runtime import StreamingSessionPool
+    model, params, art, tok = pool_artifact
+    pool = StreamingSessionPool(art)
+    waves = [_wave(9000 + 1700 * k, seed=10 + k) for k in range(4)]  # > B
+    sids = [pool.open() for _ in waves]
+    got = {s: [] for s in sids}
+    # ragged interleaving: session k feeds chunks of distinct sizes
+    pos = [0] * len(waves)
+    sizes = [900, 1400, 2100, 650]
+    while any(pos[k] < len(waves[k]) for k in range(len(waves))):
+        for k, sid in enumerate(sids):
+            if pos[k] < len(waves[k]):
+                nxt = waves[k][pos[k]:pos[k] + sizes[k]]
+                pos[k] += sizes[k]
+                got[sid] += pool.feed(sid, nxt)
+    for k, sid in enumerate(sids):
+        got[sid] += pool.finish(sid)
+        assert got[sid] == _offline_greedy(model, params, waves[k]), k
+
+
+def test_pool_guards(pool_artifact):
+    from hnet_mamba_asr_tpu.serving.runtime import (StreamingServingModel,
+                                                    StreamingSessionPool)
+    model, params, art, tok = pool_artifact
+    with pytest.raises(ValueError, match="StreamingSessionPool"):
+        StreamingServingModel(art)               # single-session loader
+    pool = StreamingSessionPool(art)
+    sid = pool.open()
+    pool.finish(sid)
+    with pytest.raises(KeyError):
+        pool.feed(sid, np.zeros(100, np.float32))
+
+
+def test_batched_export_rejects_chunked_configs(tmp_path):
+    from __graft_entry__ import _small_config
+    from hnet_mamba_asr_tpu.serving import save_streaming_artifact
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+    cfg = _small_config(tiny=True)
+    cfg["encoder_conf"] = dict(cfg["encoder_conf"], bidirectional=False,
+                               hnet={"compression_N": 4})
+    cfg["model_conf"] = {"ctc_weight": 1.0, "aed_weight": 0.0}
+    model = build_model(cfg, 30)
+    params = model.init_params(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="batched streaming export"):
+        save_streaming_artifact(tmp_path / "x", model, params,
+                                block_enc=8, batch=2)
+
+
+def test_streaming_http_server(pool_artifact):
+    from hnet_mamba_asr_tpu.serving.server import make_server
+    model, params, art, tok = pool_artifact
+    httpd, pool = make_server(art, port=0)
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        host, port = httpd.server_address[:2]
+        base = f"http://{host}:{port}"
+        with urllib.request.urlopen(base + "/v1/health", timeout=30) as r:
+            h = json.loads(r.read())
+        assert h["kind"] == "streaming" and h["batch"] == 3
+        sid = _post(base + "/v1/stream/open", b"",
+                    "application/octet-stream")["sid"]
+        wave = _wave(11000, seed=21)
+        ids = []
+        for i in range(0, len(wave), 3000):
+            res = _post(base + f"/v1/stream/{sid}",
+                        wave[i:i + 3000].tobytes(),
+                        "application/octet-stream")
+            ids += res["ids"]
+        fin = _post(base + f"/v1/stream/{sid}/finish", b"",
+                    "application/octet-stream")
+        ids += fin["ids"]
+        assert ids == _offline_greedy(model, params, wave)
+    finally:
+        httpd.shutdown()
+
+
 def test_server_file_is_standalone(artifact, tmp_path):
     """server.py + runtime.py copied next to the artifact serve without the
     repo on sys.path (the deployment story, same bar as runtime.py)."""
