@@ -38,9 +38,10 @@ def main():
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     secs = float(sys.argv[2]) if len(sys.argv) > 2 else 20.0
     block_enc = int(sys.argv[3]) if len(sys.argv) > 3 else 16
+    tiny = len(sys.argv) > 4 and sys.argv[4] == "tiny"   # CPU smoke mode
     sr = 16000
 
-    cfg = _small_config()                       # production dims
+    cfg = _small_config(tiny=tiny)              # production dims (or smoke)
     cfg["encoder_conf"] = dict(cfg["encoder_conf"], bidirectional=False)
     cfg["model_conf"] = {"ctc_weight": 1.0, "aed_weight": 0.0}
     model = build_model(cfg, 500)
