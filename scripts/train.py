@@ -63,18 +63,27 @@ def run(args) -> None:
     from hnet_mamba_asr_tpu.parallel.mesh import make_mesh
     flat = flatten_config(cfg)
     sp = int(flat.get("sp", 1))
+    pp = int(flat.get("pp", 1))
+    planes = sum(int(flat.get(k, 1)) > 1 for k in ("tp", "sp", "pp"))
+    if planes > 1:
+        raise ValueError("train.tp / train.sp / train.pp are mutually "
+                         "exclusive (pick one model-parallel plane; dp "
+                         "fills the rest of the mesh)")
+    if (sp > 1 or pp > 1) and int(flat.get("scan_steps", 1)) > 1:
+        raise ValueError("train.sp/pp with train.scan_steps is not "
+                         "supported (shard_map inside the fused scan is "
+                         "untested); use accum_grad instead")
     if sp > 1:
         # long-form sequence parallelism: (dp, sp) mesh + the SPModel adapter
         # (parallel/seq_parallel.py) — the Trainer itself is untouched
-        if int(flat.get("tp", 1)) > 1:
-            raise ValueError("train.sp and train.tp are mutually exclusive")
-        if int(flat.get("scan_steps", 1)) > 1:
-            raise ValueError("train.sp with train.scan_steps is not "
-                             "supported (shard_map inside the fused scan is "
-                             "untested); use accum_grad instead")
         from hnet_mamba_asr_tpu.parallel.seq_parallel import SPModel
         mesh = make_mesh(tp=sp, tp_axis="sp")
         model = SPModel(model, mesh)
+    elif pp > 1:
+        # layer-pipelined main stack: (dp, pp) mesh + the PPModel adapter
+        from hnet_mamba_asr_tpu.parallel.pipeline import PPModel
+        mesh = make_mesh(tp=pp, tp_axis="pp")
+        model = PPModel(model, mesh)
     else:
         mesh = make_mesh(tp=int(flat.get("tp", 1)))
     is_main = jax.process_index() == 0
