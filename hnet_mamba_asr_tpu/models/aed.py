@@ -120,6 +120,9 @@ class DecoderLayerQKNorm(nn.Module):
     d_ff: int
     dropout: float
     dtype: Any = jnp.float32
+    moe_experts: int = 0            # > 0: routed MoE FFN (models/moe.py)
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     def setup(self):
         kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
@@ -130,17 +133,27 @@ class DecoderLayerQKNorm(nn.Module):
         self.norm1 = nn.LayerNorm(**kw)
         self.norm2 = nn.LayerNorm(**kw)
         self.norm3 = nn.LayerNorm(**kw)
-        self.linear1 = nn.Dense(self.d_ff, **kw)
-        self.linear2 = nn.Dense(self.d_model, **kw)
+        if self.moe_experts > 0:
+            from hnet_mamba_asr_tpu.models.moe import MoEFFN
+            self.moe = MoEFFN(self.d_model, self.d_ff, self.moe_experts,
+                              top_k=self.moe_top_k,
+                              capacity_factor=self.moe_capacity_factor,
+                              dtype=self.dtype)
+        else:
+            self.linear1 = nn.Dense(self.d_ff, **kw)
+            self.linear2 = nn.Dense(self.d_model, **kw)
         self.drop = nn.Dropout(self.dropout)
 
-    def _ffn(self, x, deterministic):
+    def _ffn(self, x, deterministic, token_mask=None):
         h = self.norm3(x)
+        if self.moe_experts > 0:
+            return x + self.drop(self.moe(h, token_mask=token_mask),
+                                 deterministic=deterministic)
         ff = self.drop(nn.gelu(self.linear1(h)), deterministic=deterministic)
         return x + self.drop(self.linear2(ff), deterministic=deterministic)
 
     def __call__(self, x, memory, tgt_mask, memory_key_padding_mask,
-                 deterministic: bool = True):
+                 deterministic: bool = True, token_mask=None):
         h = self.norm1(x)
         x = x + self.drop(self.self_attn(h, h, h, attn_mask=tgt_mask,
                                          deterministic=deterministic),
@@ -150,7 +163,7 @@ class DecoderLayerQKNorm(nn.Module):
                                           key_padding_mask=memory_key_padding_mask,
                                           deterministic=deterministic),
                           deterministic=deterministic)
-        return self._ffn(x, deterministic)
+        return self._ffn(x, deterministic, token_mask=token_mask)
 
     # ---- KV-cached incremental decode (beyond the reference, which re-runs
     # the full decoder per emitted token: reference joint.py:136-141) --------
@@ -203,6 +216,9 @@ class AEDHead(nn.Module):
     max_decode_len: int = 512     # > longest LibriSpeech ref (230 tokens @ bpe-500)
     max_pe_len: int = 5000
     dtype: Any = jnp.float32
+    moe_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
 
     def setup(self):
         self.embed = nn.Embed(self.vocab_size, self.d_model,
@@ -210,7 +226,10 @@ class AEDHead(nn.Module):
         self.pe = jnp.asarray(sinusoidal_pe(self.max_pe_len, self.d_model))
         self.layers = [DecoderLayerQKNorm(self.d_model, self.n_heads, self.d_ff,
                                           self.dropout, dtype=self.dtype,
-                                          name=f"layer_{i}")
+                                          name=f"layer_{i}",
+                                          moe_experts=self.moe_experts,
+                                          moe_top_k=self.moe_top_k,
+                                          moe_capacity_factor=self.moe_capacity_factor)
                        for i in range(self.n_layers)]
         self.final_norm = nn.LayerNorm(dtype=self.dtype, param_dtype=jnp.float32)
         self.out = nn.Dense(self.vocab_size, dtype=self.dtype,
@@ -236,7 +255,8 @@ class AEDHead(nn.Module):
 
     # ---- forward ---------------------------------------------------------------
     def __call__(self, memory: jax.Array, memory_lengths: jax.Array,
-                 ys_in: jax.Array, deterministic: bool = True) -> jax.Array:
+                 ys_in: jax.Array, deterministic: bool = True,
+                 token_mask: jax.Array | None = None) -> jax.Array:
         """memory [B, S, d_mem], ys_in [B, T] -> logits [B, T, V]."""
         mem = self.mem_proj(memory) if self.mem_proj is not None \
             else memory.astype(self.dtype)
@@ -245,8 +265,11 @@ class AEDHead(nn.Module):
         x = (emb + self.pe[None, :ys_in.shape[1]]).astype(self.dtype)
         tmask = causal_mask(ys_in.shape[1])
         kpm = pad_mask(memory_lengths, mem.shape[1])
+        if token_mask is None and self.moe_experts > 0:
+            token_mask = ys_in != self.pad_id       # routing skips pad slots
         for layer in self.layers:
-            x = layer(x, mem, tmask, kpm, deterministic=deterministic)
+            x = layer(x, mem, tmask, kpm, deterministic=deterministic,
+                      token_mask=token_mask)
         return self.out(self.final_norm(x))
 
     # ---- loss -------------------------------------------------------------------

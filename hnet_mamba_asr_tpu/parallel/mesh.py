@@ -116,12 +116,38 @@ def tp_specs(params, tp_axis: str = "tp"):
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
-def place_params(params, mesh: Mesh, tp_axis: str = "tp"):
+# ── expert-parallel parameter rules ──────────────────────────────────────────
+# MoE FFNs (models/moe.py) stack per-expert weights on a leading E axis:
+# {w1 [E,D,F], b1 [E,F], w2 [E,F,D], b2 [E,D]} under a module named "moe".
+# Sharding that axis over 'ep' makes each expert's matmuls fully local to its
+# shard; GSPMD inserts the dispatch/combine all-to-alls around them. The
+# router (and everything non-MoE) stays replicated.
+_EP_LEAVES = ("w1", "b1", "w2", "b2")
+
+
+def ep_specs(params, ep_axis: str = "ep"):
+    """PartitionSpec pytree for expert-parallel parameter placement."""
+    def spec(path, leaf):
+        keys = tuple(getattr(k, "key", getattr(k, "name", str(k)))
+                     for k in path)
+        if keys[-1] in _EP_LEAVES and ("moe" in keys or len(keys) == 1):
+            # "moe" module in a model tree, or a bare MoEFFN param dict
+            return P(ep_axis, *([None] * (getattr(leaf, "ndim", 1) - 1)))
+        return P()
+
+    return jax.tree_util.tree_map_with_path(spec, params)
+
+
+def place_params(params, mesh: Mesh, tp_axis: str = "tp",
+                 ep_axis: str = "ep"):
     """Replicate params on a 1-axis mesh; tensor-shard the big projections on
-    a (dp, tp) mesh."""
-    if tp_axis not in mesh.axis_names:
+    a (dp, tp) mesh; expert-shard stacked MoE weights on a (dp, ep) mesh."""
+    if tp_axis in mesh.axis_names:
+        specs = tp_specs(params, tp_axis)
+    elif ep_axis in mesh.axis_names:
+        specs = ep_specs(params, ep_axis)
+    else:
         return jax.device_put(params, replicate(mesh))
-    specs = tp_specs(params, tp_axis)
     return jax.tree_util.tree_map(
         lambda leaf, sp: jax.device_put(leaf, NamedSharding(mesh, sp)),
         params, specs)

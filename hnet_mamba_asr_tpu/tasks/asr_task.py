@@ -96,7 +96,11 @@ def build_aed_head(config, vocab_size: int, dtype=jnp.float32) -> AEDHead:
                    d_ff=int(ac.get("d_ff", 2048)),
                    dropout=float(ac.get("dropout", 0.1)),
                    lsm_weight=float(mc.get("lsm_weight", 0.1)),
-                   max_decode_len=int(ac.get("max_decode_len", 512)), dtype=dtype)
+                   max_decode_len=int(ac.get("max_decode_len", 512)), dtype=dtype,
+                   moe_experts=int((ac.get("moe", {}) or {}).get("n_experts", 0)),
+                   moe_top_k=int((ac.get("moe", {}) or {}).get("top_k", 2)),
+                   moe_capacity_factor=float(
+                       (ac.get("moe", {}) or {}).get("capacity_factor", 1.25)))
 
 
 class DCASRModel:
@@ -106,9 +110,11 @@ class DCASRModel:
                  aed_head: AEDHead | None, weights: HybridLossWeights, *,
                  n_mels: int = 80, win_length: int = 400, hop_length: int = 160,
                  sample_rate: int = 16000, cmvn: GlobalCMVN | None = None,
-                 specaug_conf: dict | None = None, init_frames: int = 64):
+                 specaug_conf: dict | None = None, init_frames: int = 64,
+                 moe_aux_weight: float = 0.01):
         if ctc_head is None and aed_head is None:
             raise ValueError("DCASRModel needs at least one of ctc_head / aed_head")
+        self.moe_aux_weight = moe_aux_weight
         self.encoder = encoder
         self.ctc = ctc_head
         self.aed = aed_head
@@ -179,11 +185,24 @@ class DCASRModel:
                                                            batch["token_lens"])
             rngs = {"dropout": jax.random.fold_in(jax.random.PRNGKey(17), step)} \
                 if train else None
-            logits = self.aed.apply({"params": params["aed"]}, enc.features,
-                                    enc.lengths, ys_in,
-                                    deterministic=not train, rngs=rngs)
+            moe = self.aed.moe_experts > 0
+            tok_mask = ((jnp.arange(ys_in.shape[1])[None, :]
+                         <= batch["token_lens"][:, None])
+                        & row_mask[:, None]) if moe else None
+            out_ = self.aed.apply({"params": params["aed"]}, enc.features,
+                                  enc.lengths, ys_in,
+                                  deterministic=not train, rngs=rngs,
+                                  token_mask=tok_mask,
+                                  mutable=["moe"] if moe else False)
+            logits, moe_vars = out_ if moe else (out_, {})
             aed = label_smoothing_loss(logits, ys_out, out_lens,
                                        self.aed.lsm_weight, row_mask=row_mask)
+            if moe:
+                from hnet_mamba_asr_tpu.models.moe import moe_aux_from_vars
+                aux, moe_stats = moe_aux_from_vars(moe_vars,
+                                                   self.moe_aux_weight)
+                aed = aed + aux
+                stats.update(moe_stats)
         out = combine_losses(self.weights, ctc_loss=ctc, aed_loss=aed,
                              ratio_loss=enc.ratio_loss)
         stats.update({k: jax.lax.stop_gradient(v) for k, v in out.items()})
@@ -225,7 +244,10 @@ def build_model(config, vocab_size: int, cmvn: GlobalCMVN | None = None) -> DCAS
                        win_length=int(fc.get("win_length", 400)),
                        hop_length=int(fc.get("hop_length", 160)),
                        sample_rate=int(fc.get("sample_rate", 16000)),
-                       cmvn=cmvn, specaug_conf=specaug)
+                       cmvn=cmvn, specaug_conf=specaug,
+                       moe_aux_weight=float(
+                           ((config.get("aed_conf", {}) or {}).get("moe", {})
+                            or {}).get("aux_weight", 0.01)))
     logger.info("build_model: encoder=%s ctc=%s aed=%s vocab=%d",
                 config.get("encoder", "dcasr"), ctc_head is not None,
                 aed_head is not None, vocab_size)

@@ -22,11 +22,16 @@ logger = get_logger(__name__)
 
 
 class LMModel:
-    """Trainer-contract wrapper around TransformerLM."""
+    """Trainer-contract wrapper around TransformerLM.
 
-    def __init__(self, lm: TransformerLM, max_tokens: int = 512):
+    ``moe_aux_weight`` (> 0 iff lm_conf.moe is configured) folds the Switch
+    load-balance loss sown by the MoE FFNs into the training objective."""
+
+    def __init__(self, lm: TransformerLM, max_tokens: int = 512,
+                 moe_aux_weight: float = 0.0):
         self.lm = lm
         self.max_tokens = max_tokens
+        self.moe_aux_weight = moe_aux_weight
 
     def init_params(self, key) -> dict:
         tokens = jnp.zeros((1, 8), jnp.int32)
@@ -38,28 +43,43 @@ class LMModel:
         tokens = batch["tokens"]
         lens = batch["token_lens"]
         row_mask = batch["row_mask"]
-        loss, acc = self.lm.apply({"params": params["lm"]}, tokens, lens, True,
-                                  deterministic=not train, rngs=rngs,
-                                  row_mask=row_mask, method="loss")
+        moe = self.lm.moe_experts > 0
+        out = self.lm.apply({"params": params["lm"]}, tokens, lens, True,
+                            deterministic=not train, rngs=rngs,
+                            row_mask=row_mask, method="loss",
+                            mutable=["moe"] if moe else False)
+        (loss, acc), mvars = out if moe else (out, {})
         scored = ((lens + 1) * row_mask).sum()
         stats = {"loss/total": jax.lax.stop_gradient(loss),
                  "lm/token_acc": jax.lax.stop_gradient(acc),
                  "batch_weight": scored}
+        if moe:
+            from hnet_mamba_asr_tpu.models.moe import moe_aux_from_vars
+            aux, moe_stats = moe_aux_from_vars(mvars, self.moe_aux_weight)
+            loss = loss + aux
+            stats.update(moe_stats)
+            stats["loss/total"] = jax.lax.stop_gradient(loss)
         return loss, stats
 
 
 def build_lm(config: Mapping[str, Any], vocab_size: int,
              max_tokens: int | None = None) -> LMModel:
     lc = (config or {}).get("lm_conf", {}) or {}
+    mc = lc.get("moe", {}) or {}
     lm = TransformerLM(vocab_size=int(vocab_size),
                        d_model=int(lc.get("d_model", 512)),
                        n_layers=int(lc.get("n_layers", 8)),
                        n_heads=int(lc.get("n_heads", 8)),
                        d_ff=int(lc.get("d_ff", 2048)),
                        dropout=float(lc.get("dropout", 0.1)),
-                       lsm_weight=float(lc.get("lsm_weight", 0.0)))
+                       lsm_weight=float(lc.get("lsm_weight", 0.0)),
+                       moe_experts=int(mc.get("n_experts", 0)),
+                       moe_top_k=int(mc.get("top_k", 2)),
+                       moe_capacity_factor=float(
+                           mc.get("capacity_factor", 1.25)))
     return LMModel(lm, max_tokens=int(max_tokens
-                                      or lc.get("max_line_tokens", 512)))
+                                      or lc.get("max_line_tokens", 512)),
+                   moe_aux_weight=float(mc.get("aux_weight", 0.01)))
 
 
 def build_lm_dataloaders(cfg, repo_root, tokenizer, *, n_devices: int | None = None,

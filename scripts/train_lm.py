@@ -52,13 +52,24 @@ def run(args) -> None:
     train_loader, _, dev_loaders = build_lm_dataloaders(cfg, REPO_ROOT, tokenizer,
                                                         seed=seed)
     model = build_lm(cfg, tokenizer.vocab_size)
+    flat = flatten_config(cfg)
+    # expert parallelism for MoE LMs (lm_conf.moe): (dp, ep) mesh — stacked
+    # expert weights shard P('ep', ...) via place_params/ep_specs
+    ep = int(flat.get("ep", 1))
+    mesh = None
+    if ep > 1:
+        from hnet_mamba_asr_tpu.parallel.mesh import make_mesh
+        if model.lm.moe_experts <= 0:
+            raise ValueError("train.ep > 1 needs an MoE LM (lm_conf.moe)")
+        mesh = make_mesh(tp=ep, tp_axis="ep")
     metrics = MetricsLogger(exp_dir, resume=args.resume is not None,
                             is_main=jax.process_index() == 0)
     prov = collect_provenance(cfg, repo_root=REPO_ROOT,
                               n_devices=jax.device_count(), seed=seed)
-    trainer = Trainer(model, train_loader, flatten_config(cfg),
+    trainer = Trainer(model, train_loader, flat,
                       dev_loaders=dev_loaders, tokenizer=None, metrics=metrics,
-                      ckpt_dir=exp_dir / "checkpoints", seed=seed, provenance=prov)
+                      ckpt_dir=exp_dir / "checkpoints", seed=seed, mesh=mesh,
+                      provenance=prov)
     logger.info("training LM %s -> %s", name, exp_dir)
     trainer.train(resume=args.resume)
     metrics.close()
