@@ -62,18 +62,29 @@ def maybe_init_distributed() -> bool:
 
 
 def make_mesh(n_devices: int | None = None, dp_axis: str = "dp",
-              tp: int = 1, tp_axis: str = "tp") -> Mesh:
+              tp: int = 1, tp_axis: str = "tp",
+              ep: int = 1, ep_axis: str = "ep") -> Mesh:
     """Device mesh: 1-axis data-parallel by default; ``tp > 1`` builds a
-    2-axis (dp, tp) mesh for tensor-sharded parameters (see tp_specs)."""
+    2-axis (dp, tp) mesh for tensor-sharded parameters (see tp_specs);
+    ``tp > 1 and ep > 1`` composes both model-parallel planes into a 3-axis
+    (dp, tp, ep) mesh — the parameter sets the two planes shard are disjoint
+    (projections vs stacked MoE experts), so both spec trees apply at once
+    (see place_params)."""
     devs = jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
-    if tp <= 1:
+    model = tp * ep
+    if model <= 1:
         return Mesh(np.asarray(devs), (dp_axis,))
-    if len(devs) % tp:
-        raise ValueError(f"{len(devs)} devices not divisible by tp={tp}")
-    grid = np.asarray(devs).reshape(len(devs) // tp, tp)
-    return Mesh(grid, (dp_axis, tp_axis))
+    if len(devs) % model:
+        raise ValueError(f"{len(devs)} devices not divisible by "
+                         f"tp*ep={tp}*{ep}")
+    if tp > 1 and ep > 1:
+        grid = np.asarray(devs).reshape(len(devs) // model, tp, ep)
+        return Mesh(grid, (dp_axis, tp_axis, ep_axis))
+    axis, size = (tp_axis, tp) if tp > 1 else (ep_axis, ep)
+    grid = np.asarray(devs).reshape(len(devs) // size, size)
+    return Mesh(grid, (dp_axis, axis))
 
 
 def batch_sharding(mesh: Mesh, dp_axis: str = "dp") -> NamedSharding:
@@ -141,13 +152,25 @@ def ep_specs(params, ep_axis: str = "ep"):
 def place_params(params, mesh: Mesh, tp_axis: str = "tp",
                  ep_axis: str = "ep"):
     """Replicate params on a 1-axis mesh; tensor-shard the big projections on
-    a (dp, tp) mesh; expert-shard stacked MoE weights on a (dp, ep) mesh."""
-    if tp_axis in mesh.axis_names:
-        specs = tp_specs(params, tp_axis)
-    elif ep_axis in mesh.axis_names:
-        specs = ep_specs(params, ep_axis)
-    else:
+    a (dp, tp) mesh; expert-shard stacked MoE weights on a (dp, ep) mesh. On
+    a 3-axis (dp, tp, ep) mesh both rule sets apply — they target disjoint
+    parameters (2-D projections vs [E, ...] expert stacks), asserted here."""
+    has_tp = tp_axis in mesh.axis_names
+    has_ep = ep_axis in mesh.axis_names
+    if not (has_tp or has_ep):
         return jax.device_put(params, replicate(mesh))
+    if has_tp and has_ep:
+        t = tp_specs(params, tp_axis)
+        e = ep_specs(params, ep_axis)
+
+        def merge(ts, es):
+            assert ts == P() or es == P(), (ts, es)
+            return ts if ts != P() else es
+
+        specs = jax.tree_util.tree_map(merge, t, e)
+    else:
+        specs = tp_specs(params, tp_axis) if has_tp \
+            else ep_specs(params, ep_axis)
     return jax.tree_util.tree_map(
         lambda leaf, sp: jax.device_put(leaf, NamedSharding(mesh, sp)),
         params, specs)

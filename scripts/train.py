@@ -65,11 +65,13 @@ def run(args) -> None:
     sp = int(flat.get("sp", 1))
     pp = int(flat.get("pp", 1))
     ep = int(flat.get("ep", 1))
-    planes = sum(int(flat.get(k, 1)) > 1 for k in ("tp", "sp", "pp", "ep"))
-    if planes > 1:
-        raise ValueError("train.tp / train.sp / train.pp / train.ep are "
-                         "mutually exclusive (pick one model-parallel "
-                         "plane; dp fills the rest of the mesh)")
+    tp = int(flat.get("tp", 1))
+    planes = sum(p > 1 for p in (tp, sp, pp, ep))
+    if planes > 1 and not (planes == 2 and tp > 1 and ep > 1):
+        raise ValueError("train.sp / train.pp are mutually exclusive with "
+                         "every other model-parallel plane; train.tp and "
+                         "train.ep may compose into a (dp, tp, ep) mesh "
+                         "(their sharded parameter sets are disjoint)")
     if (sp > 1 or pp > 1) and int(flat.get("scan_steps", 1)) > 1:
         raise ValueError("train.sp/pp with train.scan_steps is not "
                          "supported (shard_map inside the fused scan is "
@@ -85,13 +87,12 @@ def run(args) -> None:
         from hnet_mamba_asr_tpu.parallel.pipeline import PPModel
         mesh = make_mesh(tp=pp, tp_axis="pp")
         model = PPModel(model, mesh)
-    elif ep > 1:
-        # expert parallelism: (dp, ep) mesh — place_params shards the stacked
-        # MoE expert weights P('ep', ...) (parallel/mesh.ep_specs); dispatch/
-        # combine all-to-alls are inserted by GSPMD. No model adapter needed.
-        mesh = make_mesh(tp=ep, tp_axis="ep")
     else:
-        mesh = make_mesh(tp=int(flat.get("tp", 1)))
+        # tensor and/or expert parallelism: place_params shards projections
+        # P(None, 'tp') and stacked MoE expert weights P('ep', ...); the
+        # collectives (psum / all-to-all) are inserted by GSPMD. No model
+        # adapter needed; the two planes compose on a (dp, tp, ep) mesh.
+        mesh = make_mesh(tp=tp, ep=ep)
     is_main = jax.process_index() == 0
     metrics = MetricsLogger(exp_dir, resume=args.resume is not None,
                             is_main=is_main)

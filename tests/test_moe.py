@@ -213,6 +213,75 @@ def test_ep_sharded_matches_replicated(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+def test_composed_tp_ep_mesh_matches_dp(rng, tmp_path):
+    """(dp=2, tp=2, ep=2) 3-axis mesh: tensor-sharded projections AND
+    expert-sharded MoE weights in ONE trained step, parameter-identical to
+    the plain dp mesh."""
+    from hnet_mamba_asr_tpu.parallel.mesh import make_mesh, place_params
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+    from hnet_mamba_asr_tpu.training.trainer import Trainer
+    from jax.sharding import PartitionSpec as P
+
+    cfg_model = {
+        "encoder": "dcasr", "head": "ctc",
+        "frontend_conf": {"n_mels": 20},
+        "encoder_conf": {"d_outer": 16, "d_main": 32, "n_enc": 1, "n_main": 1,
+                         "n_dec": 1, "arch_type": "A", "d_state": 8,
+                         "headdim": 8, "ssd_chunk_size": 16,
+                         "hnet": {"compression_N": 1}},
+        "aed_conf": {"n_layers": 1, "n_heads": 2, "d_ff": 32, "dropout": 0.0,
+                     "moe": {"n_experts": 4, "top_k": 2,
+                             "capacity_factor": 2.0, "aux_weight": 0.01}},
+        "model_conf": {"ctc_weight": 0.5, "aed_weight": 0.5,
+                       "lsm_weight": 0.1},
+    }
+    model = build_model(cfg_model, 12)
+    mesh3 = make_mesh(8, tp=2, ep=2)
+    assert mesh3.axis_names == ("dp", "tp", "ep")
+    placed = place_params(model.init_params(jax.random.PRNGKey(0)), mesh3)
+    flat = {jax.tree_util.keystr(p): l.sharding.spec for p, l in
+            jax.tree_util.tree_leaves_with_path(placed)}
+    assert any(s == P(None, "tp") for s in flat.values())     # projections
+    assert any(s == P("ep", None, None) for s in flat.values())  # experts
+
+    batch = {"wave": np.asarray(rng.normal(size=(8, 4000)), np.float32) * 0.1,
+             "wave_lens": np.full(8, 4000, np.int32),
+             "tokens": np.asarray(rng.integers(4, 12, size=(8, 8)), np.int32),
+             "token_lens": np.full(8, 8, np.int32),
+             "row_mask": np.ones(8, bool),
+             "aug_ref": np.array([0, 0], np.int32),
+             "item_index": np.arange(8, dtype=np.int32)}
+
+    class OneBatch:
+        def set_epoch(self, e):
+            pass
+
+        def __iter__(self):
+            return iter([dict(batch)])
+
+        def __len__(self):
+            return 1
+
+    cfg = {"max_epoch": 1, "grad_clip": 5.0, "accum_grad": 1,
+           "log_interval": 1, "valid_interval_epoch": 1,
+           "keep_nbest_models": 0, "optim": "adamw",
+           "optim_conf": {"lr": 1e-2}, "scheduler": "warmuplr",
+           "scheduler_conf": {"warmup_steps": 10}}
+    tr_dp = Trainer(model, OneBatch(), cfg, ckpt_dir=tmp_path / "dp",
+                    mesh=make_mesh())
+    tr_dp.train()
+    tr_3d = Trainer(model, OneBatch(), cfg, ckpt_dir=tmp_path / "3d",
+                    mesh=mesh3)
+    tr_3d.train()
+    a = jax.device_get(tr_dp.params)
+    b = jax.device_get(tr_3d.params)
+    for (pa, la), (_, lb) in zip(jax.tree_util.tree_leaves_with_path(a),
+                                 jax.tree_util.tree_leaves_with_path(b)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=jax.tree_util.keystr(pa))
+
+
 # ── model integration ────────────────────────────────────────────────────────
 
 def _lm_cfg():
