@@ -520,3 +520,38 @@ train: {{precision: fp32}}
         params, {"wave": wave[None],
                  "wave_lens": np.array([len(wave)], np.int32)})
     assert toks == live[0]
+
+
+def test_moe_model_exports_and_matches_live(tmp_path):
+    """An MoE AED decoder (models/moe.py) lowers through jax.export AOT and
+    the served aed_ids match the live greedy decode — the deployment story
+    covers the expert plane (routing is deterministic, so AOT == live)."""
+    from __graft_entry__ import _small_config
+    from hnet_mamba_asr_tpu.serving import (
+        load_serving_artifact, save_serving_artifact,
+    )
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    cfg = _small_config(tiny=True)
+    cfg["model_conf"] = {"ctc_weight": 0.5, "aed_weight": 0.5,
+                         "lsm_weight": 0.1}
+    cfg["train"] = {"precision": "fp32"}
+    cfg["aed_conf"]["moe"] = {"n_experts": 4, "top_k": 2,
+                              "capacity_factor": 2.0, "aux_weight": 0.01}
+    model = build_model(cfg, 30)
+    params = model.init_params(jax.random.PRNGKey(0))
+    art = tmp_path / "artifact"
+    save_serving_artifact(art, model, params, buckets=[(2, 4000)],
+                          emit=("frame_ids", "aed_ids"))
+    sm = load_serving_artifact(art)
+    rng = np.random.default_rng(3)
+    wave = (rng.normal(size=(2, 4000)) * 0.1).astype(np.float32)
+    lens = np.array([4000, 3100], np.int32)
+    out = sm(wave, lens)
+    live = model.greedy_decode(params, {"wave": wave, "wave_lens": lens})
+    ids = sm.transcribe_ids(wave, lens)
+    assert ids == live
+    enc = model.encode(params, {"wave": wave, "wave_lens": lens})
+    live_aed = model.aed.apply({"params": params["aed"]}, enc.features,
+                               enc.lengths, method="greedy_decode")
+    np.testing.assert_array_equal(out["aed_ids"], np.asarray(live_aed))
