@@ -92,6 +92,9 @@ def run(args) -> None:
         # P(None, 'tp') and stacked MoE expert weights P('ep', ...); the
         # collectives (psum / all-to-all) are inserted by GSPMD. No model
         # adapter needed; the two planes compose on a (dp, tp, ep) mesh.
+        if ep > 1 and getattr(model.aed, "moe_experts", 0) <= 0:
+            raise ValueError("train.ep > 1 needs an MoE AED decoder "
+                             "(set aed_conf.moe.n_experts)")
         mesh = make_mesh(tp=tp, ep=ep)
     is_main = jax.process_index() == 0
     metrics = MetricsLogger(exp_dir, resume=args.resume is not None,

@@ -374,3 +374,26 @@ def test_aed_moe_loss_decode(rng):
     assert "moe/aux" in stats and np.isfinite(float(stats["moe/aux"]))
     hyps = model.greedy_decode(params, batch)
     assert len(hyps) == B
+
+
+def test_make_mesh_composed_divisibility_raises():
+    from hnet_mamba_asr_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="not divisible"):
+        make_mesh(8, tp=3, ep=2)
+    m = make_mesh(8, tp=2, ep=2)
+    assert dict(zip(m.axis_names, m.devices.shape)) == \
+        {"dp": 2, "tp": 2, "ep": 2}
+
+
+def test_ep_placement_requires_expert_divisibility(rng):
+    """E=4 experts cannot shard over ep=8 — placement must fail loudly, not
+    silently replicate."""
+    from hnet_mamba_asr_tpu.parallel.mesh import make_mesh, place_params
+
+    m = MoEFFN(8, 16, 4, top_k=1)
+    x = jnp.zeros((8, 8), jnp.float32)
+    params = _init(m, x)
+    mesh = make_mesh(8, tp=8, tp_axis="ep")      # (dp=1, ep=8)
+    with pytest.raises(Exception):
+        jax.block_until_ready(place_params(params, mesh))
