@@ -555,3 +555,35 @@ def test_moe_model_exports_and_matches_live(tmp_path):
     live_aed = model.aed.apply({"params": params["aed"]}, enc.features,
                                enc.lengths, method="greedy_decode")
     np.testing.assert_array_equal(out["aed_ids"], np.asarray(live_aed))
+
+
+def test_streaming_export_n2_dynamic_chunking(tmp_path):
+    """Exact-causal streaming export at N=2 (dynamic chunking): the AOT
+    streaming step carries router/EMA/compacted-stack state and the served
+    token stream equals the offline greedy decode."""
+    from __graft_entry__ import _small_config
+    from hnet_mamba_asr_tpu.serving import (
+        load_streaming_artifact, save_streaming_artifact,
+    )
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    cfg = _small_config(tiny=True)
+    cfg["encoder_conf"] = dict(cfg["encoder_conf"], bidirectional=False,
+                               hnet={"compression_N": 2})
+    cfg["model_conf"] = {"ctc_weight": 1.0, "aed_weight": 0.0}
+    cfg["train"] = {"precision": "fp32"}
+    model = build_model(cfg, 30)
+    params = model.init_params(jax.random.PRNGKey(0))
+    art = tmp_path / "stream_n2"
+    save_streaming_artifact(art, model, params, block_enc=8)
+    sm = load_streaming_artifact(art)
+    rng = np.random.default_rng(11)
+    wave = (rng.normal(size=9000) * 0.1).astype(np.float32)
+    toks = []
+    for lo in range(0, len(wave), 1600):        # ragged 100 ms pushes
+        toks += sm.feed(wave[lo:lo + 1600])
+    toks += sm.finish()
+    live = model.greedy_decode(
+        params, {"wave": wave[None],
+                 "wave_lens": np.array([len(wave)], np.int32)})
+    assert toks == live[0]
