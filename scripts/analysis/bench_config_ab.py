@@ -39,11 +39,21 @@ def main():
     vocab = 500
     B, frames = 32, 1000
 
-    def bench(overrides: dict):
+    def _cfg_with(overrides: dict):
+        # a nested "aed_conf" key routes to the AED head (e.g. the MoE knobs);
+        # everything else is an encoder_conf override
+        overrides = dict(overrides)
+        aed_over = overrides.pop("aed_conf", None)
         cfg = _small_config()
         cfg["encoder_conf"] = dict(cfg["encoder_conf"], remat_policy="none",
                                    ssd_intra_dtype="bf16", **base_over,
                                    **overrides)
+        if aed_over:
+            cfg["aed_conf"] = dict(cfg["aed_conf"], **aed_over)
+        return cfg
+
+    def bench(overrides: dict):
+        cfg = _cfg_with(overrides)
         model = build_model(cfg, vocab)
         params = model.init_params(jax.random.PRNGKey(0))
         batch = _batch(B=B, frames=frames, n_mels=80, vocab=vocab)
@@ -83,11 +93,7 @@ def main():
     import hashlib
 
     def _arm_jaxpr_hash(overrides: dict) -> str:
-        cfg = _small_config()
-        cfg["encoder_conf"] = dict(cfg["encoder_conf"], remat_policy="none",
-                                   ssd_intra_dtype="bf16", **base_over,
-                                   **overrides)
-        model = build_model(cfg, vocab)
+        model = build_model(_cfg_with(overrides), vocab)
         params = model.init_params(jax.random.PRNGKey(0))
         small = _batch(B=2, frames=128, n_mels=80, vocab=vocab)
         jaxpr = jax.make_jaxpr(
