@@ -298,3 +298,16 @@ def ctc_beam_search_device(log_probs, lengths, *, blank_id: int,
     toks = np.asarray(toks)
     blen = np.asarray(blen)
     return [toks[b, :int(blen[b])].tolist() for b in range(n)]
+
+
+def beam_scan(log_probs, lengths, *, beam_size: int, pre_beam: int,
+              blank_id: int):
+    """Pure jittable no-LM prefix beam for embedding in other programs
+    (serving/export.py's ``beam_ids`` emit mode): log_probs [B, T, V+1],
+    lengths [B] -> (tokens [B, T] int32, beam_lens [B] int32) of the best
+    hypothesis. Same search as ctc_beam_search_device without the host
+    wrapper, so it AOT-exports via jax.export."""
+    V1 = log_probs.shape[-1]
+    return _beam_scan(log_probs, lengths, K=int(beam_size),
+                      P=min(int(pre_beam), V1 - 1), blank=int(blank_id),
+                      lm_weight=0.0)

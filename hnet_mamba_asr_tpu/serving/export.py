@@ -38,7 +38,7 @@ from jax import export as jax_export
 from hnet_mamba_asr_tpu.serving.runtime import FORMAT_VERSION
 from hnet_mamba_asr_tpu.training.checkpoint import tree_to_path_dict
 
-VALID_EMIT = ("frame_ids", "log_probs", "aed_ids")
+VALID_EMIT = ("frame_ids", "log_probs", "aed_ids", "beam_ids")
 
 
 def _tokenizer_meta(tokenizer) -> dict:
@@ -55,7 +55,8 @@ def _tokenizer_meta(tokenizer) -> dict:
     }}
 
 
-def _serve_fn(model, emit: tuple[str, ...]):
+def _serve_fn(model, emit: tuple[str, ...], beam_size: int = 10,
+              pre_beam: int = 30):
     def fn(params, wave, wave_lens):
         enc = model.encode(params, {"wave": wave, "wave_lens": wave_lens},
                            train=False)
@@ -70,6 +71,18 @@ def _serve_fn(model, emit: tuple[str, ...]):
             out["aed_ids"] = model.aed.apply(
                 {"params": params["aed"]}, enc.features, enc.lengths,
                 method="greedy_decode")
+        if "beam_ids" in emit:
+            # the full frame-synchronous CTC prefix beam INSIDE the exported
+            # program (decoders/device_ctc_beam.beam_scan): beam-quality
+            # transcription with no framework on the serving host
+            from hnet_mamba_asr_tpu.decoders.device_ctc_beam import beam_scan
+            lp = model.ctc.apply({"params": params["ctc"]}, enc.features,
+                                 method="log_probs")
+            toks, blen = beam_scan(lp, enc.lengths, beam_size=beam_size,
+                                   pre_beam=pre_beam,
+                                   blank_id=model.ctc.blank_id)
+            out["beam_ids"] = toks
+            out["beam_lens"] = blen
         return out
     return fn
 
@@ -81,8 +94,13 @@ def save_serving_artifact(out_dir: str | Path, model, params,
                           quantize_min_size: int = 4096,
                           platforms: tuple[str, ...] | None = None,
                           extra_meta: dict | None = None,
-                          tokenizer=None) -> Path:
+                          tokenizer=None,
+                          beam_size: int = 10, pre_beam: int = 30) -> Path:
     """Export ``model``/``params`` for the given (batch, samples) buckets.
+
+    ``emit=("beam_ids",)`` traces the device-side frame-synchronous CTC
+    prefix beam (``beam_size``/``pre_beam``) into the exported program, so
+    the framework-less serving host gets beam-quality ids, not just greedy.
 
     ``tokenizer`` (data/tokenizer.Tokenizer, optional) embeds the id->piece
     table in the manifest so the standalone runtime/server can emit TEXT,
@@ -106,8 +124,9 @@ def save_serving_artifact(out_dir: str | Path, model, params,
             raise ValueError(f"unknown emit mode {e!r}; choices: {VALID_EMIT}")
     if not emit:
         raise ValueError("emit must name at least one output")
-    if ("frame_ids" in emit or "log_probs" in emit) and model.ctc is None:
-        raise ValueError("frame_ids/log_probs require a CTC head")
+    if ("frame_ids" in emit or "log_probs" in emit or "beam_ids" in emit) \
+            and model.ctc is None:
+        raise ValueError("frame_ids/log_probs/beam_ids require a CTC head")
     if "aed_ids" in emit and model.aed is None:
         raise ValueError("aed_ids requires an AED head")
     if len(set(buckets)) != len(buckets):
@@ -119,13 +138,14 @@ def save_serving_artifact(out_dir: str | Path, model, params,
     out.mkdir(parents=True, exist_ok=True)
 
     params = jax.tree_util.tree_map(np.asarray, params)
-    base_fn = _serve_fn(model, emit)
+    base_fn = _serve_fn(model, emit, beam_size, pre_beam)
     if quantize == "int8":
         from hnet_mamba_asr_tpu.serving.quant import (dequantize_tree,
                                                       quantize_tree)
         params = quantize_tree(params, min_size=quantize_min_size)
 
-        def base_fn(qp, wave, lens, _inner=_serve_fn(model, emit)):
+        def base_fn(qp, wave, lens,
+                    _inner=_serve_fn(model, emit, beam_size, pre_beam)):
             return _inner(dequantize_tree(qp), wave, lens)
 
     flat = tree_to_path_dict(params)
@@ -158,6 +178,8 @@ def save_serving_artifact(out_dir: str | Path, model, params,
         "quantize": quantize,
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "buckets": rows,
+        **({"beam": {"beam_size": int(beam_size), "pre_beam": int(pre_beam)}}
+           if "beam_ids" in emit else {}),
         "jax_version": jax.__version__,
         **_tokenizer_meta(tokenizer),
         **(extra_meta or {}),

@@ -134,9 +134,16 @@ class ServingModel:
 
     def transcribe_ids(self, wave: np.ndarray,
                        wave_lens: np.ndarray) -> list[list[int]]:
-        """Greedy token ids per utterance (CTC collapse of frame_ids)."""
+        """Token ids per utterance: the exported CTC prefix beam when the
+        artifact emits beam_ids, else CTC greedy (collapse of frame_ids)."""
+        if "beam_ids" in self.emit:
+            out = self(wave, wave_lens)
+            toks, blen = out["beam_ids"], out["beam_lens"]
+            return [toks[b, :int(blen[b])].tolist()
+                    for b in range(toks.shape[0])]
         if "frame_ids" not in self.emit:
-            raise ValueError(f"artifact emits {self.emit}, not frame_ids")
+            raise ValueError(f"artifact emits {self.emit}, not "
+                             "frame_ids/beam_ids")
         out = self(wave, wave_lens)
         return collapse_ctc(out["frame_ids"], out["enc_lengths"], self.blank_id)
 

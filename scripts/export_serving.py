@@ -4,7 +4,7 @@
 Usage:
     python scripts/export_serving.py --config <yaml> --checkpoint <ckpt> \
         --out <dir> [--buckets 8x160000 1x160000] \
-        [--emit frame_ids log_probs aed_ids] [key=value ...]
+        [--emit frame_ids log_probs aed_ids beam_ids] [key=value ...]
 
 The artifact directory (manifest.json + params.npz + one StableHLO program
 per shape bucket) is served by hnet_mamba_asr_tpu/serving/runtime.py — a
@@ -33,7 +33,12 @@ def parse_args(argv=None):
     ap.add_argument("--buckets", nargs="+", default=["8x160000"],
                     help="(batch)x(samples) shape buckets, e.g. 8x160000")
     ap.add_argument("--emit", nargs="+", default=["frame_ids"],
-                    choices=["frame_ids", "log_probs", "aed_ids"])
+                    choices=["frame_ids", "log_probs", "aed_ids", "beam_ids"])
+    ap.add_argument("--beam-size", type=int, default=10,
+                    help="with --emit beam_ids: beam width of the exported "
+                         "CTC prefix beam")
+    ap.add_argument("--pre-beam", type=int, default=30,
+                    help="with --emit beam_ids: per-frame candidate labels")
     ap.add_argument("--streaming", type=int, default=None, metavar="BLOCK_ENC",
                     help="export an exact-causal STREAMING artifact instead "
                          "(one step program + carried states; requires "
@@ -94,6 +99,7 @@ def run(args) -> None:
     else:
         d = save_serving_artifact(
             out, model, params, buckets=buckets, emit=tuple(args.emit),
+            beam_size=args.beam_size, pre_beam=args.pre_beam,
             quantize=args.quantize,
             platforms=tuple(args.platforms) if args.platforms else None,
             extra_meta={"config": str(args.config),

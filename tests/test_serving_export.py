@@ -587,3 +587,54 @@ def test_streaming_export_n2_dynamic_chunking(tmp_path):
         params, {"wave": wave[None],
                  "wave_lens": np.array([len(wave)], np.int32)})
     assert toks == live[0]
+
+
+def test_beam_ids_export_matches_live_device_beam(tmp_path):
+    """emit=("beam_ids",): the AOT program embeds the frame-synchronous CTC
+    prefix beam; served ids == the live device beam engine on the same
+    padded shapes (reference beam semantics: src/dcasr/decoders/ctc.py)."""
+    from __graft_entry__ import _small_config
+    from hnet_mamba_asr_tpu.decoders.device_ctc_beam import (
+        ctc_beam_search_device,
+    )
+    from hnet_mamba_asr_tpu.serving import (
+        load_serving_artifact, save_serving_artifact,
+    )
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    cfg = _small_config(tiny=True)
+    cfg["model_conf"] = {"ctc_weight": 1.0, "aed_weight": 0.0}
+    cfg["train"] = {"precision": "fp32"}
+    model = build_model(cfg, 30)
+    params = model.init_params(jax.random.PRNGKey(0))
+    art = tmp_path / "beam_art"
+    save_serving_artifact(art, model, params, buckets=[(2, 4000)],
+                          emit=("frame_ids", "beam_ids"),
+                          beam_size=4, pre_beam=8)
+    sm = load_serving_artifact(art)
+    assert sm.manifest["beam"] == {"beam_size": 4, "pre_beam": 8}
+    wave, lens = _wave()
+    ids = sm.transcribe_ids(wave, lens)          # prefers beam_ids
+
+    padded = np.pad(wave, ((0, 0), (0, 4000 - wave.shape[1])))
+    enc = model.encode(params, {"wave": padded, "wave_lens": lens})
+    lp = model.ctc.apply({"params": params["ctc"]}, enc.features,
+                         method="log_probs")
+    live = ctc_beam_search_device(np.asarray(lp), np.asarray(enc.lengths),
+                                  blank_id=model.ctc.blank_id,
+                                  beam_size=4, pre_beam=8)
+    assert ids == live
+
+
+def test_beam_ids_requires_ctc_head():
+    from __graft_entry__ import _small_config
+    from hnet_mamba_asr_tpu.serving import save_serving_artifact
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    cfg = _small_config(tiny=True)
+    cfg["model_conf"] = {"ctc_weight": 0.0, "aed_weight": 1.0}
+    model = build_model(cfg, 30)
+    params = model.init_params(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="beam_ids require"):
+        save_serving_artifact("/tmp/_nope_beam", model, params, [(1, 4000)],
+                              emit=("beam_ids",))
