@@ -179,7 +179,10 @@ class MicroBatcher:
                                       self.model.blank_id)
         for i in range(n):
             r: dict = {"enc_frames": int(out["enc_lengths"][i])}
-            if "frame_ids" in out:
+            if "beam_ids" in out:         # exported prefix beam beats greedy
+                r["ids"] = [int(t) for t in
+                            out["beam_ids"][i][:int(out["beam_lens"][i])]]
+            elif "frame_ids" in out:
                 r["ids"] = from_ids[i]
             elif "aed_ids" in out:
                 row = [int(t) for t in out["aed_ids"][i]]

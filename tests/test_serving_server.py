@@ -333,3 +333,32 @@ print("STANDALONE-SERVER-OK")
     r = subprocess.run([sys.executable, "drive.py"], cwd=tmp_path, env=env,
                        capture_output=True, text=True, timeout=600)
     assert "STANDALONE-SERVER-OK" in r.stdout, r.stdout + r.stderr
+
+
+def test_batcher_serves_beam_ids(tmp_path):
+    """A beam_ids artifact through the micro-batcher: per-row ids come from
+    the exported prefix beam and match the runtime's transcribe_ids."""
+    from __graft_entry__ import _small_config
+    from hnet_mamba_asr_tpu.serving import (
+        load_serving_artifact, save_serving_artifact,
+    )
+    from hnet_mamba_asr_tpu.serving.server import MicroBatcher
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    cfg = _small_config(tiny=True)
+    cfg["model_conf"] = {"ctc_weight": 1.0, "aed_weight": 0.0}
+    cfg["train"] = {"precision": "fp32"}
+    model = build_model(cfg, VOCAB)
+    params = model.init_params(jax.random.PRNGKey(0))
+    art = tmp_path / "beam_art"
+    save_serving_artifact(art, model, params, buckets=[(2, 4000)],
+                          emit=("beam_ids",), beam_size=4, pre_beam=8)
+    sm = load_serving_artifact(art)
+    b = MicroBatcher(sm, max_wait_ms=20)
+    w = _wave(3200)
+    try:
+        got = b.submit(w).result(timeout=120)
+    finally:
+        b.close()
+    direct = sm.transcribe_ids(w[None, :], np.array([len(w)], np.int32))[0]
+    assert got["ids"] == direct
