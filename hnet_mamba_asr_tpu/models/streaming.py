@@ -152,15 +152,20 @@ def _mamba2_stream(p, x, state, *, headdim: int, d_state: int,
     models/mamba2.Mamba2.__call__ exactly (fp32). ``state`` = {"conv":
     [B, d_conv-1, conv_dim] xBC tail, "ssd": [B, H, N, P] recurrence state}.
 
-    ``n_real`` (traced scalar) marks the first ``n_real`` rows as real and
-    the rest as padding — the compacted-buffer streaming mode for chunked
-    stacks. Padding rows are exact no-ops on the carried state: dt is zeroed
-    (SSD decay 1, no update) and the conv tail is sliced at the dynamic
-    offset ``n_real`` so it holds the last d_conv-1 REAL rows. Their outputs
-    are garbage and must be discarded by the caller."""
+    ``n_real`` (traced scalar or per-row [B] vector) marks the first
+    ``n_real`` rows as real and the rest as padding — the compacted-buffer
+    streaming mode for chunked stacks. Padding rows are exact no-ops on the
+    carried state: dt is zeroed (SSD decay 1, no update) and the conv tail
+    is gathered at the per-row dynamic offset ``n_real`` so it holds the
+    last d_conv-1 REAL rows. Their outputs are garbage and must be
+    discarded by the caller."""
     from hnet_mamba_asr_tpu.ops.ssd import ssd_chunked
 
     B, L, d_model = x.shape
+    if n_real is not None:
+        n_real = jnp.asarray(n_real)
+        if n_real.ndim == 0:
+            n_real = jnp.full((B,), n_real)
     kernel = p["in_proj"]["kernel"]
     d_inner = 2 * d_model                         # expand=2 (the build default)
     n_heads = d_inner // headdim
@@ -178,8 +183,9 @@ def _mamba2_stream(p, x, state, *, headdim: int, d_state: int,
     if n_real is None:
         new_conv_state = conv_in[:, -(d_conv - 1):]
     else:
-        new_conv_state = jax.lax.dynamic_slice_in_dim(
-            conv_in, n_real, d_conv - 1, axis=1)
+        idx = n_real[:, None] + jnp.arange(d_conv - 1)[None, :]   # [B, dc-1]
+        new_conv_state = jnp.take_along_axis(
+            conv_in, idx[..., None], axis=1)
 
     xh, B_mat, C_mat = jnp.split(xBC_act, [d_inner, d_inner + d_state], axis=-1)
     xh = xh.reshape(B, L, n_heads, headdim)
@@ -187,7 +193,7 @@ def _mamba2_stream(p, x, state, *, headdim: int, d_state: int,
     C_mat = C_mat.reshape(B, L, 1, d_state)
     dt = jax.nn.softplus(dt_raw.astype(jnp.float32) + p["dt_bias"])
     if n_real is not None:
-        real = (jnp.arange(L) < n_real)[None, :, None]
+        real = (jnp.arange(L)[None, :] < n_real[:, None])[..., None]
         dt = jnp.where(real, dt, 0.0)
     A = -jnp.exp(p["a_log"])
 
@@ -221,11 +227,15 @@ def _stack_stream(p, x, states, *, headdim: int, d_state: int,
 def _router_stream(rp, x, n_real, st, eps: float = 1e-6):
     """RoutingModule over a block with carried previous-key state.
 
-    Rows [0, n_real) are real (compacted buffers keep real rows contiguous).
-    ``st`` = {"k_last": [B, D] W_k of the last REAL frame seen, "started":
-    [B] bool}. The global first frame gets p = 1 (models/hnet_chunk.py:92);
-    every later block's row 0 chains through k_last. Returns (p, b, st')."""
-    E = x.shape[1]
+    Rows [0, n_real) are real per batch row (``n_real`` scalar or [B];
+    compacted buffers keep real rows contiguous). ``st`` = {"k_last": [B, D]
+    W_k of the last REAL frame seen, "started": [B] bool}. The global first
+    frame gets p = 1 (models/hnet_chunk.py:92); every later block's row 0
+    chains through k_last. Returns (p, b, st')."""
+    B, E = x.shape[0], x.shape[1]
+    n_real = jnp.asarray(n_real)
+    if n_real.ndim == 0:
+        n_real = jnp.full((B,), n_real)
     q = x @ rp["W_q"]["kernel"]
     k = x @ rp["W_k"]["kernel"]
     k_prev = jnp.concatenate([st["k_last"][:, None], k[:, :-1]], axis=1)
@@ -235,25 +245,27 @@ def _router_stream(rp, x, n_real, st, eps: float = 1e-6):
     p = 0.5 * (1.0 - cos)
     p = p.at[:, 0].set(jnp.where(st["started"], p[:, 0], 1.0))
     p = jnp.clip(p, 0.0, 1.0)
-    real = (jnp.arange(E)[None, :] < n_real).astype(p.dtype)
+    real = (jnp.arange(E)[None, :] < n_real[:, None]).astype(p.dtype)
     p = p * real
     b = (p >= 0.5).astype(p.dtype) * real
-    last = jax.lax.dynamic_slice_in_dim(
-        k, jnp.maximum(n_real - 1, 0), 1, axis=1)[:, 0]
-    k_new = jnp.where(n_real > 0, last, st["k_last"])
+    last = jnp.take_along_axis(
+        k, jnp.maximum(n_real - 1, 0)[:, None, None], axis=1)[:, 0]
+    k_new = jnp.where((n_real > 0)[:, None], last, st["k_last"])
     return p, b, {"k_last": k_new, "started": st["started"] | (n_real > 0)}
 
 
 def _compact(x, p, b):
     """Scatter kept rows (and their p) to the front of an equal-size buffer
-    (the block-local form of hnet_chunk._scatter_to_slots)."""
+    (the block-local form of hnet_chunk._scatter_to_slots). Returns per-row
+    kept counts [B] — every downstream stage is per-row exact, so batched
+    (pooled multi-session) streaming works for chunked configs too."""
     keep = b > 0.5
     memb = jnp.maximum(jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1, 0)
     onehot = jax.nn.one_hot(memb, x.shape[1], dtype=x.dtype, axis=-1) \
         * keep.astype(x.dtype)[..., None]
     z = jnp.einsum("ble,bld->bed", onehot, x)
     P = jnp.einsum("ble,bl->be", onehot.astype(p.dtype), p)
-    return z, P, keep.sum(axis=1)[0]              # B == 1 in streaming
+    return z, P, keep.sum(axis=1)
 
 
 def _ema_stream(z, P, n_real, st, p_clamp: float = 1e-4):
@@ -262,17 +274,20 @@ def _ema_stream(z, P, n_real, st, p_clamp: float = 1e-4):
     ``st`` = {"ema": [B, D] fp32 carry, "has": [B] bool}. The global first
     chunk takes its value verbatim (zbar_0 = z_0); padding rows are exact
     no-ops and emit the carry (never gathered). fp32 like the offline op."""
-    E = z.shape[1]
+    B, E = z.shape[0], z.shape[1]
     zf = z.astype(jnp.float32)
     pc = jnp.clip(P.astype(jnp.float32), p_clamp, 1.0 - p_clamp)
-    real = jnp.arange(E) < n_real
+    n_real = jnp.asarray(n_real)
+    if n_real.ndim == 0:
+        n_real = jnp.full((B,), n_real)
+    real = jnp.arange(E)[:, None] < n_real[None, :]          # [E, B]
 
     def step(carry, inp):
         ema, has = carry
         z_t, p_t, r_t = inp
         upd = jnp.where(has[:, None], p_t[:, None] * z_t
                         + (1.0 - p_t[:, None]) * ema, z_t)
-        ema2 = jnp.where(r_t, upd, ema)
+        ema2 = jnp.where(r_t[:, None], upd, ema)
         return (ema2, has | r_t), ema2
 
     (ema, has), outs = jax.lax.scan(

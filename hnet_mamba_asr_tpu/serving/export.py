@@ -201,9 +201,10 @@ def save_streaming_artifact(out_dir: str | Path, model, params,
     ``batch=B`` exports the step at batch B for MULTI-SESSION serving: the
     runtime's StreamingSessionPool advances up to B concurrent streams in
     one program call (states.npz stays a one-row template the pool tiles).
-    Requires N == 1 — at N = 1 every step op is batch-parallel, so pooled
-    rows are bitwise independent; the dynamic-chunk streaming machinery
-    (N > 1) is single-row (models/streaming._compact).
+    Works for ANY streamable config, dynamic chunking included: every step
+    op — the router, compaction, per-row kept counts, EMA, state no-ops —
+    is per-row exact (models/streaming vectorizes n_real over the batch),
+    so pooled rows are independent of their batch neighbours.
 
     Wraps models/streaming.py's CausalStreamingEncoder step (carried conv
     tails, SSD recurrence states, router/EMA chunking state — exact vs
@@ -227,11 +228,6 @@ def save_streaming_artifact(out_dir: str | Path, model, params,
         raise ValueError("streaming serving requires a CTC head")
     if batch < 1:
         raise ValueError(f"batch must be >= 1, got {batch}")
-    if batch > 1 and float(model.encoder.N) != 1.0:
-        raise ValueError(
-            "batched streaming export requires N == 1 (the dynamic-chunk "
-            "streaming machinery compacts single-row buffers); export "
-            "batch=1 artifacts for chunked configs")
     cse = CausalStreamingEncoder(model, params, block_enc=block_enc)
     W_mel = cse.W_mel
     S_win = (W_mel - 1) * cse.hop + cse.win

@@ -46,7 +46,7 @@ def parse_args(argv=None):
                          "block (16 -> 640 ms blocks)")
     ap.add_argument("--stream-batch", type=int, default=1,
                     help="with --streaming: export the step at batch B for "
-                         "multi-session pooled serving (N=1 configs)")
+                         "multi-session pooled serving (any streamable config)")
     ap.add_argument("--platforms", nargs="+", default=None,
                     help="lower for these platforms (e.g. cpu tpu); "
                          "default: the current backend")

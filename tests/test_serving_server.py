@@ -254,19 +254,39 @@ def test_pool_guards(pool_artifact):
         pool.feed(sid, np.zeros(100, np.float32))
 
 
-def test_batched_export_rejects_chunked_configs(tmp_path):
+def test_pool_chunked_n2_sessions_match_offline(tmp_path):
+    """Pooled multi-session streaming for a DYNAMIC-CHUNKING config (N=2):
+    the step's router/compaction/EMA/state-no-op machinery is per-row exact
+    (models/streaming vectorizes kept counts over the batch), so ragged
+    interleaved sessions each reproduce their solo offline transcript."""
     from __graft_entry__ import _small_config
     from hnet_mamba_asr_tpu.serving import save_streaming_artifact
+    from hnet_mamba_asr_tpu.serving.runtime import StreamingSessionPool
     from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
     cfg = _small_config(tiny=True)
     cfg["encoder_conf"] = dict(cfg["encoder_conf"], bidirectional=False,
-                               hnet={"compression_N": 4})
+                               hnet={"compression_N": 2})
     cfg["model_conf"] = {"ctc_weight": 1.0, "aed_weight": 0.0}
+    cfg["train"] = {"precision": "fp32"}
     model = build_model(cfg, 30)
     params = model.init_params(jax.random.PRNGKey(0))
-    with pytest.raises(ValueError, match="batched streaming export"):
-        save_streaming_artifact(tmp_path / "x", model, params,
-                                block_enc=8, batch=2)
+    art = tmp_path / "stream_n2_pool"
+    save_streaming_artifact(art, model, params, block_enc=8, batch=2)
+    pool = StreamingSessionPool(art)
+    waves = [_wave(9000, seed=21), _wave(12000, seed=22)]
+    sids = [pool.open() for _ in waves]
+    got = {s: [] for s in sids}
+    pos = [0, 0]
+    sizes = [1100, 1900]
+    while any(pos[k] < len(waves[k]) for k in range(2)):
+        for k, sid in enumerate(sids):
+            if pos[k] < len(waves[k]):
+                got[sid] += pool.feed(sid, waves[k][pos[k]:pos[k] + sizes[k]])
+                pos[k] += sizes[k]
+    for k, sid in enumerate(sids):
+        got[sid] += pool.finish(sid)
+        assert got[sid] == _offline_greedy(model, params, waves[k]), k
 
 
 def test_streaming_http_server(pool_artifact):
