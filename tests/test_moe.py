@@ -397,3 +397,48 @@ def test_ep_placement_requires_expert_divisibility(rng):
     mesh = make_mesh(8, tp=8, tp_axis="ep")      # (dp=1, ep=8)
     with pytest.raises(Exception):
         jax.block_until_ready(place_params(params, mesh))
+
+
+def test_aed_moe_beam_cells_decode(rng):
+    """MoE AED decoder through the beam decode cells (the KV-cached device
+    steppers drive layer.step -> MoE with T=1 tokens)."""
+    from types import SimpleNamespace
+
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+    from hnet_mamba_asr_tpu.tasks.decode_task import decode_batch
+
+    cfg = {"encoder": "dcasr", "head": "ctc",
+           "frontend_conf": {"n_mels": 20, "win_length": 400,
+                             "hop_length": 160},
+           "encoder_conf": {"d_outer": 16, "d_main": 24, "n_enc": 1,
+                            "n_main": 1, "n_dec": 1, "arch_type": "A",
+                            "d_state": 8, "headdim": 8, "ssd_chunk_size": 16,
+                            "hnet": {"compression_N": 1}},
+           "aed_conf": {"n_layers": 1, "n_heads": 2, "d_ff": 32,
+                        "dropout": 0.0, "max_decode_len": 8,
+                        "moe": {"n_experts": 4, "top_k": 2,
+                                "capacity_factor": 2.0, "aux_weight": 0.01}},
+           "model_conf": {"ctc_weight": 0.5, "aed_weight": 0.5,
+                          "lsm_weight": 0.1}}
+    model = build_model(cfg, 16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    B, frames = 2, 64
+    n = (frames - 1) * 160 + 400
+    batch = {"wave": np.asarray(rng.normal(size=(B, n)), np.float32) * 0.1,
+             "wave_lens": np.full(B, n, np.int32),
+             "tokens": np.asarray(rng.integers(4, 16, size=(B, 6)), np.int32),
+             "token_lens": np.full(B, 6, np.int32),
+             "ids": ["u0", "u1"],
+             "row_mask": np.ones(B, bool)}
+    tok = SimpleNamespace(bos_id=1, eos_id=2, pad_id=3, vocab_size=16,
+                          decode=lambda ids: " ".join(map(str, ids)))
+    for cell in ({"read_out": "aed", "search": "beam", "lm": False,
+                  "name": "aed_beam"},
+                 {"read_out": "joint", "search": "beam", "lm": False,
+                  "name": "joint_beam"}):
+        recs = decode_batch(model, params, tok, batch, cell,
+                            {"beam_size": 2, "pre_beam": 4,
+                             "ctc_weight": 0.3})
+        assert len(recs) == B, cell["name"]
+        for r in recs:
+            assert isinstance(r["hyp"], str), cell["name"]
