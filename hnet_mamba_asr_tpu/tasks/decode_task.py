@@ -386,7 +386,16 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
         jax.block_until_ready(logp)
         enc_s += time.perf_counter() - t0                # shared projection: amortized
         t0 = time.perf_counter()
-        if bool(dc.get("device_beam", True)):
+        use_device = bool(dc.get("device_beam", True))
+        if use_device and use_lm is not None and \
+                getattr(use_lm.lm_model, "moe_experts", 0) > 0:
+            # the in-scan LM stepper reimplements the dense block math
+            # (device_ctc_beam._lm_step); MoE fusion LMs take the host
+            # engine, whose scoring IS the defining semantics
+            logger.info("ctc_beam: MoE fusion LM -> host engine "
+                        "(in-scan fusion supports dense LMs)")
+            use_device = False
+        if use_device:
             # frame-synchronous search entirely on-device: ONE jitted call per
             # batch; LM fusion runs in-scan with per-row cached LM steps
             from hnet_mamba_asr_tpu.decoders.device_ctc_beam import (

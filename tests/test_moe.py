@@ -442,3 +442,49 @@ def test_aed_moe_beam_cells_decode(rng):
         assert len(recs) == B, cell["name"]
         for r in recs:
             assert isinstance(r["hyp"], str), cell["name"]
+
+
+def test_moe_fusion_lm_falls_back_to_host_engine(rng, caplog):
+    """decode ctc_beam with an MoE fusion LM: the in-scan device stepper
+    only implements dense block math, so decode_task routes to the host
+    engine and still produces records."""
+    from types import SimpleNamespace
+
+    from hnet_mamba_asr_tpu.decoders.lm_scorer import CausalLMScorer
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+    from hnet_mamba_asr_tpu.tasks.decode_task import decode_batch
+    from hnet_mamba_asr_tpu.tasks.lm_task import build_lm
+
+    cfg = {"encoder": "dcasr", "head": "ctc",
+           "frontend_conf": {"n_mels": 20, "win_length": 400,
+                             "hop_length": 160},
+           "encoder_conf": {"d_outer": 16, "d_main": 24, "n_enc": 1,
+                            "n_main": 1, "n_dec": 1, "arch_type": "A",
+                            "d_state": 8, "headdim": 8, "ssd_chunk_size": 16,
+                            "hnet": {"compression_N": 1}},
+           "model_conf": {"ctc_weight": 1.0, "aed_weight": 0.0}}
+    model = build_model(cfg, 16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    lmm = build_lm(_lm_cfg(), vocab_size=16)
+    lm_params = lmm.init_params(jax.random.PRNGKey(1))
+    scorer = CausalLMScorer(lmm.lm, {"params": lm_params["lm"]})
+    B, frames = 2, 64
+    n = (frames - 1) * 160 + 400
+    batch = {"wave": np.asarray(rng.normal(size=(B, n)), np.float32) * 0.1,
+             "wave_lens": np.full(B, n, np.int32),
+             "tokens": np.asarray(rng.integers(4, 16, size=(B, 6)), np.int32),
+             "token_lens": np.full(B, 6, np.int32),
+             "ids": ["u0", "u1"], "row_mask": np.ones(B, bool)}
+    tok = SimpleNamespace(bos_id=1, eos_id=2, pad_id=3, vocab_size=16,
+                          decode=lambda ids: " ".join(map(str, ids)))
+    cell = {"read_out": "ctc", "search": "beam", "lm": True,
+            "name": "ctc_beam_lm"}
+    import logging
+    with caplog.at_level(logging.INFO,
+                         logger="hnet_mamba_asr_tpu.tasks.decode_task"):
+        recs = decode_batch(model, params, tok, batch, cell,
+                            {"beam_size": 2, "pre_beam": 4,
+                             "lm_weight": 0.3, "device_beam": True},
+                            lm=scorer)
+    assert len(recs) == B
+    assert any("host engine" in r.message for r in caplog.records)
