@@ -638,3 +638,44 @@ def test_beam_ids_requires_ctc_head():
     with pytest.raises(ValueError, match="beam_ids require"):
         save_serving_artifact("/tmp/_nope_beam", model, params, [(1, 4000)],
                               emit=("beam_ids",))
+
+
+def test_beam_ids_compose_with_int8_quantization(tmp_path):
+    """int8 weight-only quantization + the in-program prefix beam: the
+    quantized artifact decodes through the beam and matches the live device
+    beam run on the SAME quantized weights (dequantize traced in-program)."""
+    from __graft_entry__ import _small_config
+    from hnet_mamba_asr_tpu.decoders.device_ctc_beam import (
+        ctc_beam_search_device,
+    )
+    from hnet_mamba_asr_tpu.serving import (
+        load_serving_artifact, save_serving_artifact,
+    )
+    from hnet_mamba_asr_tpu.serving.quant import (
+        dequantize_tree, quantize_tree,
+    )
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    cfg = _small_config(tiny=True)
+    cfg["model_conf"] = {"ctc_weight": 1.0, "aed_weight": 0.0}
+    cfg["train"] = {"precision": "fp32"}
+    model = build_model(cfg, 30)
+    params = model.init_params(jax.random.PRNGKey(0))
+    art = tmp_path / "beam_q8"
+    save_serving_artifact(art, model, params, buckets=[(2, 4000)],
+                          emit=("beam_ids",), beam_size=4, pre_beam=8,
+                          quantize="int8", quantize_min_size=64)
+    sm = load_serving_artifact(art)
+    wave, lens = _wave()
+    ids = sm.transcribe_ids(wave, lens)
+
+    qparams = dequantize_tree(quantize_tree(
+        jax.tree_util.tree_map(np.asarray, params), min_size=64))
+    padded = np.pad(wave, ((0, 0), (0, 4000 - wave.shape[1])))
+    enc = model.encode(qparams, {"wave": padded, "wave_lens": lens})
+    lp = model.ctc.apply({"params": qparams["ctc"]}, enc.features,
+                         method="log_probs")
+    live = ctc_beam_search_device(np.asarray(lp), np.asarray(enc.lengths),
+                                  blank_id=model.ctc.blank_id,
+                                  beam_size=4, pre_beam=8)
+    assert ids == live
