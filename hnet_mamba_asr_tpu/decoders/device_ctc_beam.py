@@ -105,8 +105,28 @@ def _lm_step(lm, pe, params, caches, tokens, pos, write_mask):
                            at["out"]["kernel"].reshape(H * dh, lm.d_model)
                            ) + at["out"]["bias"]
         h = _layer_norm(x, bp["norm2"])
-        ff = jax.nn.gelu(h @ bp["linear1"]["kernel"] + bp["linear1"]["bias"])
-        x = x + ff @ bp["linear2"]["kernel"] + bp["linear2"]["bias"]
+        if "moe" in bp:
+            # MoE FFN (models/moe.MoEFFN), dense-mix form: with the dropless
+            # decode-time capacity (capacity_factor = E/top_k, set by
+            # tasks/decode_task.load_lm_scorer) no token is ever dropped, so
+            # per-token top-k mixing over all experts is EXACTLY the module
+            mp = bp["moe"]
+            E = mp["w1"].shape[0]
+            k = min(lm.moe_top_k, E)
+            rl = (h.astype(jnp.float32) @ mp["router"])
+            probs = jax.nn.softmax(rl, axis=-1)                  # [R, E]
+            gv, gi = jax.lax.top_k(probs, k)
+            gv = gv / jnp.maximum(gv.sum(-1, keepdims=True), 1e-9)
+            gate_full = jnp.zeros_like(probs)
+            gate_full = gate_full.at[ar[:, None], gi].set(gv)    # [R, E]
+            hexp = jax.nn.gelu(jnp.einsum("rd,edf->ref", h, mp["w1"])
+                               + mp["b1"][None])
+            yexp = jnp.einsum("ref,efd->red", hexp, mp["w2"]) + mp["b2"][None]
+            x = x + jnp.einsum("re,red->rd", gate_full.astype(h.dtype), yexp)
+        else:
+            ff = jax.nn.gelu(h @ bp["linear1"]["kernel"]
+                             + bp["linear1"]["bias"])
+            x = x + ff @ bp["linear2"]["kernel"] + bp["linear2"]["bias"]
         new_caches.append((ck, cv))
 
     logits = x @ p["out"]["kernel"] + p["out"]["bias"]

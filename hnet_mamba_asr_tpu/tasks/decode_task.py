@@ -109,6 +109,17 @@ def load_lm_scorer(decode_cfg: Mapping[str, Any], repo_root: str | Path,
     if not dc.get("lm_config") or not dc.get("lm_checkpoint"):
         raise ValueError("decode.lm requires decode.lm_config and decode.lm_checkpoint")
     lm_cfg = load_yaml(Path(repo_root) / str(dc["lm_config"]))
+    mc = (lm_cfg.get("lm_conf", {}) or {}).get("moe")
+    if mc:
+        # decode-time MoE LMs score DROPLESS: capacity_factor E/top_k makes
+        # the capacity bound unreachable (C = ceil(S*k*cf/E) >= S), so a
+        # prefix's score never depends on what else shares the batch — and
+        # the device in-scan stepper's per-token dense-mix math is exact
+        E, k = int(mc.get("n_experts", 0)), int(mc.get("top_k", 2))
+        lm_cfg = dict(lm_cfg, lm_conf=dict(
+            lm_cfg["lm_conf"], moe=dict(mc, capacity_factor=E / max(k, 1))))
+        logger.info("fusion LM is MoE (E=%d top_k=%d): dropless scoring "
+                    "(capacity_factor -> %.1f)", E, k, E / max(k, 1))
     lm = build_lm(lm_cfg, tokenizer.vocab_size)
     params, _ = load_model_params(Path(repo_root) / str(dc["lm_checkpoint"]))
     if lm.lm.vocab_size != tokenizer.vocab_size:
@@ -386,16 +397,7 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
         jax.block_until_ready(logp)
         enc_s += time.perf_counter() - t0                # shared projection: amortized
         t0 = time.perf_counter()
-        use_device = bool(dc.get("device_beam", True))
-        if use_device and use_lm is not None and \
-                getattr(use_lm.lm_model, "moe_experts", 0) > 0:
-            # the in-scan LM stepper reimplements the dense block math
-            # (device_ctc_beam._lm_step); MoE fusion LMs take the host
-            # engine, whose scoring IS the defining semantics
-            logger.info("ctc_beam: MoE fusion LM -> host engine "
-                        "(in-scan fusion supports dense LMs)")
-            use_device = False
-        if use_device:
+        if bool(dc.get("device_beam", True)):
             # frame-synchronous search entirely on-device: ONE jitted call per
             # batch; LM fusion runs in-scan with per-row cached LM steps
             from hnet_mamba_asr_tpu.decoders.device_ctc_beam import (

@@ -444,47 +444,69 @@ def test_aed_moe_beam_cells_decode(rng):
             assert isinstance(r["hyp"], str), cell["name"]
 
 
-def test_moe_fusion_lm_falls_back_to_host_engine(rng, caplog):
-    """decode ctc_beam with an MoE fusion LM: the in-scan device stepper
-    only implements dense block math, so decode_task routes to the host
-    engine and still produces records."""
-    from types import SimpleNamespace
-
+def test_moe_fusion_lm_device_beam_matches_host(rng):
+    """In-scan LM fusion with an MoE LM: with dropless decode-time capacity
+    (capacity_factor = E/top_k, what tasks/decode_task.load_lm_scorer sets)
+    the device stepper's per-token dense-mix FFN is exactly MoEFFN, so
+    transcripts match the host engine's batched fusion."""
+    from hnet_mamba_asr_tpu.decoders.ctc_decode import ctc_prefix_beam_search
+    from hnet_mamba_asr_tpu.decoders.device_ctc_beam import (
+        ctc_beam_search_device,
+    )
     from hnet_mamba_asr_tpu.decoders.lm_scorer import CausalLMScorer
-    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
-    from hnet_mamba_asr_tpu.tasks.decode_task import decode_batch
-    from hnet_mamba_asr_tpu.tasks.lm_task import build_lm
+    from hnet_mamba_asr_tpu.models.lm import TransformerLM
 
-    cfg = {"encoder": "dcasr", "head": "ctc",
-           "frontend_conf": {"n_mels": 20, "win_length": 400,
-                             "hop_length": 160},
-           "encoder_conf": {"d_outer": 16, "d_main": 24, "n_enc": 1,
-                            "n_main": 1, "n_dec": 1, "arch_type": "A",
-                            "d_state": 8, "headdim": 8, "ssd_chunk_size": 16,
-                            "hnet": {"compression_N": 1}},
-           "model_conf": {"ctc_weight": 1.0, "aed_weight": 0.0}}
-    model = build_model(cfg, 16)
+    E, k = 4, 2
+    lm = TransformerLM(vocab_size=10, d_model=16, n_layers=2, n_heads=2,
+                       d_ff=32, dropout=0.0, moe_experts=E, moe_top_k=k,
+                       moe_capacity_factor=E / k)       # dropless
+    params = lm.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32))
+    scorer = CausalLMScorer(lm, params)
+
+    def _log_softmax(x):
+        x = x - x.max(-1, keepdims=True)
+        return x - np.log(np.exp(x).sum(-1, keepdims=True))
+
+    for seed in (0, 1):
+        r = np.random.default_rng(300 + seed)
+        B, T = 3, 10
+        V1 = lm.vocab_size + 1                          # blank at V
+        lp = _log_softmax(1.5 * r.normal(size=(B, T, V1))).astype(np.float32)
+        lens = np.array([T, T - 3, 5])
+        for w in (0.3, 0.8):
+            host = ctc_prefix_beam_search(lp, lens, blank_id=V1 - 1,
+                                          beam_size=4, pre_beam=5,
+                                          lm=scorer, lm_weight=w)
+            dev = ctc_beam_search_device(lp, lens, blank_id=V1 - 1,
+                                         beam_size=4, pre_beam=5,
+                                         lm=scorer, lm_weight=w)
+            assert dev == host, (seed, w)
+
+
+def test_load_lm_scorer_forces_dropless_moe(tmp_path):
+    """decode.lm_config with an MoE lm_conf loads a scorer whose
+    capacity_factor is E/top_k regardless of the training value."""
+    import yaml
+
+    from hnet_mamba_asr_tpu.data.tokenizer import Tokenizer
+    from hnet_mamba_asr_tpu.tasks.decode_task import load_lm_scorer
+    from hnet_mamba_asr_tpu.tasks.lm_task import build_lm
+    from hnet_mamba_asr_tpu.training.checkpoint import save_checkpoint
+
+    tok = Tokenizer.train(["dropless experts score prefixes"],
+                          tmp_path / "bpe", vocab_size=20,
+                          hard_vocab_limit=False)
+    lm_cfg = {"lm_conf": {"d_model": 16, "n_layers": 1, "n_heads": 2,
+                          "d_ff": 32, "dropout": 0.0,
+                          "moe": {"n_experts": 4, "top_k": 2,
+                                  "capacity_factor": 1.25}}}
+    (tmp_path / "lm.yaml").write_text(yaml.safe_dump(lm_cfg))
+    model = build_lm(lm_cfg, tok.vocab_size)
     params = model.init_params(jax.random.PRNGKey(0))
-    lmm = build_lm(_lm_cfg(), vocab_size=16)
-    lm_params = lmm.init_params(jax.random.PRNGKey(1))
-    scorer = CausalLMScorer(lmm.lm, {"params": lm_params["lm"]})
-    B, frames = 2, 64
-    n = (frames - 1) * 160 + 400
-    batch = {"wave": np.asarray(rng.normal(size=(B, n)), np.float32) * 0.1,
-             "wave_lens": np.full(B, n, np.int32),
-             "tokens": np.asarray(rng.integers(4, 16, size=(B, 6)), np.int32),
-             "token_lens": np.full(B, 6, np.int32),
-             "ids": ["u0", "u1"], "row_mask": np.ones(B, bool)}
-    tok = SimpleNamespace(bos_id=1, eos_id=2, pad_id=3, vocab_size=16,
-                          decode=lambda ids: " ".join(map(str, ids)))
-    cell = {"read_out": "ctc", "search": "beam", "lm": True,
-            "name": "ctc_beam_lm"}
-    import logging
-    with caplog.at_level(logging.INFO,
-                         logger="hnet_mamba_asr_tpu.tasks.decode_task"):
-        recs = decode_batch(model, params, tok, batch, cell,
-                            {"beam_size": 2, "pre_beam": 4,
-                             "lm_weight": 0.3, "device_beam": True},
-                            lm=scorer)
-    assert len(recs) == B
-    assert any("host engine" in r.message for r in caplog.records)
+    save_checkpoint(tmp_path / "lm.ckpt",
+                    {"params": params, "epoch": 0, "global_step": 0})
+    scorer = load_lm_scorer({"lm_config": str(tmp_path / "lm.yaml"),
+                             "lm_checkpoint": str(tmp_path / "lm.ckpt")},
+                            "/", tok)
+    assert scorer.lm_model.moe_experts == 4
+    assert scorer.lm_model.moe_capacity_factor == pytest.approx(2.0)
