@@ -1,0 +1,159 @@
+"""RNN-T (transducer) head with a STATELESS prediction network.
+
+Beyond the reference (CTC + AED + joint only): the transducer is the
+streaming-native ASR objective — frame-synchronous decoding with no
+attention over the whole utterance — and it composes directly with this
+repo's exact-causal streaming encoder.
+
+TPU-first design choices:
+- **Stateless predictor** (Ghodsi et al. 2020, "RNN-Transducer with
+  stateless prediction network"): the label history is just the last
+  ``context`` emitted tokens, embedded and concatenated. Training evaluates
+  it for all U+1 positions as one batched matmul (no sequential RNN), the
+  greedy decode step carries only ``context`` token ids (no recurrent
+  state pytree), and quality is known to be close to an LSTM predictor at
+  BPE vocabularies.
+- **Joint = tanh(enc_proj + pred_proj) -> Dense(V+1)** evaluated for the
+  full [B, T, U+1] lattice at training time (one fused einsum chain; the
+  [B, T, U+1, V+1] logits are the dominant activation — fine at this
+  repo's utterance lengths; a pruned-lattice variant is the standard
+  optimization if U grows).
+- Blank is the LAST class (id V), the same contract as the CTC head, so
+  the tokenizer/vocab plumbing is shared.
+- Loss: ``ops/rnnt_loss.py`` — one lax.scan over frames, log-domain
+  cumulative-logsumexp label chain per frame, fp32.
+
+Greedy decode is frame-synchronous with a per-frame emission cap
+(``max_symbols``): scan over frames; each frame unrolls ``max_symbols``
+joint evaluations with masked emission (stops at blank), which keeps the
+whole search one jittable program with static shapes.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from hnet_mamba_asr_tpu.ops.rnnt_loss import rnnt_loss
+
+
+class RNNTHead(nn.Module):
+    """Transducer head over the shared V-token vocabulary (blank = V)."""
+
+    vocab_size: int
+    d_memory: int                   # encoder output dim (d_outer)
+    d_pred: int = 256
+    d_joint: int = 512
+    context: int = 2                # stateless predictor history length
+    max_symbols: int = 4            # greedy: max emissions per frame
+    max_decode_len: int = 512
+    bos_id: int = 1
+    pad_id: int = 3
+    dtype: Any = jnp.float32
+
+    @property
+    def blank_id(self) -> int:
+        return self.vocab_size
+
+    @property
+    def num_classes(self) -> int:
+        return self.vocab_size + 1
+
+    def setup(self):
+        kw = dict(dtype=self.dtype, param_dtype=jnp.float32)
+        self.embed = nn.Embed(self.vocab_size, self.d_pred,
+                              dtype=self.dtype, param_dtype=jnp.float32)
+        self.pred_proj = nn.Dense(self.d_joint, **kw)
+        self.enc_proj = nn.Dense(self.d_joint, **kw)
+        self.out = nn.Dense(self.num_classes, **kw)
+
+    # ---- prediction network --------------------------------------------------
+    def _predict(self, hist: jax.Array) -> jax.Array:
+        """hist [..., context] token ids (most recent first, bos-filled)
+        -> [..., d_joint] predictor features."""
+        emb = self.embed(jnp.clip(hist, 0, self.vocab_size - 1))
+        emb = emb.reshape(*hist.shape[:-1], self.context * self.d_pred)
+        return self.pred_proj(emb)
+
+    def _histories(self, targets: jax.Array,
+                   target_lengths: jax.Array) -> jax.Array:
+        """[B, U] labels -> [B, U+1, context] left-contexts per position
+        (position u conditions on y_{u-1}, y_{u-2}, ...; bos before t=0)."""
+        B, U = targets.shape
+        valid = jnp.arange(U)[None, :] < target_lengths[:, None]
+        clean = jnp.where(valid, targets, self.bos_id)
+        padded = jnp.concatenate(
+            [jnp.full((B, self.context), self.bos_id, targets.dtype), clean],
+            axis=1)                                          # [B, C+U]
+        # hist[u, j] = padded[u + C-1 - j]  (j = 0 is the most recent token)
+        cols = (jnp.arange(U + 1)[:, None]
+                + (self.context - 1 - jnp.arange(self.context))[None, :])
+        return padded[:, cols]                               # [B, U+1, C]
+
+    # ---- joint ----------------------------------------------------------------
+    def joint(self, enc_f: jax.Array, pred_f: jax.Array) -> jax.Array:
+        """enc_f [B, T, J], pred_f [B, U+1, J] -> logits [B, T, U+1, V+1]."""
+        x = jnp.tanh(enc_f[:, :, None, :] + pred_f[:, None, :, :])
+        return self.out(x)
+
+    # ---- loss ------------------------------------------------------------------
+    def loss(self, memory: jax.Array, memory_lengths: jax.Array,
+             targets: jax.Array, target_lengths: jax.Array) -> jax.Array:
+        """Per-row transducer negative log-likelihood [B] (callers apply
+        row_mask and any per-token normalization)."""
+        enc_f = self.enc_proj(memory.astype(self.dtype))
+        pred_f = self._predict(self._histories(targets, target_lengths))
+        logits = self.joint(enc_f, pred_f)
+        return rnnt_loss(logits, memory_lengths, targets, target_lengths,
+                         blank_id=self.blank_id, reduction="none")
+
+    # ---- greedy decode ----------------------------------------------------------
+    def greedy_decode(self, memory: jax.Array,
+                      memory_lengths: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Frame-synchronous greedy search -> (tokens [B, L], lengths [B]).
+
+        Per frame: evaluate the joint on the current history; emit while the
+        argmax is non-blank (at most ``max_symbols`` per frame), then advance
+        to the next frame. One jittable lax.scan, static shapes."""
+        B, T, _ = memory.shape
+        L = min(self.max_decode_len, T * self.max_symbols)
+        enc_f = self.enc_proj(memory.astype(self.dtype))     # [B, T, J]
+        hist0 = jnp.full((B, self.context), self.bos_id, jnp.int32)
+        buf0 = jnp.zeros((B, L), jnp.int32)
+        len0 = jnp.zeros((B,), jnp.int32)
+        ar = jnp.arange(B)
+
+        def frame(carry, inp):
+            hist, buf, out_len = carry
+            enc_t, t_real = inp                              # [B, J], [B]
+            alive = t_real
+            for _ in range(self.max_symbols):                # static unroll
+                logits = self.out(jnp.tanh(enc_t + self._predict(hist)))
+                tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                emit = alive & (tok != self.blank_id) & (out_len < L)
+                slot = jnp.minimum(out_len, L - 1)
+                buf = buf.at[ar, slot].set(
+                    jnp.where(emit, tok, buf[ar, slot]))
+                out_len = out_len + emit.astype(jnp.int32)
+                hist = jnp.where(
+                    emit[:, None],
+                    jnp.concatenate([tok[:, None], hist[:, :-1]], axis=1),
+                    hist)
+                alive = alive & emit
+            return (hist, buf, out_len), ()
+
+        t_real = (jnp.arange(T)[None, :] < memory_lengths[:, None])
+        (hist, buf, out_len), _ = jax.lax.scan(
+            frame, (hist0, buf0, len0),
+            (enc_f.transpose(1, 0, 2), t_real.transpose(1, 0)))
+        return buf, out_len
+
+
+def rnnt_host_greedy(tokens, lengths) -> list[list[int]]:
+    """Device greedy output -> per-utterance host id lists."""
+    import numpy as np
+    toks = np.asarray(tokens)
+    lens = np.asarray(lengths)
+    return [toks[b, :int(lens[b])].tolist() for b in range(toks.shape[0])]

@@ -103,17 +103,34 @@ def build_aed_head(config, vocab_size: int, dtype=jnp.float32) -> AEDHead:
                        (ac.get("moe", {}) or {}).get("capacity_factor", 1.25)))
 
 
+def build_rnnt_head(config, vocab_size: int, dtype=jnp.float32):
+    """Transducer head from rnnt_conf (beyond the reference — models/rnnt.py)."""
+    from hnet_mamba_asr_tpu.models.rnnt import RNNTHead
+    ec = config["encoder_conf"]
+    rc = config.get("rnnt_conf", {}) or {}
+    return RNNTHead(vocab_size=int(vocab_size), d_memory=int(ec["d_outer"]),
+                    d_pred=int(rc.get("d_pred", 256)),
+                    d_joint=int(rc.get("d_joint", 512)),
+                    context=int(rc.get("context", 2)),
+                    max_symbols=int(rc.get("max_symbols", 4)),
+                    max_decode_len=int(rc.get("max_decode_len", 512)),
+                    dtype=dtype)
+
+
 class DCASRModel:
-    """Frontend + encoder + CTC/AED heads + hybrid loss, as one jittable body."""
+    """Frontend + encoder + CTC/AED/RNNT heads + hybrid loss, one jittable body."""
 
     def __init__(self, encoder: DCASREncoder, ctc_head: CTCHead | None,
                  aed_head: AEDHead | None, weights: HybridLossWeights, *,
+                 rnnt_head=None,
                  n_mels: int = 80, win_length: int = 400, hop_length: int = 160,
                  sample_rate: int = 16000, cmvn: GlobalCMVN | None = None,
                  specaug_conf: dict | None = None, init_frames: int = 64,
                  moe_aux_weight: float = 0.01):
-        if ctc_head is None and aed_head is None:
-            raise ValueError("DCASRModel needs at least one of ctc_head / aed_head")
+        if ctc_head is None and aed_head is None and rnnt_head is None:
+            raise ValueError(
+                "DCASRModel needs at least one of ctc/aed/rnnt heads")
+        self.rnnt = rnnt_head
         self.moe_aux_weight = moe_aux_weight
         self.encoder = encoder
         self.ctc = ctc_head
@@ -141,6 +158,11 @@ class DCASRModel:
             ys = jnp.zeros((1, 4), jnp.int32)
             params["aed"] = self.aed.init(k_aed, mem, jnp.asarray([l_out]),
                                           ys)["params"]
+        if self.rnnt is not None:
+            k_rnnt = jax.random.fold_in(key, 3)
+            params["rnnt"] = self.rnnt.init(
+                k_rnnt, mem, jnp.asarray([l_out]), jnp.zeros((1, 4), jnp.int32),
+                jnp.asarray([4]), method="loss")["params"]
         return params
 
     # ---- frontend --------------------------------------------------------------
@@ -203,8 +225,15 @@ class DCASRModel:
                                                    self.moe_aux_weight)
                 aed = aed + aux
                 stats.update(moe_stats)
+        rnnt = None
+        if self.rnnt is not None:
+            rows = self.rnnt.apply({"params": params["rnnt"]}, enc.features,
+                                   enc.lengths, batch["tokens"],
+                                   batch["token_lens"], method="loss")
+            rows = rows / jnp.maximum(batch["token_lens"] + 1, 1)  # per-symbol
+            rnnt = (rows * row_mask).sum() / n_real
         out = combine_losses(self.weights, ctc_loss=ctc, aed_loss=aed,
-                             ratio_loss=enc.ratio_loss)
+                             ratio_loss=enc.ratio_loss, rnnt_loss=rnnt)
         stats.update({k: jax.lax.stop_gradient(v) for k, v in out.items()})
         for i, kf in enumerate(enc.kept_fractions):
             stats["kept_fraction" if i == 0 else f"kept_fraction_{i}"] = \
@@ -221,6 +250,12 @@ class DCASRModel:
             ids = self.ctc.apply({"params": params["ctc"]}, enc.features,
                                  method="frame_argmax")
             return ctc_host_greedy(ids, enc.lengths, self.ctc.blank_id)
+        if self.rnnt is not None:
+            from hnet_mamba_asr_tpu.models.rnnt import rnnt_host_greedy
+            toks, lens = self.rnnt.apply(
+                {"params": params["rnnt"]}, enc.features, enc.lengths,
+                method="greedy_decode")
+            return rnnt_host_greedy(toks, lens)
         ids = self.aed.apply({"params": params["aed"]}, enc.features, enc.lengths,
                              method="greedy_decode")
         return [strip_hypothesis(row, self.aed.eos_id) for row in np.asarray(ids)]
@@ -230,8 +265,10 @@ def build_model(config, vocab_size: int, cmvn: GlobalCMVN | None = None) -> DCAS
     """Assemble the full model from config: heads exist iff their weight > 0."""
     mc = config.get("model_conf", {}) or {}
     weights = HybridLossWeights.from_config(mc)
-    if weights.ctc_weight <= 0.0 and weights.aed_weight <= 0.0:
-        raise ValueError("model_conf needs ctc_weight > 0 or aed_weight > 0")
+    if weights.ctc_weight <= 0.0 and weights.aed_weight <= 0.0 \
+            and weights.rnnt_weight <= 0.0:
+        raise ValueError(
+            "model_conf needs ctc_weight, aed_weight or rnnt_weight > 0")
     dtype = _DTYPES[str((config.get("train", {}) or {}).get("precision", "fp32"))] \
         if isinstance(config.get("train"), dict) else jnp.float32
     fc = config.get("frontend_conf", {}) or {}
@@ -239,7 +276,10 @@ def build_model(config, vocab_size: int, cmvn: GlobalCMVN | None = None) -> DCAS
     specaug = specaug_kwargs(sc) if sc else None
     ctc_head = build_head(config, vocab_size, dtype) if weights.ctc_weight > 0 else None
     aed_head = build_aed_head(config, vocab_size, dtype) if weights.aed_weight > 0 else None
+    rnnt_head = build_rnnt_head(config, vocab_size, dtype) \
+        if weights.rnnt_weight > 0 else None
     model = DCASRModel(build_encoder(config, dtype), ctc_head, aed_head, weights,
+                       rnnt_head=rnnt_head,
                        n_mels=int(fc.get("n_mels", 80)),
                        win_length=int(fc.get("win_length", 400)),
                        hop_length=int(fc.get("hop_length", 160)),

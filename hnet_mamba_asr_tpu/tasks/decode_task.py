@@ -66,13 +66,15 @@ def expand_cells(decode_cfg: Mapping[str, Any]) -> list[dict]:
     with_lm = str(lm_val).lower() not in ("none", "false", "")
     cells, seen = [], set()
     for ro in read_outs:
-        if ro not in ("ctc", "aed", "joint"):
+        if ro not in ("ctc", "aed", "joint", "rnnt"):
             raise ValueError(f"unknown read_out {ro!r}")
         for s in searches:
             if s not in ("greedy", "beam"):
                 raise ValueError(f"unknown search {s!r}")
-            if s == "greedy" and ro != "ctc":
-                continue                                 # greedy is CTC-only
+            if s == "greedy" and ro not in ("ctc", "rnnt"):
+                continue                # greedy: CTC frame-argmax / RNNT scan
+            if s == "beam" and ro == "rnnt":
+                continue                # transducer search: greedy (for now)
             for use_lm in ([False, True] if (s == "beam" and with_lm) else [False]):
                 name = f"{ro}_{s}" + ("_lm" if use_lm else "")
                 if name in seen:
@@ -91,6 +93,8 @@ def check_heads(model, cells: list[dict]) -> None:
             raise ValueError(f"cell {c['name']}: model has no CTC head")
         if c["read_out"] in ("aed", "joint") and model.aed is None:
             raise ValueError(f"cell {c['name']}: model has no AED head")
+        if c["read_out"] == "rnnt" and getattr(model, "rnnt", None) is None:
+            raise ValueError(f"cell {c['name']}: model has no RNNT head")
 
 
 def load_model_params(ckpt_path: str | Path) -> tuple[dict, dict]:
@@ -388,6 +392,15 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
                                     method="frame_argmax")
         jax.block_until_ready(frame_ids)
         hyps = ctc_host_greedy(frame_ids, lengths, model.ctc.blank_id)[:n_real]
+        dt = time.perf_counter() - t0
+        times = [dt / max(n_real, 1)] * n_real
+    elif cell["read_out"] == "rnnt":                     # transducer greedy
+        from hnet_mamba_asr_tpu.models.rnnt import rnnt_host_greedy
+        t0 = time.perf_counter()
+        toks, tl = model.rnnt.apply({"params": params["rnnt"]}, enc.features,
+                                    enc.lengths, method="greedy_decode")
+        jax.block_until_ready(toks)
+        hyps = rnnt_host_greedy(toks, tl)[:n_real]
         dt = time.perf_counter() - t0
         times = [dt / max(n_real, 1)] * n_real
     elif cell["read_out"] == "ctc":                      # prefix beam (+/-LM)

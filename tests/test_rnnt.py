@@ -1,0 +1,323 @@
+"""RNN-T: loss vs brute-force lattice DP (values + grads), padding
+invariance, hand-computed degenerate cases, stateless-predictor head,
+greedy decode, and full-model integration (beyond the reference, which
+ships CTC/AED/joint only)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hnet_mamba_asr_tpu.ops.rnnt_loss import rnnt_loss
+
+
+def _np_oracle(logits, T_b, y, U_b, blank):
+    """Graves lattice DP in fp64 numpy: -log P(y[:U_b] | x[:T_b])."""
+    lp = np.asarray(logits, np.float64)
+    lp = lp - lp.max(-1, keepdims=True)
+    lp = lp - np.log(np.exp(lp).sum(-1, keepdims=True))
+    alpha = np.full((T_b, U_b + 1), -np.inf)
+    alpha[0, 0] = 0.0
+    for t in range(1, T_b):
+        alpha[t, 0] = alpha[t - 1, 0] + lp[t - 1, 0, blank]
+    for u in range(1, U_b + 1):
+        alpha[0, u] = alpha[0, u - 1] + lp[0, u - 1, y[u - 1]]
+    for t in range(1, T_b):
+        for u in range(1, U_b + 1):
+            alpha[t, u] = np.logaddexp(
+                alpha[t - 1, u] + lp[t - 1, u, blank],
+                alpha[t, u - 1] + lp[t, u - 1, y[u - 1]])
+    return -(alpha[T_b - 1, U_b] + lp[T_b - 1, U_b, blank])
+
+
+def _naive_jax(logits, feat_lengths, targets, target_lengths, blank):
+    """Direct differentiable recursion (python loop over u, scan over t) —
+    the independent reference for gradients."""
+    B, T, U1, V = logits.shape
+    U = U1 - 1
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+    blankp = lp[..., blank]
+    lab = jnp.take_along_axis(lp[:, :, :U, :],
+                              jnp.clip(targets, 0, V - 1)[:, None, :, None],
+                              axis=-1)[..., 0]
+    NEG = -1.0e30
+
+    def step(alpha, inp):
+        b_t, l_t, t_real = inp
+        new = [alpha[:, 0]]
+        for u in range(1, U1):
+            new.append(jnp.logaddexp(alpha[:, u], new[u - 1] + l_t[:, u - 1]))
+        beta = jnp.stack(new, axis=1)
+        nxt = jnp.where(t_real[:, None], beta + b_t, alpha)
+        return nxt, beta
+
+    alpha0 = jnp.full((B, U1), NEG).at[:, 0].set(0.0)
+    # mask invalid label transitions softly (same contract as the real op)
+    u_ids = jnp.arange(U)
+    lab = jnp.where((u_ids[None, :] < target_lengths[:, None])[:, None, :],
+                    lab, -3.0e4)
+    t_real = jnp.arange(T)[None, :] < feat_lengths[:, None]
+    _, betas = jax.lax.scan(step, alpha0,
+                            (blankp.transpose(1, 0, 2),
+                             lab.transpose(1, 0, 2), t_real.transpose(1, 0)))
+    last = jnp.maximum(feat_lengths - 1, 0)
+    bl = jnp.take_along_axis(betas.transpose(1, 0, 2),
+                             last[:, None, None], 1)[:, 0]
+    bb = jnp.take_along_axis(blankp, last[:, None, None], 1)[:, 0]
+    tot = jnp.take_along_axis(bl + bb, jnp.clip(target_lengths, 0, U)[:, None],
+                              1)[:, 0]
+    return -tot
+
+
+@pytest.fixture
+def case(rng):
+    B, T, U, V = 3, 7, 4, 6
+    logits = rng.normal(size=(B, T, U + 1, V)).astype(np.float32)
+    feat_lens = np.array([T, 5, 3], np.int32)
+    targets = rng.integers(0, V - 1, size=(B, U)).astype(np.int32)
+    tgt_lens = np.array([U, 2, 3], np.int32)
+    return logits, feat_lens, targets, tgt_lens, V - 1
+
+
+def test_rnnt_loss_matches_numpy_oracle(case):
+    logits, fl, y, ul, blank = case
+    got = rnnt_loss(logits, fl, y, ul, blank_id=blank, reduction="none")
+    for b in range(logits.shape[0]):
+        want = _np_oracle(logits[b], int(fl[b]), y[b], int(ul[b]), blank)
+        assert float(got[b]) == pytest.approx(want, rel=1e-5), b
+
+
+def test_rnnt_loss_grads_match_naive_recursion(case):
+    logits, fl, y, ul, blank = case
+
+    g_fast = jax.grad(lambda l: rnnt_loss(l, fl, y, ul, blank_id=blank,
+                                          reduction="sum"))(logits)
+    g_ref = jax.grad(lambda l: _naive_jax(l, fl, y, ul, blank).sum())(logits)
+    assert np.isfinite(np.asarray(g_fast)).all()
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_rnnt_loss_padding_invariance(case):
+    """Extra padded frames, label slots, or batch rows never change a real
+    row's loss."""
+    logits, fl, y, ul, blank = case
+    base = rnnt_loss(logits, fl, y, ul, blank_id=blank, reduction="none")
+    B, T, U1, V = logits.shape
+    rng = np.random.default_rng(9)
+    big = rng.normal(size=(B, T + 3, U1 + 2, V)).astype(np.float32)
+    big[:, :T, :U1] = logits
+    ybig = np.concatenate([y, rng.integers(0, V - 1, size=(B, 2))],
+                          axis=1).astype(np.int32)
+    got = rnnt_loss(big, fl, ybig, ul, blank_id=blank, reduction="none")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_rnnt_loss_hand_cases(rng):
+    V, blank = 4, 3
+    # T=1, U=1: logP = label(0,0,y0) + blank(0,1)
+    logits = rng.normal(size=(1, 1, 2, V)).astype(np.float32)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    y = np.array([[2]], np.int32)
+    want = -(lp[0, 0, 0, 2] + lp[0, 0, 1, blank])
+    got = rnnt_loss(logits, np.array([1]), y, np.array([1]),
+                    blank_id=blank, reduction="none")
+    assert float(got[0]) == pytest.approx(float(want), rel=1e-6)
+    # U=0: logP = sum over frames of blank at u=0
+    T = 5
+    logits = rng.normal(size=(1, T, 1, V)).astype(np.float32)
+    lp = np.asarray(jax.nn.log_softmax(jnp.asarray(logits), -1))
+    got = rnnt_loss(logits, np.array([T]), np.zeros((1, 0), np.int32),
+                    np.array([0]), blank_id=blank, reduction="none")
+    assert float(got[0]) == pytest.approx(-float(lp[0, :, 0, blank].sum()),
+                                          rel=1e-6)
+
+
+def test_rnnt_loss_reductions(case):
+    logits, fl, y, ul, blank = case
+    rows = rnnt_loss(logits, fl, y, ul, blank_id=blank, reduction="none")
+    s = rnnt_loss(logits, fl, y, ul, blank_id=blank, reduction="sum")
+    m = rnnt_loss(logits, fl, y, ul, blank_id=blank, reduction="mean")
+    assert float(s) == pytest.approx(float(rows.sum()), rel=1e-6)
+    assert float(m) == pytest.approx(float(rows.mean()), rel=1e-6)
+    with pytest.raises(ValueError):
+        rnnt_loss(logits, fl, y, ul, blank_id=blank, reduction="nope")
+
+
+# ── head ─────────────────────────────────────────────────────────────────────
+
+def _head(V=8, D=12):
+    from hnet_mamba_asr_tpu.models.rnnt import RNNTHead
+    return RNNTHead(vocab_size=V, d_memory=D, d_pred=8, d_joint=16,
+                    context=2, max_symbols=3, max_decode_len=32)
+
+
+def test_rnnt_head_loss_and_greedy(rng):
+    head = _head()
+    B, T, D = 2, 9, 12
+    mem = jnp.asarray(rng.normal(size=(B, T, D)), jnp.float32)
+    lens = jnp.asarray([T, 6], jnp.int32)
+    y = jnp.asarray(rng.integers(0, 8, size=(B, 5)), jnp.int32)
+    ul = jnp.asarray([5, 3], jnp.int32)
+    params = head.init(jax.random.PRNGKey(0), mem, lens, y, ul,
+                       method="loss")["params"]
+    rows = head.apply({"params": params}, mem, lens, y, ul, method="loss")
+    assert rows.shape == (B,) and np.isfinite(np.asarray(rows)).all()
+    toks, tl = head.apply({"params": params}, mem, lens,
+                          method="greedy_decode")
+    assert toks.shape[0] == B
+    assert (np.asarray(tl) <= T * head.max_symbols).all()
+    # emitted ids are real labels, never blank
+    for b in range(B):
+        ids = np.asarray(toks)[b, :int(tl[b])]
+        assert (ids < head.vocab_size).all() and (ids >= 0).all()
+    # deterministic
+    toks2, tl2 = head.apply({"params": params}, mem, lens,
+                            method="greedy_decode")
+    np.testing.assert_array_equal(np.asarray(toks), np.asarray(toks2))
+
+
+def test_rnnt_head_history_contract(rng):
+    """Position u's predictor context is (y_{u-1}, y_{u-2}) with bos fill."""
+    head = _head()
+    y = jnp.asarray([[4, 5, 6]], jnp.int32)
+    mem = jnp.zeros((1, 4, 12), jnp.float32)
+    params = head.init(jax.random.PRNGKey(0), mem, jnp.asarray([4]), y,
+                       jnp.asarray([3]), method="loss")["params"]
+
+    got = head.apply({"params": params}, y, jnp.asarray([3]),
+                     method="_histories")
+    want = np.array([[[1, 1], [4, 1], [5, 4], [6, 5]]])   # bos=1
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+# ── model integration ────────────────────────────────────────────────────────
+
+def _rnnt_cfg():
+    return {"encoder": "dcasr", "head": "ctc",
+            "frontend_conf": {"n_mels": 20, "win_length": 400,
+                              "hop_length": 160},
+            "encoder_conf": {"d_outer": 16, "d_main": 24, "n_enc": 1,
+                             "n_main": 1, "n_dec": 1, "arch_type": "A",
+                             "d_state": 8, "headdim": 8,
+                             "ssd_chunk_size": 16,
+                             "hnet": {"compression_N": 1}},
+            "rnnt_conf": {"d_pred": 8, "d_joint": 16, "context": 2,
+                          "max_symbols": 3},
+            "model_conf": {"ctc_weight": 0.0, "aed_weight": 0.0,
+                           "rnnt_weight": 1.0}}
+
+
+def test_rnnt_model_loss_decode_and_train_step(rng, tmp_path):
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+    from hnet_mamba_asr_tpu.training.trainer import Trainer
+
+    model = build_model(_rnnt_cfg(), 16)
+    assert model.rnnt is not None and model.ctc is None and model.aed is None
+    params = model.init_params(jax.random.PRNGKey(0))
+    B, frames = 2, 64
+    n = (frames - 1) * 160 + 400
+    batch = {"wave": np.asarray(rng.normal(size=(B, n)), np.float32) * 0.1,
+             "wave_lens": np.full(B, n, np.int32),
+             "tokens": np.asarray(rng.integers(4, 16, size=(B, 6)), np.int32),
+             "token_lens": np.full(B, 6, np.int32),
+             "row_mask": np.ones(B, bool),
+             "aug_ref": np.array([0, 0], np.int32),
+             "item_index": np.arange(B, dtype=np.int32)}
+    loss, stats = model.loss_fn(params, batch, 0, True)
+    assert np.isfinite(float(loss)) and float(stats["loss/rnnt"]) > 0
+    hyps = model.greedy_decode(params, batch)
+    assert len(hyps) == B
+
+    class _Loader:
+        def set_epoch(self, e):
+            pass
+
+        def __iter__(self):
+            return iter([dict(batch)])
+
+        def __len__(self):
+            return 1
+
+    cfg = {"max_epoch": 1, "grad_clip": 5.0, "accum_grad": 1,
+           "log_interval": 1, "valid_interval_epoch": 1,
+           "keep_nbest_models": 0, "optim": "adamw",
+           "optim_conf": {"lr": 1e-3}, "scheduler": "warmuplr",
+           "scheduler_conf": {"warmup_steps": 10}}
+    tr = Trainer(model, _Loader(), cfg, ckpt_dir=str(tmp_path))
+    tr._train_epoch()
+    assert tr.global_step == 1
+
+
+def test_rnnt_overfits_one_batch(rng):
+    """The loss drives learning: a tiny transducer memorizes one utterance
+    (greedy decode reproduces the target exactly)."""
+    import optax
+
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    model = build_model(_rnnt_cfg(), 16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    frames = 64
+    n = (frames - 1) * 160 + 400
+    target = [5, 9, 12, 7]
+    batch = {"wave": np.asarray(rng.normal(size=(1, n)), np.float32) * 0.1,
+             "wave_lens": np.array([n], np.int32),
+             "tokens": np.asarray([target], np.int32),
+             "token_lens": np.array([len(target)], np.int32),
+             "row_mask": np.ones(1, bool),
+             "aug_ref": np.array([0, 0], np.int32),
+             "item_index": np.arange(1, dtype=np.int32)}
+    tx = optax.adam(3e-3)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt):
+        (l, _), g = jax.value_and_grad(
+            lambda p: model.loss_fn(p, batch, 0, False), has_aux=True)(params)
+        up, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, up), opt, l
+
+    hyp = None
+    for chunk in range(8):                       # up to 1200 steps
+        for _ in range(150):
+            params, opt, l = step(params, opt)
+        assert np.isfinite(float(l))
+        hyp = model.greedy_decode(params, batch)[0]
+        if hyp == target:
+            break
+    # measured: greedy locks in around step ~600 (loss ~0.01)
+    assert hyp == target, (hyp, float(l))
+
+
+def test_rnnt_decode_cell(rng):
+    """decode_task: read_outs [rnnt] expands to the rnnt_greedy cell and
+    decodes; check_heads rejects models without the head."""
+    from types import SimpleNamespace
+
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+    from hnet_mamba_asr_tpu.tasks.decode_task import (
+        check_heads, decode_batch, expand_cells,
+    )
+
+    cells = expand_cells({"read_outs": ["rnnt"], "search": ["greedy", "beam"]})
+    assert [c["name"] for c in cells] == ["rnnt_greedy"]
+    model = build_model(_rnnt_cfg(), 16)
+    check_heads(model, cells)
+    ctc_only = build_model(dict(_rnnt_cfg(),
+                                model_conf={"ctc_weight": 1.0}), 16)
+    with pytest.raises(ValueError, match="no RNNT head"):
+        check_heads(ctc_only, cells)
+
+    params = model.init_params(jax.random.PRNGKey(0))
+    B, frames = 2, 64
+    n = (frames - 1) * 160 + 400
+    batch = {"wave": np.asarray(rng.normal(size=(B, n)), np.float32) * 0.1,
+             "wave_lens": np.full(B, n, np.int32),
+             "tokens": np.asarray(rng.integers(4, 16, size=(B, 6)), np.int32),
+             "token_lens": np.full(B, 6, np.int32),
+             "ids": ["u0", "u1"], "row_mask": np.ones(B, bool)}
+    tok = SimpleNamespace(bos_id=1, eos_id=2, pad_id=3, vocab_size=16,
+                          decode=lambda ids: " ".join(map(str, ids)))
+    recs = decode_batch(model, params, tok, batch, cells[0], {})
+    assert len(recs) == B and all(isinstance(r["hyp"], str) for r in recs)
