@@ -110,17 +110,25 @@ class RNNTHead(nn.Module):
                          blank_id=self.blank_id, reduction="none")
 
     # ---- greedy decode ----------------------------------------------------------
-    def greedy_decode(self, memory: jax.Array,
-                      memory_lengths: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def greedy_decode(self, memory: jax.Array, memory_lengths: jax.Array,
+                      hist: jax.Array | None = None,
+                      return_hist: bool = False):
         """Frame-synchronous greedy search -> (tokens [B, L], lengths [B]).
 
         Per frame: evaluate the joint on the current history; emit while the
         argmax is non-blank (at most ``max_symbols`` per frame), then advance
-        to the next frame. One jittable lax.scan, static shapes."""
+        to the next frame. One jittable lax.scan, static shapes.
+
+        ``hist`` [B, context] carries the label history INTO this call and
+        ``return_hist=True`` returns the updated history — the stateless
+        predictor makes block-wise STREAMING transducer decoding exact:
+        feeding encoder frames block by block with the history threaded
+        through equals one offline pass (tested)."""
         B, T, _ = memory.shape
         L = min(self.max_decode_len, T * self.max_symbols)
         enc_f = self.enc_proj(memory.astype(self.dtype))     # [B, T, J]
-        hist0 = jnp.full((B, self.context), self.bos_id, jnp.int32)
+        hist0 = jnp.full((B, self.context), self.bos_id, jnp.int32) \
+            if hist is None else hist.astype(jnp.int32)
         buf0 = jnp.zeros((B, L), jnp.int32)
         len0 = jnp.zeros((B,), jnp.int32)
         ar = jnp.arange(B)
@@ -145,9 +153,11 @@ class RNNTHead(nn.Module):
             return (hist, buf, out_len), ()
 
         t_real = (jnp.arange(T)[None, :] < memory_lengths[:, None])
-        (hist, buf, out_len), _ = jax.lax.scan(
+        (hist_f, buf, out_len), _ = jax.lax.scan(
             frame, (hist0, buf0, len0),
             (enc_f.transpose(1, 0, 2), t_real.transpose(1, 0)))
+        if return_hist:
+            return buf, out_len, hist_f
         return buf, out_len
 
 

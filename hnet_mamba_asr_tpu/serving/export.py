@@ -38,7 +38,8 @@ from jax import export as jax_export
 from hnet_mamba_asr_tpu.serving.runtime import FORMAT_VERSION
 from hnet_mamba_asr_tpu.training.checkpoint import tree_to_path_dict
 
-VALID_EMIT = ("frame_ids", "log_probs", "aed_ids", "beam_ids")
+VALID_EMIT = ("frame_ids", "log_probs", "aed_ids", "beam_ids",
+              "rnnt_ids")
 
 
 def _tokenizer_meta(tokenizer) -> dict:
@@ -71,6 +72,11 @@ def _serve_fn(model, emit: tuple[str, ...], beam_size: int = 10,
             out["aed_ids"] = model.aed.apply(
                 {"params": params["aed"]}, enc.features, enc.lengths,
                 method="greedy_decode")
+        if "rnnt_ids" in emit:
+            toks, tl = model.rnnt.apply({"params": params["rnnt"]},
+                                        enc.features, enc.lengths,
+                                        method="greedy_decode")
+            out["rnnt_ids"], out["rnnt_lens"] = toks, tl
         if "beam_ids" in emit:
             # the full frame-synchronous CTC prefix beam INSIDE the exported
             # program (decoders/device_ctc_beam.beam_scan): beam-quality
@@ -129,6 +135,8 @@ def save_serving_artifact(out_dir: str | Path, model, params,
         raise ValueError("frame_ids/log_probs/beam_ids require a CTC head")
     if "aed_ids" in emit and model.aed is None:
         raise ValueError("aed_ids requires an AED head")
+    if "rnnt_ids" in emit and getattr(model, "rnnt", None) is None:
+        raise ValueError("rnnt_ids requires an RNNT head")
     if len(set(buckets)) != len(buckets):
         raise ValueError(f"duplicate buckets in {buckets}")
 
@@ -169,7 +177,8 @@ def save_serving_artifact(out_dir: str | Path, model, params,
         rows.append({"batch": int(B), "samples": int(S), "file": name})
 
     vocab = (model.ctc.num_classes - 1 if model.ctc is not None
-             else model.aed.vocab_size)
+             else model.aed.vocab_size if model.aed is not None
+             else model.rnnt.vocab_size)
     manifest = {
         "format_version": FORMAT_VERSION,
         "vocab_size": int(vocab),
@@ -224,10 +233,14 @@ def save_streaming_artifact(out_dir: str | Path, model, params,
     from hnet_mamba_asr_tpu.models.streaming import CausalStreamingEncoder
     from hnet_mamba_asr_tpu.ops.melspec import log_mel_spectrogram
 
-    if model.ctc is None:
-        raise ValueError("streaming serving requires a CTC head")
+    use_rnnt = model.ctc is None and getattr(model, "rnnt", None) is not None
+    if model.ctc is None and not use_rnnt:
+        raise ValueError("streaming serving requires a CTC or RNNT head")
     if batch < 1:
         raise ValueError(f"batch must be >= 1, got {batch}")
+    if use_rnnt and batch > 1:
+        raise ValueError("pooled (batch > 1) streaming serves the CTC path; "
+                         "export RNNT streaming artifacts at batch=1")
     cse = CausalStreamingEncoder(model, params, block_enc=block_enc)
     W_mel = cse.W_mel
     S_win = (W_mel - 1) * cse.hop + cse.win
@@ -235,18 +248,38 @@ def save_streaming_artifact(out_dir: str | Path, model, params,
 
     params = jax.tree_util.tree_map(np.asarray, params)
     states0 = jax.tree_util.tree_map(np.asarray, cse._fresh_states())
+    if use_rnnt:
+        states0 = dict(states0, rnnt_hist=np.full(
+            (batch, model.rnnt.context), model.rnnt.bos_id, np.int32))
 
-    def step(p, wave, states):
+    def _encode_block(p, wave, states):
         feats, _ = log_mel_spectrogram(
             wave, jnp.full((wave.shape[0],), S_win), win_length=cse.win,
             hop_length=cse.hop, n_mels=model.n_mels)
         if cmvn is not None:
             feats = (feats - jnp.asarray(cmvn.mean)) * jnp.asarray(cmvn.istd)
         feats = feats[:, :W_mel].astype(jnp.float32)
-        x_out, new_states = cse._step(p["encoder"], feats, states)
-        ids = model.ctc.apply({"params": p["ctc"]}, x_out,
-                              method="frame_argmax")
-        return ids, new_states
+        return cse._step(p["encoder"], feats, states)
+
+    if use_rnnt:
+        # transducer streaming: the stateless predictor's label history rides
+        # in the state pytree, so block-wise greedy == offline greedy exactly.
+        # n_valid masks the final partial block's tail frames (they must not
+        # emit or advance the history).
+        def step(p, wave, n_valid, states):
+            states = dict(states)
+            hist = states.pop("rnnt_hist")
+            x_out, new_states = _encode_block(p, wave, states)
+            toks, tl, hist2 = model.rnnt.apply(
+                {"params": p["rnnt"]}, x_out, n_valid, hist=hist,
+                return_hist=True, method="greedy_decode")
+            return (toks, tl), dict(new_states, rnnt_hist=hist2)
+    else:
+        def step(p, wave, states):
+            x_out, new_states = _encode_block(p, wave, states)
+            ids = model.ctc.apply({"params": p["ctc"]}, x_out,
+                                  method="frame_argmax")
+            return ids, new_states
 
     if quantize == "int8":
         from hnet_mamba_asr_tpu.serving.quant import (dequantize_tree,
@@ -254,8 +287,12 @@ def save_streaming_artifact(out_dir: str | Path, model, params,
         params = quantize_tree(params, min_size=quantize_min_size)
         inner = step
 
-        def step(qp, wave, states):
-            return inner(dequantize_tree(qp), wave, states)
+        if use_rnnt:
+            def step(qp, wave, n_valid, states):
+                return inner(dequantize_tree(qp), wave, n_valid, states)
+        else:
+            def step(qp, wave, states):
+                return inner(dequantize_tree(qp), wave, states)
     elif quantize is not None:
         raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
 
@@ -268,18 +305,22 @@ def save_streaming_artifact(out_dir: str | Path, model, params,
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), t)
     states_b = states0 if batch == 1 else jax.tree_util.tree_map(
         lambda a: np.concatenate([a] * batch, axis=0), states0)
+    args = [spec(params), jax.ShapeDtypeStruct((batch, S_win), np.float32)]
+    if use_rnnt:
+        args.append(jax.ShapeDtypeStruct((batch,), np.int32))
+    args.append(spec(states_b))
     exp = jax_export.export(
         jax.jit(step), platforms=tuple(platforms) if platforms else None)(
-        spec(params), jax.ShapeDtypeStruct((batch, S_win), np.float32),
-        spec(states_b))
+        *args)
     (out / "stream_step.shlo").write_bytes(exp.serialize())
 
+    head = model.rnnt if use_rnnt else model.ctc
     manifest = {
         "format_version": FORMAT_VERSION,
         "kind": "streaming",
-        "vocab_size": int(model.ctc.num_classes - 1),
-        "blank_id": int(model.ctc.blank_id),
-        "emit": ["frame_ids"],
+        "vocab_size": int(head.num_classes - 1),
+        "blank_id": int(head.blank_id),
+        "emit": ["rnnt_ids"] if use_rnnt else ["frame_ids"],
         "quantize": quantize,
         "platforms": list(platforms) if platforms else [jax.default_backend()],
         "streaming": {"block_enc": int(block_enc), "w_mel": int(W_mel),

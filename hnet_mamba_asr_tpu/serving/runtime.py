@@ -141,11 +141,17 @@ class ServingModel:
             toks, blen = out["beam_ids"], out["beam_lens"]
             return [toks[b, :int(blen[b])].tolist()
                     for b in range(toks.shape[0])]
-        if "frame_ids" not in self.emit:
-            raise ValueError(f"artifact emits {self.emit}, not "
-                             "frame_ids/beam_ids")
-        out = self(wave, wave_lens)
-        return collapse_ctc(out["frame_ids"], out["enc_lengths"], self.blank_id)
+        if "frame_ids" in self.emit:
+            out = self(wave, wave_lens)
+            return collapse_ctc(out["frame_ids"], out["enc_lengths"],
+                                self.blank_id)
+        if "rnnt_ids" in self.emit:
+            out = self(wave, wave_lens)
+            toks, tl = out["rnnt_ids"], out["rnnt_lens"]
+            return [toks[b, :int(tl[b])].tolist()
+                    for b in range(toks.shape[0])]
+        raise ValueError(f"artifact emits {self.emit}, not "
+                         "frame_ids/beam_ids/rnnt_ids")
 
     def transcribe_text(self, wave: np.ndarray,
                         wave_lens: np.ndarray) -> list[str]:
@@ -205,6 +211,10 @@ class StreamingServingModel:
         self.W_mel = int(s["w_mel"])
         self.S_win = int(s["s_win"])
         self.blank_id = int(manifest["blank_id"])
+        # transducer streaming artifacts emit final ids directly (the label
+        # history rides in the state pytree); CTC artifacts emit frame ids
+        # this class collapses
+        self._rnnt = "rnnt_ids" in manifest.get("emit", [])
         if int(s.get("batch", 1)) != 1:
             raise ValueError(
                 f"artifact exported at batch {s['batch']} — use "
@@ -234,12 +244,21 @@ class StreamingServingModel:
         seg = self._buf[s0 - self._buf_start:s0 - self._buf_start + self.S_win]
         wave = np.zeros((1, self.S_win), np.float32)
         wave[0, : len(seg)] = seg
-        ids, self._states = self._fn.call(self._params, wave, self._states)
+        if self._rnnt:
+            (ids, tl), self._states = self._fn.call(
+                self._params, wave, np.array([n_valid], np.int32),
+                self._states)
+        else:
+            ids, self._states = self._fn.call(self._params, wave,
+                                              self._states)
         self._e0 += n_valid
         keep = 4 * self._e0 * self.hop
         if keep > self._buf_start:
             self._buf = self._buf[keep - self._buf_start:]
             self._buf_start = keep
+        if self._rnnt:
+            return [int(t) for t in
+                    np.asarray(ids)[0, : int(np.asarray(tl)[0])]]
         toks = []
         for t in np.asarray(ids)[0, : n_valid]:
             t = int(t)

@@ -33,7 +33,8 @@ def parse_args(argv=None):
     ap.add_argument("--buckets", nargs="+", default=["8x160000"],
                     help="(batch)x(samples) shape buckets, e.g. 8x160000")
     ap.add_argument("--emit", nargs="+", default=["frame_ids"],
-                    choices=["frame_ids", "log_probs", "aed_ids", "beam_ids"])
+                    choices=["frame_ids", "log_probs", "aed_ids", "beam_ids",
+                             "rnnt_ids"])
     ap.add_argument("--beam-size", type=int, default=10,
                     help="with --emit beam_ids: beam width of the exported "
                          "CTC prefix beam")

@@ -321,3 +321,59 @@ def test_rnnt_decode_cell(rng):
                           decode=lambda ids: " ".join(map(str, ids)))
     recs = decode_batch(model, params, tok, batch, cells[0], {})
     assert len(recs) == B and all(isinstance(r["hyp"], str) for r in recs)
+
+
+# ── serving ──────────────────────────────────────────────────────────────────
+
+def test_rnnt_offline_serving_export(rng, tmp_path):
+    """emit=("rnnt_ids",): AOT artifact transducer greedy == live greedy."""
+    from hnet_mamba_asr_tpu.serving import (
+        load_serving_artifact, save_serving_artifact,
+    )
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    cfg = dict(_rnnt_cfg(), train={"precision": "fp32"})
+    model = build_model(cfg, 16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    art = tmp_path / "rnnt_art"
+    save_serving_artifact(art, model, params, buckets=[(2, 4000)],
+                          emit=("rnnt_ids",))
+    sm = load_serving_artifact(art)
+    wave = (rng.normal(size=(2, 4000)) * 0.1).astype(np.float32)
+    lens = np.array([4000, 3100], np.int32)
+    ids = sm.transcribe_ids(wave, lens)
+    live = model.greedy_decode(params, {"wave": wave, "wave_lens": lens})
+    assert ids == live
+    with pytest.raises(ValueError, match="rnnt_ids requires"):
+        ctc_only = build_model(dict(_rnnt_cfg(),
+                                    model_conf={"ctc_weight": 1.0}), 16)
+        save_serving_artifact(tmp_path / "x", ctc_only,
+                              ctc_only.init_params(jax.random.PRNGKey(0)),
+                              [(1, 4000)], emit=("rnnt_ids",))
+
+
+def test_rnnt_streaming_export_matches_offline(rng, tmp_path):
+    """Streaming transducer artifact: blockwise feed/finish over the exact
+    causal encoder + carried label history == the offline rnnt greedy."""
+    from hnet_mamba_asr_tpu.serving import (
+        load_streaming_artifact, save_streaming_artifact,
+    )
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    cfg = dict(_rnnt_cfg(), train={"precision": "fp32"})
+    cfg["encoder_conf"] = dict(cfg["encoder_conf"], bidirectional=False)
+    model = build_model(cfg, 16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    art = tmp_path / "rnnt_stream"
+    save_streaming_artifact(art, model, params, block_enc=8)
+    sm = load_streaming_artifact(art)
+    assert sm._rnnt
+    wave = (rng.normal(size=10000) * 0.1).astype(np.float32)
+    toks = []
+    for lo in range(0, len(wave), 1300):         # ragged pushes
+        toks += sm.feed(wave[lo:lo + 1300])
+    toks += sm.finish()
+    live = model.greedy_decode(
+        params, {"wave": wave[None],
+                 "wave_lens": np.array([len(wave)], np.int32)})[0]
+    assert toks == live
