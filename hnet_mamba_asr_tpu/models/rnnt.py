@@ -109,6 +109,18 @@ class RNNTHead(nn.Module):
         return rnnt_loss(logits, memory_lengths, targets, target_lengths,
                          blank_id=self.blank_id, reduction="none")
 
+    # ---- beam-facing step API ------------------------------------------------
+    def encode_features(self, memory: jax.Array) -> jax.Array:
+        """memory [B, T, d_memory] -> joint-space encoder features [B, T, J]
+        (computed once per utterance by the beam engine)."""
+        return self.enc_proj(memory.astype(self.dtype))
+
+    def step_logprobs(self, enc_f_t: jax.Array, hist: jax.Array) -> jax.Array:
+        """enc_f_t [R, J] (one frame, beam rows), hist [R, context] ->
+        fp32 log-probs [R, V+1] — one joint evaluation per beam expansion."""
+        logits = self.out(jnp.tanh(enc_f_t + self._predict(hist)))
+        return jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
     # ---- greedy decode ----------------------------------------------------------
     def greedy_decode(self, memory: jax.Array, memory_lengths: jax.Array,
                       hist: jax.Array | None = None,

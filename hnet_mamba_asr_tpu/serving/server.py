@@ -184,6 +184,9 @@ class MicroBatcher:
                             out["beam_ids"][i][:int(out["beam_lens"][i])]]
             elif "frame_ids" in out:
                 r["ids"] = from_ids[i]
+            elif "rnnt_ids" in out:       # transducer greedy
+                r["ids"] = [int(t) for t in
+                            out["rnnt_ids"][i][:int(out["rnnt_lens"][i])]]
             elif "aed_ids" in out:
                 row = [int(t) for t in out["aed_ids"][i]]
                 eos = self.model.manifest.get("eos_id", 2) or 2

@@ -73,9 +73,9 @@ def expand_cells(decode_cfg: Mapping[str, Any]) -> list[dict]:
                 raise ValueError(f"unknown search {s!r}")
             if s == "greedy" and ro not in ("ctc", "rnnt"):
                 continue                # greedy: CTC frame-argmax / RNNT scan
-            if s == "beam" and ro == "rnnt":
-                continue                # transducer search: greedy (for now)
-            for use_lm in ([False, True] if (s == "beam" and with_lm) else [False]):
+            lm_opts = [False, True] if (s == "beam" and with_lm
+                                        and ro != "rnnt") else [False]
+            for use_lm in lm_opts:      # no rnnt LM-fusion cell (yet)
                 name = f"{ro}_{s}" + ("_lm" if use_lm else "")
                 if name in seen:
                     continue
@@ -394,13 +394,20 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
         hyps = ctc_host_greedy(frame_ids, lengths, model.ctc.blank_id)[:n_real]
         dt = time.perf_counter() - t0
         times = [dt / max(n_real, 1)] * n_real
-    elif cell["read_out"] == "rnnt":                     # transducer greedy
+    elif cell["read_out"] == "rnnt" and cell["search"] == "greedy":
         from hnet_mamba_asr_tpu.models.rnnt import rnnt_host_greedy
         t0 = time.perf_counter()
         toks, tl = model.rnnt.apply({"params": params["rnnt"]}, enc.features,
                                     enc.lengths, method="greedy_decode")
         jax.block_until_ready(toks)
         hyps = rnnt_host_greedy(toks, tl)[:n_real]
+        dt = time.perf_counter() - t0
+        times = [dt / max(n_real, 1)] * n_real
+    elif cell["read_out"] == "rnnt":                     # transducer beam
+        from hnet_mamba_asr_tpu.decoders.rnnt_decode import rnnt_beam_search
+        t0 = time.perf_counter()
+        hyps = rnnt_beam_search(model.rnnt, params["rnnt"], enc.features,
+                                enc.lengths, beam_size=beam_size)[:n_real]
         dt = time.perf_counter() - t0
         times = [dt / max(n_real, 1)] * n_real
     elif cell["read_out"] == "ctc":                      # prefix beam (+/-LM)

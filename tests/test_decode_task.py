@@ -42,7 +42,7 @@ def test_duplicates_decode_once():
 
 def test_unknown_values_raise():
     with pytest.raises(ValueError, match="read_out"):
-        expand_cells({"read_outs": ["rnnt"]})
+        expand_cells({"read_outs": ["transducerx"]})
     with pytest.raises(ValueError, match="search"):
         expand_cells({"read_outs": ["ctc"], "search": ["astar"]})
 

@@ -301,7 +301,8 @@ def test_rnnt_decode_cell(rng):
     )
 
     cells = expand_cells({"read_outs": ["rnnt"], "search": ["greedy", "beam"]})
-    assert [c["name"] for c in cells] == ["rnnt_greedy"]
+    assert [c["name"] for c in cells] == ["rnnt_greedy", "rnnt_beam"]
+    cells = cells[:1]
     model = build_model(_rnnt_cfg(), 16)
     check_heads(model, cells)
     ctc_only = build_model(dict(_rnnt_cfg(),
@@ -377,3 +378,85 @@ def test_rnnt_streaming_export_matches_offline(rng, tmp_path):
         params, {"wave": wave[None],
                  "wave_lens": np.array([len(wave)], np.int32)})[0]
     assert toks == live
+
+
+# ── beam search ──────────────────────────────────────────────────────────────
+
+def test_rnnt_beam_finds_map_sequence(rng):
+    """With generous width/emission caps the beam's best hypothesis is the
+    exact MAP label sequence — brute-force: score EVERY sequence up to
+    length 3 with the transducer NLL (the same oracle pattern as the CTC
+    prefix beam)."""
+    from itertools import product
+
+    from hnet_mamba_asr_tpu.decoders.rnnt_decode import rnnt_beam_search
+    from hnet_mamba_asr_tpu.models.rnnt import RNNTHead
+
+    V, D, T = 3, 8, 4
+    head = RNNTHead(vocab_size=V, d_memory=D, d_pred=8, d_joint=16,
+                    context=2, max_symbols=3, max_decode_len=16)
+    for seed in range(3):
+        r = np.random.default_rng(40 + seed)
+        mem = jnp.asarray(r.normal(size=(1, T, D)) * 2.0, jnp.float32)
+        lens = jnp.asarray([T], jnp.int32)
+        params = head.init(jax.random.PRNGKey(seed), mem, lens,
+                           jnp.zeros((1, 3), jnp.int32), jnp.asarray([3]),
+                           method="loss")["params"]
+        best_seq, best_nll = None, np.inf
+        for L in range(0, 4):
+            for y in product(range(V), repeat=L):
+                tgt = np.zeros((1, 3), np.int32)
+                tgt[0, :L] = y
+                nll = float(head.apply({"params": params}, mem, lens,
+                                       jnp.asarray(tgt), jnp.asarray([L]),
+                                       method="loss")[0])
+                if nll < best_nll:
+                    best_nll, best_seq = nll, list(y)
+        got = rnnt_beam_search(head, params, mem, lens, beam_size=27,
+                               max_symbols=3)[0]
+        assert got == best_seq, (seed, got, best_seq, best_nll)
+
+
+def test_rnnt_beam_cell_and_vs_greedy(rng):
+    """rnnt_beam decode cell runs; the beam's sequence never scores worse
+    than greedy's under the model."""
+    from types import SimpleNamespace
+
+    from hnet_mamba_asr_tpu.decoders.rnnt_decode import rnnt_beam_search
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+    from hnet_mamba_asr_tpu.tasks.decode_task import decode_batch, expand_cells
+
+    cells = expand_cells({"read_outs": ["rnnt"], "search": ["beam"]})
+    assert [c["name"] for c in cells] == ["rnnt_beam"]
+    model = build_model(_rnnt_cfg(), 16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    B, frames = 2, 64
+    n = (frames - 1) * 160 + 400
+    batch = {"wave": np.asarray(rng.normal(size=(B, n)), np.float32) * 0.1,
+             "wave_lens": np.full(B, n, np.int32),
+             "tokens": np.asarray(rng.integers(4, 16, size=(B, 6)), np.int32),
+             "token_lens": np.full(B, 6, np.int32),
+             "ids": ["u0", "u1"], "row_mask": np.ones(B, bool)}
+    tok = SimpleNamespace(bos_id=1, eos_id=2, pad_id=3, vocab_size=16,
+                          decode=lambda ids: " ".join(map(str, ids)))
+    recs = decode_batch(model, params, tok, batch, cells[0], {"beam_size": 4})
+    assert len(recs) == B
+
+    enc = model.encode(params, batch)
+    beam = rnnt_beam_search(model.rnnt, params["rnnt"], enc.features,
+                            enc.lengths, beam_size=4)
+    greedy = model.greedy_decode(params, batch)
+
+    def nll(y):
+        U = max(max((len(s) for s in y), default=0), 1)
+        tgt = np.zeros((B, U), np.int32)
+        ul = np.zeros((B,), np.int32)
+        for b, seq in enumerate(y):
+            tgt[b, :len(seq)] = seq
+            ul[b] = len(seq)
+        return np.asarray(model.rnnt.apply(
+            {"params": params["rnnt"]}, enc.features, enc.lengths,
+            jnp.asarray(tgt), jnp.asarray(ul), method="loss"))
+
+    nb, ng = nll(beam), nll(greedy)
+    assert (nb <= ng + 1e-4).all(), (nb, ng)
