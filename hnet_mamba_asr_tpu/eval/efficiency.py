@@ -267,9 +267,11 @@ def head_params(config: Mapping[str, Any], vocab_size: int) -> dict:
     d_outer = int(config["encoder_conf"]["d_outer"])
     w_ctc = float(model_conf.get("ctc_weight", 1.0))
     w_aed = float(model_conf.get("aed_weight", 0.0))
-    if w_ctc <= 0 and w_aed <= 0:
-        raise ValueError("model_conf needs ctc_weight > 0 or aed_weight > 0")
-    counts = {"ctc_head": 0, "aed_head": 0}
+    w_rnnt = float(model_conf.get("rnnt_weight", 0.0))
+    if w_ctc <= 0 and w_aed <= 0 and w_rnnt <= 0:
+        raise ValueError(
+            "model_conf needs ctc_weight, aed_weight or rnnt_weight > 0")
+    counts = {"ctc_head": 0, "aed_head": 0, "rnnt_head": 0}
     key = jax.random.PRNGKey(0)
     probe_mem = jnp.zeros((1, 4, d_outer), jnp.float32)
     if w_ctc > 0:
@@ -287,6 +289,17 @@ def head_params(config: Mapping[str, Any], vocab_size: int) -> dict:
         counts["aed_head"] = count_params(
             head.init(key, probe_mem, jnp.asarray([4]),
                       jnp.zeros((1, 4), jnp.int32)))
+    if w_rnnt > 0:
+        from hnet_mamba_asr_tpu.models.rnnt import RNNTHead
+        rc = dict(config.get("rnnt_conf", {}) or {})
+        head = RNNTHead(vocab_size=int(vocab_size), d_memory=d_outer,
+                        d_pred=int(rc.get("d_pred", 256)),
+                        d_joint=int(rc.get("d_joint", 512)),
+                        context=int(rc.get("context", 2)))
+        counts["rnnt_head"] = count_params(
+            head.init(key, probe_mem, jnp.asarray([4]),
+                      jnp.zeros((1, 4), jnp.int32), jnp.asarray([4]),
+                      method="loss"))
     return counts
 
 
@@ -314,7 +327,8 @@ def efficiency_report(config: Mapping[str, Any], vocab_size: int,
     p_enc = encoder_params(enc, n_mels)
     p_heads = head_params(config, vocab_size)
     params = {"encoder": p_enc["total"], **p_heads,
-              "total": p_enc["total"] + p_heads["ctc_head"] + p_heads["aed_head"],
+              "total": p_enc["total"] + p_heads["ctc_head"]
+              + p_heads["aed_head"] + p_heads["rnnt_head"],
               "encoder_breakdown": p_enc["breakdown"]}
 
     f_enc = encoder_flops(enc, n_frames, n_mels, kept_fractions)
@@ -336,6 +350,17 @@ def efficiency_report(config: Mapping[str, Any], vocab_size: int,
             int(vocab_size), a["d_outer"], int(aed_conf.get("n_layers", 6)),
             int(aed_conf.get("d_ff", 2048)),
             memory_len=f_enc["frames_25hz"], ctx_len=32.0)
+    if p_heads["rnnt_head"]:
+        rc = dict(config.get("rnnt_conf", {}) or {})
+        dj = int(rc.get("d_joint", 512))
+        dp_ = int(rc.get("d_pred", 256))
+        ctx = int(rc.get("context", 2))
+        # per encoder frame: enc_proj + one blank joint evaluation; per
+        # emitted token: predictor embed-concat projection + output matmul
+        flops["rnnt_secondary"] = {
+            "per_frame": 2.0 * (a["d_outer"] * dj + dj * (vocab_size + 1)),
+            "per_token": 2.0 * (ctx * dp_ * dj + dj * (vocab_size + 1)),
+        }
 
     arch = {k: a[k] for k in ("type", "N", "chunker", "d_outer", "d_main",
                               "n_enc", "n_main", "n_dec", "n_mid", "bidir",
@@ -357,14 +382,14 @@ def format_efficiency(report: Mapping[str, Any]) -> str:
         head,
         f"params: total {p['total'] / 1e6:.2f}M  (encoder "
         f"{p['encoder'] / 1e6:.2f}M, ctc {p['ctc_head'] / 1e6:.2f}M, "
-        f"aed {p['aed_head'] / 1e6:.2f}M)",
+        f"aed {p['aed_head'] / 1e6:.2f}M, rnnt {p['rnnt_head'] / 1e6:.2f}M)",
         f"flops @ {f['audio_seconds']:g}s: {f['gflops_total']:.2f} GFLOPs "
         f"({f['gflops_per_second']:.2f} GFLOPs/s), kept={f['kept_fractions']}",
         f"{'stage':<16}{'params(M)':>10}{'GFLOPs':>10}{'share':>8}",
     ]
     total = f["gflops_total"] or 1.0
     param_rows = {**p["encoder_breakdown"], "ctc_head": p["ctc_head"],
-                  "aed_head": p["aed_head"]}
+                  "aed_head": p["aed_head"], "rnnt_head": p["rnnt_head"]}
     for stage, gflops in f["breakdown_gflops"].items():
         lines.append(f"{stage:<16}{param_rows.get(stage, 0) / 1e6:>10.2f}"
                      f"{gflops:>10.2f}{100 * gflops / total:>7.1f}%")

@@ -460,3 +460,23 @@ def test_rnnt_beam_cell_and_vs_greedy(rng):
 
     nb, ng = nll(beam), nll(greedy)
     assert (nb <= ng + 1e-4).all(), (nb, ng)
+
+
+def test_rnnt_efficiency_report(rng):
+    """efficiency_report counts the RNNT head (exact, instantiated module)
+    and emits per-frame/per-token secondary numbers."""
+    from hnet_mamba_asr_tpu.eval.efficiency import (
+        count_params, efficiency_report,
+    )
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    cfg = _rnnt_cfg()
+    rep = efficiency_report(cfg, vocab_size=16)
+    assert rep["params"]["rnnt_head"] > 0
+    assert rep["params"]["ctc_head"] == 0
+    model = build_model(cfg, 16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert rep["params"]["rnnt_head"] == count_params(params["rnnt"])
+    assert rep["params"]["total"] == count_params(params)
+    sec = rep["flops"]["rnnt_secondary"]
+    assert sec["per_frame"] > 0 and sec["per_token"] > 0
