@@ -40,16 +40,18 @@ def main():
     B, frames = 32, 1000
 
     def _cfg_with(overrides: dict):
-        # a nested "aed_conf" key routes to the AED head (e.g. the MoE knobs);
-        # everything else is an encoder_conf override
+        # nested "aed_conf"/"model_conf"/"rnnt_conf" keys route to those
+        # config sections; everything else is an encoder_conf override
         overrides = dict(overrides)
-        aed_over = overrides.pop("aed_conf", None)
+        sections = {k: overrides.pop(k, None)
+                    for k in ("aed_conf", "model_conf", "rnnt_conf")}
         cfg = _small_config()
         cfg["encoder_conf"] = dict(cfg["encoder_conf"], remat_policy="none",
                                    ssd_intra_dtype="bf16", **base_over,
                                    **overrides)
-        if aed_over:
-            cfg["aed_conf"] = dict(cfg["aed_conf"], **aed_over)
+        for k, v in sections.items():
+            if v:
+                cfg[k] = dict(cfg.get(k, {}) or {}, **v)
         return cfg
 
     def bench(overrides: dict):
