@@ -238,9 +238,6 @@ def save_streaming_artifact(out_dir: str | Path, model, params,
         raise ValueError("streaming serving requires a CTC or RNNT head")
     if batch < 1:
         raise ValueError(f"batch must be >= 1, got {batch}")
-    if use_rnnt and batch > 1:
-        raise ValueError("pooled (batch > 1) streaming serves the CTC path; "
-                         "export RNNT streaming artifacts at batch=1")
     cse = CausalStreamingEncoder(model, params, block_enc=block_enc)
     W_mel = cse.W_mel
     S_win = (W_mel - 1) * cse.hop + cse.win
@@ -249,8 +246,10 @@ def save_streaming_artifact(out_dir: str | Path, model, params,
     params = jax.tree_util.tree_map(np.asarray, params)
     states0 = jax.tree_util.tree_map(np.asarray, cse._fresh_states())
     if use_rnnt:
+        # one-row template like every other state leaf (batch>1 exports tile
+        # it; the pool tiles it per session)
         states0 = dict(states0, rnnt_hist=np.full(
-            (batch, model.rnnt.context), model.rnnt.bos_id, np.int32))
+            (1, model.rnnt.context), model.rnnt.bos_id, np.int32))
 
     def _encode_block(p, wave, states):
         feats, _ = log_mel_spectrogram(

@@ -338,6 +338,7 @@ class StreamingSessionPool:
         self.hop, self.win = int(s["hop"]), int(s["win"])
         self.S_win = int(s["s_win"])
         self.blank_id = int(manifest["blank_id"])
+        self._rnnt = "rnnt_ids" in manifest.get("emit", [])
         from jax import export as jax_export
         with np.load(d / "params.npz") as z:
             self._params = params_to_tree({k: z[k] for k in z.files})
@@ -420,8 +421,16 @@ class StreamingSessionPool:
         while len(rows) < self.B:
             rows.append(self._template)
         states = _tree_concat(rows)
-        ids, new_states = self._fn.call(self._params, wave, states)
-        ids = np.asarray(ids)
+        if self._rnnt:
+            nv = np.zeros((self.B,), np.int32)
+            for slot, (_sid, n) in enumerate(group):
+                nv[slot] = n
+            (toks, tl), new_states = self._fn.call(self._params, wave, nv,
+                                                   states)
+            toks, tl = np.asarray(toks), np.asarray(tl)
+        else:
+            ids, new_states = self._fn.call(self._params, wave, states)
+            ids = np.asarray(ids)
         for slot, (sid, n_valid) in enumerate(group):
             ses = self._sessions[sid]
             ses.states = _tree_row(new_states, slot)
@@ -430,6 +439,9 @@ class StreamingSessionPool:
             if keep > ses.buf_start:
                 ses.buf = ses.buf[keep - ses.buf_start:]
                 ses.buf_start = keep
+            if self._rnnt:
+                ses.pending.extend(int(t) for t in toks[slot, :int(tl[slot])])
+                continue
             for t in ids[slot, :n_valid]:
                 t = int(t)
                 if t != ses.prev and t != self.blank_id:

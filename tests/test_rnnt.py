@@ -480,3 +480,38 @@ def test_rnnt_efficiency_report(rng):
     assert rep["params"]["total"] == count_params(params)
     sec = rep["flops"]["rnnt_secondary"]
     assert sec["per_frame"] > 0 and sec["per_token"] > 0
+
+
+def test_rnnt_pooled_streaming_sessions_match_offline(rng, tmp_path):
+    """Pooled multi-session TRANSDUCER streaming: the batch-B step carries
+    per-row label histories in the state pytree and per-row n_valid masks,
+    so ragged interleaved sessions each equal their solo offline greedy."""
+    from hnet_mamba_asr_tpu.serving import save_streaming_artifact
+    from hnet_mamba_asr_tpu.serving.runtime import StreamingSessionPool
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    cfg = dict(_rnnt_cfg(), train={"precision": "fp32"})
+    cfg["encoder_conf"] = dict(cfg["encoder_conf"], bidirectional=False)
+    model = build_model(cfg, 16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    art = tmp_path / "rnnt_pool"
+    save_streaming_artifact(art, model, params, block_enc=8, batch=2)
+    pool = StreamingSessionPool(art)
+    assert pool._rnnt and pool.B == 2
+    waves = [(rng.normal(size=9000) * 0.1).astype(np.float32),
+             (rng.normal(size=12000) * 0.1).astype(np.float32)]
+    sids = [pool.open() for _ in waves]
+    got = {s: [] for s in sids}
+    pos = [0, 0]
+    sizes = [1000, 2100]
+    while any(pos[k] < len(waves[k]) for k in range(2)):
+        for k, sid in enumerate(sids):
+            if pos[k] < len(waves[k]):
+                got[sid] += pool.feed(sid, waves[k][pos[k]:pos[k] + sizes[k]])
+                pos[k] += sizes[k]
+    for k, sid in enumerate(sids):
+        got[sid] += pool.finish(sid)
+        live = model.greedy_decode(
+            params, {"wave": waves[k][None],
+                     "wave_lens": np.array([len(waves[k])], np.int32)})[0]
+        assert got[sid] == live, k
