@@ -173,6 +173,141 @@ class RNNTHead(nn.Module):
         return buf, out_len
 
 
+NEG_INF = -1.0e30
+
+
+class _RNNTBeamMixin:
+    """Device-side time-synchronous beam for RNNTHead (mixed in below).
+
+    The ENTIRE search is one ``lax.scan`` over frames (decoders/
+    device_ctc_beam.py discipline): per frame, up to ``max_symbols``
+    expansion rounds run inside the body; blank-consumed mass banks into a
+    fixed-capacity per-frame BANK where alignments of the same label
+    sequence merge EXACTLY by token-buffer compare (two frontier rows are
+    distinct by construction, so at most one candidate matches a bank row).
+    Children never need child-child merging: distinct parents produce
+    distinct children in a round (same structure as the host engine in
+    decoders/rnnt_decode.py, whose fp64 scores remain the oracle).
+    """
+
+    def beam_decode(self, memory: jax.Array, memory_lengths: jax.Array,
+                    beam_size: int = 8,
+                    max_symbols: int | None = None):
+        """-> (tokens [B, L], lengths [B]) of the best merged hypothesis."""
+        K = int(beam_size)
+        R = int(max_symbols if max_symbols is not None else self.max_symbols)
+        B, T, _ = memory.shape
+        L = min(self.max_decode_len, T * R if T * R > 0 else 1)
+        V = self.vocab_size
+        blank = self.blank_id
+        Nb = K * (R + 2)                       # bank capacity (loose bound)
+        enc_f = self.enc_proj(memory.astype(self.dtype))      # [B, T, J]
+        ar_b = jnp.arange(B)[:, None]
+
+        ftoks0 = jnp.zeros((B, K, L), jnp.int32)
+        fplen0 = jnp.zeros((B, K), jnp.int32)
+        fscore0 = jnp.where(jnp.arange(K)[None, :] == 0, 0.0, NEG_INF) \
+            * jnp.ones((B, 1), jnp.float32)
+
+        def _hist(toks, plen):
+            """[B, K, L], [B, K] -> [B, K, context] (most recent first)."""
+            cols = plen[..., None] - 1 - jnp.arange(self.context)[None, None]
+            h = jnp.take_along_axis(toks, jnp.maximum(cols, 0), axis=2)
+            return jnp.where(cols >= 0, h, self.bos_id)
+
+        def frame(carry, inp):
+            ftoks, fplen, fscore = carry
+            enc_t, t_real = inp                               # [B, J], [B]
+            btoks = jnp.zeros((B, Nb, L), jnp.int32)
+            bplen = jnp.zeros((B, Nb), jnp.int32)
+            bscore = jnp.full((B, Nb), NEG_INF, jnp.float32)
+            bvalid = jnp.zeros((B, Nb), bool)
+            count = jnp.zeros((B,), jnp.int32)
+
+            for _ in range(R + 1):                            # static unroll
+                hist = _hist(ftoks, fplen)
+                logits = self.out(jnp.tanh(
+                    enc_t[:, None, :] + self._predict(hist)))
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                live = fscore > NEG_INF / 2
+
+                # ---- bank the blank-consumed mass (exact merges) ----------
+                cand = fscore + lp[..., blank]                # [B, K]
+                pos = jnp.arange(L)
+                same_tok = jnp.where(
+                    (pos[None, None, None, :] < fplen[:, :, None, None]),
+                    ftoks[:, :, None, :] == btoks[:, None, :, :], True)
+                eq = (same_tok.all(-1)
+                      & (fplen[:, :, None] == bplen[:, None, :])
+                      & bvalid[:, None, :]
+                      & live[:, :, None])                     # [B, K, Nb]
+                sel = jnp.where(eq, cand[:, :, None], NEG_INF).max(1)
+                bscore = jnp.logaddexp(bscore, sel)
+                unmatched = live & ~eq.any(-1)                # [B, K]
+                slot = count[:, None] + jnp.cumsum(
+                    unmatched.astype(jnp.int32), axis=1) - 1
+                slot = jnp.where(unmatched, jnp.minimum(slot, Nb - 1), Nb - 1)
+                # scatter appends via one-hot (at most one cand per slot)
+                oh = jax.nn.one_hot(jnp.where(unmatched, slot, Nb), Nb,
+                                    dtype=jnp.float32)        # [B, K, Nb]
+                app_score = jnp.where(
+                    oh.astype(bool).any(1),
+                    jnp.where(oh.astype(bool), cand[:, :, None],
+                              NEG_INF).max(1), NEG_INF)
+                bscore = jnp.logaddexp(bscore, app_score)
+                ohb = oh.astype(bool)
+                btoks = jnp.where(
+                    ohb.any(1)[:, :, None],
+                    jnp.einsum("bkn,bkl->bnl", oh, ftoks.astype(jnp.float32)
+                               ).astype(jnp.int32), btoks)
+                bplen = jnp.where(
+                    ohb.any(1),
+                    jnp.einsum("bkn,bk->bn", oh, fplen.astype(jnp.float32)
+                               ).astype(jnp.int32), bplen)
+                bvalid = bvalid | ohb.any(1)
+                count = count + unmatched.sum(-1)
+
+                # ---- children: flatten [K*V] and keep top-K ---------------
+                can_grow = live & (fplen < L)
+                child = jnp.where(can_grow[:, :, None],
+                                  fscore[:, :, None] + lp[..., :V], NEG_INF)
+                top, idx = jax.lax.top_k(child.reshape(B, K * V), K)
+                parent = idx // V
+                label = idx % V
+                ptoks = jnp.take_along_axis(
+                    ftoks, parent[:, :, None], axis=1)
+                pplen = jnp.take_along_axis(fplen, parent, axis=1)
+                wr = jax.nn.one_hot(jnp.minimum(pplen, L - 1), L,
+                                    dtype=bool)               # [B, K, L]
+                ftoks = jnp.where(wr, label[:, :, None], ptoks)
+                fplen = pplen + 1
+                fscore = top
+
+            # ---- frame end: next frontier = top-K of the bank -------------
+            bs = jnp.where(bvalid, bscore, NEG_INF)
+            top, idx = jax.lax.top_k(bs, K)
+            ntoks = jnp.take_along_axis(btoks, idx[:, :, None], axis=1)
+            nplen = jnp.take_along_axis(bplen, idx, axis=1)
+            ftoks2, fplen2, fscore2 = carry
+            keep = t_real[:, None]
+            return (jnp.where(keep[..., None], ntoks, ftoks2),
+                    jnp.where(keep, nplen, fplen2),
+                    jnp.where(keep, top, fscore2)), ()
+
+        t_real = (jnp.arange(T)[None, :] < memory_lengths[:, None])
+        (ftoks, fplen, fscore), _ = jax.lax.scan(
+            frame, (ftoks0, fplen0, fscore0),
+            (enc_f.transpose(1, 0, 2), t_real.transpose(1, 0)))
+        best = jnp.argmax(fscore, axis=1)
+        toks = jnp.take_along_axis(ftoks, best[:, None, None], 1)[:, 0]
+        plen = jnp.take_along_axis(fplen, best[:, None], 1)[:, 0]
+        return toks, plen
+
+
+# graft the mixin method onto RNNTHead (kept separate for readability)
+RNNTHead.beam_decode = _RNNTBeamMixin.beam_decode
+
+
 def rnnt_host_greedy(tokens, lengths) -> list[list[int]]:
     """Device greedy output -> per-utterance host id lists."""
     import numpy as np

@@ -39,7 +39,7 @@ from hnet_mamba_asr_tpu.serving.runtime import FORMAT_VERSION
 from hnet_mamba_asr_tpu.training.checkpoint import tree_to_path_dict
 
 VALID_EMIT = ("frame_ids", "log_probs", "aed_ids", "beam_ids",
-              "rnnt_ids")
+              "rnnt_ids", "rnnt_beam_ids")
 
 
 def _tokenizer_meta(tokenizer) -> dict:
@@ -77,6 +77,13 @@ def _serve_fn(model, emit: tuple[str, ...], beam_size: int = 10,
                                         enc.features, enc.lengths,
                                         method="greedy_decode")
             out["rnnt_ids"], out["rnnt_lens"] = toks, tl
+        if "rnnt_beam_ids" in emit:
+            # the one-scan transducer beam traced into the program
+            toks, tl = model.rnnt.apply({"params": params["rnnt"]},
+                                        enc.features, enc.lengths,
+                                        int(beam_size),
+                                        method="beam_decode")
+            out["rnnt_beam_ids"], out["rnnt_beam_lens"] = toks, tl
         if "beam_ids" in emit:
             # the full frame-synchronous CTC prefix beam INSIDE the exported
             # program (decoders/device_ctc_beam.beam_scan): beam-quality
@@ -135,8 +142,9 @@ def save_serving_artifact(out_dir: str | Path, model, params,
         raise ValueError("frame_ids/log_probs/beam_ids require a CTC head")
     if "aed_ids" in emit and model.aed is None:
         raise ValueError("aed_ids requires an AED head")
-    if "rnnt_ids" in emit and getattr(model, "rnnt", None) is None:
-        raise ValueError("rnnt_ids requires an RNNT head")
+    if ("rnnt_ids" in emit or "rnnt_beam_ids" in emit) \
+            and getattr(model, "rnnt", None) is None:
+        raise ValueError("rnnt_ids/rnnt_beam_ids require an RNNT head")
     if len(set(buckets)) != len(buckets):
         raise ValueError(f"duplicate buckets in {buckets}")
 

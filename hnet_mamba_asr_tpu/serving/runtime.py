@@ -145,13 +145,15 @@ class ServingModel:
             out = self(wave, wave_lens)
             return collapse_ctc(out["frame_ids"], out["enc_lengths"],
                                 self.blank_id)
-        if "rnnt_ids" in self.emit:
-            out = self(wave, wave_lens)
-            toks, tl = out["rnnt_ids"], out["rnnt_lens"]
-            return [toks[b, :int(tl[b])].tolist()
-                    for b in range(toks.shape[0])]
+        for key in ("rnnt_beam_ids", "rnnt_ids"):   # beam beats greedy
+            if key in self.emit:
+                out = self(wave, wave_lens)
+                toks = out[key]
+                tl = out[key.replace("ids", "lens")]
+                return [toks[b, :int(tl[b])].tolist()
+                        for b in range(toks.shape[0])]
         raise ValueError(f"artifact emits {self.emit}, not "
-                         "frame_ids/beam_ids/rnnt_ids")
+                         "frame_ids/beam_ids/rnnt_ids/rnnt_beam_ids")
 
     def transcribe_text(self, wave: np.ndarray,
                         wave_lens: np.ndarray) -> list[str]:

@@ -184,6 +184,10 @@ class MicroBatcher:
                             out["beam_ids"][i][:int(out["beam_lens"][i])]]
             elif "frame_ids" in out:
                 r["ids"] = from_ids[i]
+            elif "rnnt_beam_ids" in out:  # transducer beam beats greedy
+                r["ids"] = [int(t) for t in
+                            out["rnnt_beam_ids"][i]
+                            [:int(out["rnnt_beam_lens"][i])]]
             elif "rnnt_ids" in out:       # transducer greedy
                 r["ids"] = [int(t) for t in
                             out["rnnt_ids"][i][:int(out["rnnt_lens"][i])]]

@@ -404,10 +404,24 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
         dt = time.perf_counter() - t0
         times = [dt / max(n_real, 1)] * n_real
     elif cell["read_out"] == "rnnt":                     # transducer beam
-        from hnet_mamba_asr_tpu.decoders.rnnt_decode import rnnt_beam_search
         t0 = time.perf_counter()
-        hyps = rnnt_beam_search(model.rnnt, params["rnnt"], enc.features,
-                                enc.lengths, beam_size=beam_size)[:n_real]
+        if bool(dc.get("device_beam", True)):
+            # whole search in ONE jitted scan (models/rnnt.beam_decode);
+            # exact merge-by-sequence via token-buffer compare
+            from hnet_mamba_asr_tpu.models.rnnt import rnnt_host_greedy
+            toks, tl = model.rnnt.apply({"params": params["rnnt"]},
+                                        enc.features, enc.lengths,
+                                        int(beam_size),
+                                        method="beam_decode")
+            jax.block_until_ready(toks)
+            hyps = rnnt_host_greedy(toks, tl)[:n_real]
+        else:
+            from hnet_mamba_asr_tpu.decoders.rnnt_decode import (
+                rnnt_beam_search,
+            )
+            hyps = rnnt_beam_search(model.rnnt, params["rnnt"], enc.features,
+                                    enc.lengths,
+                                    beam_size=beam_size)[:n_real]
         dt = time.perf_counter() - t0
         times = [dt / max(n_real, 1)] * n_real
     elif cell["read_out"] == "ctc":                      # prefix beam (+/-LM)

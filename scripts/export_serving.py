@@ -34,7 +34,7 @@ def parse_args(argv=None):
                     help="(batch)x(samples) shape buckets, e.g. 8x160000")
     ap.add_argument("--emit", nargs="+", default=["frame_ids"],
                     choices=["frame_ids", "log_probs", "aed_ids", "beam_ids",
-                             "rnnt_ids"])
+                             "rnnt_ids", "rnnt_beam_ids"])
     ap.add_argument("--beam-size", type=int, default=10,
                     help="with --emit beam_ids: beam width of the exported "
                          "CTC prefix beam")

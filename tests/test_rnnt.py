@@ -515,3 +515,88 @@ def test_rnnt_pooled_streaming_sessions_match_offline(rng, tmp_path):
             params, {"wave": waves[k][None],
                      "wave_lens": np.array([len(waves[k])], np.int32)})[0]
         assert got[sid] == live, k
+
+
+def test_rnnt_device_beam_matches_host(rng):
+    """The one-scan device beam reproduces the host engine's transcripts
+    (fp32 vs fp64 can differ only on score ties — fuzz over seeds/lengths,
+    same discipline as the device CTC/AED beams)."""
+    from hnet_mamba_asr_tpu.decoders.rnnt_decode import rnnt_beam_search
+    from hnet_mamba_asr_tpu.models.rnnt import RNNTHead
+
+    V, D = 6, 10
+    head = RNNTHead(vocab_size=V, d_memory=D, d_pred=8, d_joint=16,
+                    context=2, max_symbols=3, max_decode_len=24)
+    for seed in range(4):
+        r = np.random.default_rng(70 + seed)
+        B, T = 3, 8
+        mem = jnp.asarray(r.normal(size=(B, T, D)) * 1.5, jnp.float32)
+        lens = jnp.asarray([T, 6, 3], jnp.int32)
+        params = head.init(jax.random.PRNGKey(seed), mem, lens,
+                           jnp.zeros((B, 3), jnp.int32),
+                           jnp.full((B,), 3), method="loss")["params"]
+        host = rnnt_beam_search(head, params, mem, lens, beam_size=4)
+        toks, tl = head.apply({"params": params}, mem, lens, 4,
+                              method="beam_decode")
+        dev = [np.asarray(toks)[b, :int(tl[b])].tolist() for b in range(B)]
+        assert dev == host, (seed, dev, host)
+
+
+def test_rnnt_device_beam_finds_map_sequence(rng):
+    """Device beam with generous width also finds the brute-force MAP
+    sequence on the tiny enumeration problem."""
+    from itertools import product
+
+    from hnet_mamba_asr_tpu.models.rnnt import RNNTHead
+
+    V, D, T = 3, 8, 4
+    head = RNNTHead(vocab_size=V, d_memory=D, d_pred=8, d_joint=16,
+                    context=2, max_symbols=3, max_decode_len=16)
+    r = np.random.default_rng(44)
+    mem = jnp.asarray(r.normal(size=(1, T, D)) * 2.0, jnp.float32)
+    lens = jnp.asarray([T], jnp.int32)
+    params = head.init(jax.random.PRNGKey(2), mem, lens,
+                       jnp.zeros((1, 3), jnp.int32), jnp.asarray([3]),
+                       method="loss")["params"]
+    best_seq, best_nll = None, np.inf
+    for Ln in range(0, 4):
+        for y in product(range(V), repeat=Ln):
+            tgt = np.zeros((1, 3), np.int32)
+            tgt[0, :Ln] = y
+            nll = float(head.apply({"params": params}, mem, lens,
+                                   jnp.asarray(tgt), jnp.asarray([Ln]),
+                                   method="loss")[0])
+            if nll < best_nll:
+                best_nll, best_seq = nll, list(y)
+    toks, tl = head.apply({"params": params}, mem, lens, 27,
+                          method="beam_decode")
+    got = np.asarray(toks)[0, :int(tl[0])].tolist()
+    assert got == best_seq, (got, best_seq)
+
+
+def test_rnnt_beam_serving_export(rng, tmp_path):
+    """emit=("rnnt_beam_ids",): the one-scan transducer beam traced into the
+    AOT program == the live beam_decode; transcribe_ids prefers it over
+    greedy."""
+    from hnet_mamba_asr_tpu.serving import (
+        load_serving_artifact, save_serving_artifact,
+    )
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    cfg = dict(_rnnt_cfg(), train={"precision": "fp32"})
+    model = build_model(cfg, 16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    art = tmp_path / "rnnt_beam_art"
+    save_serving_artifact(art, model, params, buckets=[(2, 4000)],
+                          emit=("rnnt_ids", "rnnt_beam_ids"), beam_size=4)
+    sm = load_serving_artifact(art)
+    wave = (rng.normal(size=(2, 4000)) * 0.1).astype(np.float32)
+    lens = np.array([4000, 3100], np.int32)
+    ids = sm.transcribe_ids(wave, lens)          # prefers the beam
+    toks, tl = model.rnnt.apply(
+        {"params": params["rnnt"]},
+        model.encode(params, {"wave": wave, "wave_lens": lens}).features,
+        model.encode(params, {"wave": wave, "wave_lens": lens}).lengths,
+        4, method="beam_decode")
+    live = [np.asarray(toks)[b, :int(tl[b])].tolist() for b in range(2)]
+    assert ids == live
