@@ -149,14 +149,57 @@ def ep_specs(params, ep_axis: str = "ep"):
     return jax.tree_util.tree_map_with_path(spec, params)
 
 
+# ── fully-sharded parameter rules (FSDP / ZeRO over the dp axis) ─────────────
+# The dp axis does double duty: batches shard over it AND every large weight
+# leaf shards its largest divisible dim over it. GSPMD then inserts the
+# all-gather before each use and turns the gradient all-reduce into a
+# reduce-scatter — the ZeRO-3 communication pattern — with zero step-function
+# changes. Optimizer moments are created FROM the placed params (trainer), so
+# they inherit the shards: ZeRO-1/2 state sharding comes for free. Per-chip
+# param+moment memory drops ~|dp|x for everything above the size floor.
+# Reference has no counterpart (SURVEY.md §2.10: FSDP/ZeRO "No") — beyond-
+# parity plane for models that outgrow replication (Large ~185M and up).
+_FSDP_MIN_ELEMS = 8192          # below this, all-gather latency > bytes saved
+
+
+def fsdp_specs(params, n_shards: int, dp_axis: str = "dp",
+               min_elems: int = _FSDP_MIN_ELEMS):
+    """PartitionSpec pytree sharding each large leaf's largest divisible dim
+    over the dp axis; small or indivisible leaves stay replicated."""
+    def spec(leaf):
+        shape = tuple(getattr(leaf, "shape", ()))
+        if not shape or int(np.prod(shape)) < min_elems:
+            return P()
+        cands = [i for i, d in enumerate(shape) if d % n_shards == 0]
+        if not cands:
+            return P()
+        ax = max(cands, key=lambda i: shape[i])
+        parts = [None] * len(shape)
+        parts[ax] = dp_axis
+        return P(*parts)
+
+    return jax.tree_util.tree_map(spec, params)
+
+
 def place_params(params, mesh: Mesh, tp_axis: str = "tp",
-                 ep_axis: str = "ep"):
+                 ep_axis: str = "ep", fsdp: bool = False,
+                 dp_axis: str = "dp", fsdp_min_elems: int = _FSDP_MIN_ELEMS):
     """Replicate params on a 1-axis mesh; tensor-shard the big projections on
     a (dp, tp) mesh; expert-shard stacked MoE weights on a (dp, ep) mesh. On
     a 3-axis (dp, tp, ep) mesh both rule sets apply — they target disjoint
-    parameters (2-D projections vs [E, ...] expert stacks), asserted here."""
+    parameters (2-D projections vs [E, ...] expert stacks), asserted here.
+    ``fsdp=True`` (plain dp mesh only) instead shards every large leaf over
+    the dp axis (see fsdp_specs)."""
     has_tp = tp_axis in mesh.axis_names
     has_ep = ep_axis in mesh.axis_names
+    if fsdp:
+        if has_tp or has_ep:
+            raise ValueError("fsdp composes only with the plain ('dp',) mesh")
+        specs = fsdp_specs(params, mesh.shape[dp_axis], dp_axis,
+                           min_elems=fsdp_min_elems)
+        return jax.tree_util.tree_map(
+            lambda leaf, sp: jax.device_put(leaf, NamedSharding(mesh, sp)),
+            params, specs)
     if not (has_tp or has_ep):
         return jax.device_put(params, replicate(mesh))
     if has_tp and has_ep:

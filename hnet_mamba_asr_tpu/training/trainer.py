@@ -86,6 +86,13 @@ class Trainer:
         # Costs one extra device-resident generation of (params, opt_state)
         # while a save is in flight — disable at memory budgets that need it.
         self.async_ckpt = bool(g("async_ckpt", True))
+        # FSDP/ZeRO: shard every large param leaf (and therefore its optax
+        # moments, created from the placed params) over the dp axis; GSPMD
+        # all-gathers weights per use and reduce-scatters grads. Checkpoint
+        # saves gather to replicated first (see save_checkpoint) so the file
+        # format is identical to the replicated path.
+        self.fsdp = bool(g("fsdp", False))
+        self.fsdp_min_elems = int(g("fsdp_min_elems", 8192))
         self.best_model_criterion = [tuple(c) for c in
                                      g("best_model_criterion", [["valid", "loss", "min"]])]
         self.early_stopping = dict(g("early_stopping", {}) or {})
@@ -102,7 +109,8 @@ class Trainer:
         # the placed params, so its moments inherit the param shardings;
         # scalar leaves (step counts) get replicated explicitly — tx.init
         # leaves them on one device, which would mix committed device sets.
-        self.params = place_params(self.params, self.mesh)
+        self.params = place_params(self.params, self.mesh, fsdp=self.fsdp,
+                                   fsdp_min_elems=self.fsdp_min_elems)
         self.opt_state = self._normalize_placement(self.tx.init(self.params))
 
         self.epoch, self.global_step = 0, 0
@@ -112,8 +120,16 @@ class Trainer:
         # on-device snapshot: the train step DONATES params/opt_state buffers
         # (donate_argnums below), so an in-flight save must copy before the
         # next step dispatches; the writer thread fetches from the copies.
-        self._snapshot_state = jax.jit(
-            lambda t: jax.tree_util.tree_map(jnp.copy, t))
+        if self.fsdp:
+            # gather shards to replicated: makes the fetched checkpoint
+            # identical to the replicated path's AND (multi-host) fully
+            # addressable from process 0. Resharding allocates fresh buffers,
+            # so this also satisfies the donation-protection role.
+            self._snapshot_state = jax.jit(lambda t: t,
+                                           out_shardings=replicate(self.mesh))
+        else:
+            self._snapshot_state = jax.jit(
+                lambda t: jax.tree_util.tree_map(jnp.copy, t))
         self._build_steps()
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.params))
         logger.info("Trainer: devices=%d processes=%d params=%.1fM accum_grad=%d "
@@ -473,6 +489,11 @@ class Trainer:
 
     # ---- checkpoints ---------------------------------------------------------------
     def save_checkpoint(self) -> None:
+        gathered = None
+        if self.fsdp:
+            # the shard->replicated gather is a COLLECTIVE: every process of a
+            # multi-host job must dispatch it, including non-writers
+            gathered = self._snapshot_state((self.params, self.opt_state))
         if not self.is_main:
             return
         # metadata is snapshotted NOW (metric_history keeps mutating); arrays
@@ -484,9 +505,12 @@ class Trainer:
         paths = [self.ckpt_dir / f"epoch{self.epoch:04d}.ckpt",
                  self.ckpt_dir / "latest.ckpt"]
         if self._ckpt_writer is None:
-            self._write_checkpoint(self.params, self.opt_state, meta, paths)
+            state = gathered if gathered is not None else \
+                (self.params, self.opt_state)
+            self._write_checkpoint(*state, meta, paths)
             return
-        params, opt_state = self._snapshot_state((self.params, self.opt_state))
+        params, opt_state = gathered if gathered is not None else \
+            self._snapshot_state((self.params, self.opt_state))
         self._ckpt_writer.submit(
             lambda: self._write_checkpoint(params, opt_state, meta, paths))
 
@@ -507,7 +531,8 @@ class Trainer:
         self.flush_checkpoints()
         state = ckpt.load_checkpoint(path)
         self.params = place_params(
-            jax.tree_util.tree_map(jnp.asarray, state["params"]), self.mesh)
+            jax.tree_util.tree_map(jnp.asarray, state["params"]), self.mesh,
+            fsdp=self.fsdp, fsdp_min_elems=self.fsdp_min_elems)
         if state.get("opt_state_format") == "path_dict":
             restored = ckpt.path_dict_to_tree(self.opt_state, state["opt_state"])
         else:                                    # legacy raw-pytree checkpoint

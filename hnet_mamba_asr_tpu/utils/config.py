@@ -99,7 +99,7 @@ def flatten_config(cfg: Mapping[str, Any]) -> dict:
     c = dict(cfg)
     train = c.get("train", {}) or {}
     ev = c.get("eval", {}) or {}
-    return {
+    out = {
         "max_epoch": train.get("max_epoch", 120),
         "grad_clip": train.get("grad_clip", 5.0),
         "grad_clip_type": train.get("grad_clip_type", 2.0),
@@ -120,3 +120,13 @@ def flatten_config(cfg: Mapping[str, Any]) -> dict:
         "scheduler": c.get("scheduler"),
         "scheduler_conf": c.get("scheduler_conf", {}) or {},
     }
+    # generic hoist for every other train.*/eval.* knob (fsdp, sp, pp, ep,
+    # async_ckpt, fsdp_min_elems, ...): the fixed map above pins the
+    # reference-mirrored defaults; anything else flows through untouched so
+    # new Trainer knobs are config-reachable without editing this map. A
+    # train.* key silently dropped here looks exactly like "the flag does
+    # nothing" from the CLI (found by the fsdp end-to-end verify).
+    for src in (train, ev):
+        for k, v in src.items():
+            out.setdefault(k, v)
+    return out

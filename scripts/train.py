@@ -66,12 +66,17 @@ def run(args) -> None:
     pp = int(flat.get("pp", 1))
     ep = int(flat.get("ep", 1))
     tp = int(flat.get("tp", 1))
+    fsdp = bool(flat.get("fsdp", False))
     planes = sum(p > 1 for p in (tp, sp, pp, ep))
     if planes > 1 and not (planes == 2 and tp > 1 and ep > 1):
         raise ValueError("train.sp / train.pp are mutually exclusive with "
                          "every other model-parallel plane; train.tp and "
                          "train.ep may compose into a (dp, tp, ep) mesh "
                          "(their sharded parameter sets are disjoint)")
+    if fsdp and planes > 0:
+        raise ValueError("train.fsdp shards weights over the dp axis itself "
+                         "and composes only with plain data parallelism — "
+                         "unset train.tp/sp/pp/ep")
     if (sp > 1 or pp > 1) and int(flat.get("scan_steps", 1)) > 1:
         raise ValueError("train.sp/pp with train.scan_steps is not "
                          "supported (shard_map inside the fused scan is "

@@ -61,3 +61,17 @@ def test_flatten_hoists():
     assert flat["valid_interval_epoch"] == 2
     assert flat["accum_grad"] == 4
     assert flat["optim_conf"] == {"lr": 0.1}
+
+
+def test_flatten_hoists_every_train_knob():
+    """train.* keys outside the fixed map must flow through (a dropped key
+    looks exactly like 'the flag does nothing' from the CLI — the fsdp
+    end-to-end verify caught train.fsdp/sp/pp/ep/async_ckpt all vanishing)."""
+    flat = flatten_config({"train": {"fsdp": True, "fsdp_min_elems": 64,
+                                     "sp": 2, "pp": 2, "ep": 4,
+                                     "async_ckpt": False, "max_epoch": 3}})
+    assert flat["fsdp"] is True and flat["fsdp_min_elems"] == 64
+    assert flat["sp"] == 2 and flat["pp"] == 2 and flat["ep"] == 4
+    assert flat["async_ckpt"] is False
+    assert flat["max_epoch"] == 3          # fixed-map keys unaffected
+    assert flat["scan_steps"] == 1         # defaults still present
