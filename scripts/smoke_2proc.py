@@ -48,7 +48,7 @@ DEV_PER_PROC = 2
 
 
 # ──────────────────────────────── child ──────────────────────────────────────
-def child_main(rank: int, root: Path) -> None:
+def child_main(rank: int, root: Path, fsdp: bool = False) -> None:
     import jax
     jax.config.update("jax_platforms", "cpu")
 
@@ -57,8 +57,14 @@ def child_main(rank: int, root: Path) -> None:
     import decode as decode_script
     import train as train_script
 
-    def digest(tree) -> str:
+    def digest(tree, mesh=None) -> str:
         import hashlib
+        if mesh is not None:
+            # fsdp leaves span BOTH processes (not addressable from one);
+            # gather to replicated first — a collective every child dispatches
+            # symmetrically, same as the Trainer's own save path
+            from hnet_mamba_asr_tpu.parallel.mesh import replicate
+            tree = jax.jit(lambda t: t, out_shardings=replicate(mesh))(tree)
         h = hashlib.sha256()
         leaves = sorted(
             jax.tree_util.tree_flatten_with_path(tree)[0],
@@ -70,26 +76,38 @@ def child_main(rank: int, root: Path) -> None:
 
     cfg = str(root / "cfg.yaml")
     exp = str(root / "exp")
+    overrides = (["train.fsdp=true", "train.fsdp_min_elems=64"] if fsdp
+                 else [])
 
     # stage A: fresh 2-epoch train through the real CLI (maybe_init_distributed
     # inside run() joins the jax.distributed job from the env this process
     # was spawned with)
     trainer = train_script.run(train_script.parse_args(
-        ["--config", cfg, "--exp-dir", exp]))
+        ["--config", cfg, "--exp-dir", exp] + overrides))
     assert jax.process_count() == N_PROC, \
         f"rank {rank}: process_count={jax.process_count()} (distributed init " \
         f"silently failed?)"
     assert jax.device_count() == N_PROC * DEV_PER_PROC, jax.device_count()
     assert trainer.mesh.devices.size == N_PROC * DEV_PER_PROC, \
         f"mesh does not span the job: {trainer.mesh.devices.size} devices"
-    d_fresh = digest(trainer.params)
+    gmesh = trainer.mesh if fsdp else None
+    if fsdp:
+        from jax.sharding import PartitionSpec as P
+        n_sharded = sum(1 for l in jax.tree_util.tree_leaves(trainer.params)
+                        if l.sharding.spec != P())
+        assert n_sharded > 0, "fsdp left all params replicated"
+        assert any(not l.is_fully_addressable
+                   for l in jax.tree_util.tree_leaves(trainer.params)), \
+            "fsdp shards never spanned the two processes"
+    d_fresh = digest(trainer.params, gmesh)
 
     # stage B: resume for one more epoch (exercises multi-host checkpoint
-    # load + a second idempotent maybe_init_distributed)
+    # load — for fsdp: the gathered save + re-shard-on-load round trip —
+    # + a second idempotent maybe_init_distributed)
     trainer = train_script.run(train_script.parse_args(
         ["--config", cfg, "--exp-dir", exp, "--resume", "auto",
-         "train.max_epoch=3"]))
-    d_resumed = digest(trainer.params)
+         "train.max_epoch=3"] + overrides))
+    d_resumed = digest(trainer.params, trainer.mesh if fsdp else None)
     (root / f"digest_rank{rank}.json").write_text(json.dumps(
         {"fresh": d_fresh, "resumed": d_resumed}))
 
@@ -142,7 +160,7 @@ def _spawn(args: list[str], env_extra: dict, log: Path) -> subprocess.Popen:
                             stderr=subprocess.STDOUT)
 
 
-def parent_main(root: Path, timeout: int) -> None:
+def parent_main(root: Path, timeout: int, fsdp: bool = False) -> None:
     root.mkdir(parents=True, exist_ok=True)
     prep = _spawn(["--prep", "--root", str(root)], {}, root / "prep.log")
     if prep.wait(timeout) != 0:
@@ -152,7 +170,8 @@ def parent_main(root: Path, timeout: int) -> None:
     children = []
     for r in range(N_PROC):
         children.append(_spawn(
-            ["--child", "--rank", str(r), "--root", str(root)],
+            ["--child", "--rank", str(r), "--root", str(root)]
+            + (["--fsdp"] if fsdp else []),
             {"JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
              "JAX_NUM_PROCESSES": str(N_PROC),
              "JAX_PROCESS_ID": str(r),
@@ -238,16 +257,20 @@ def main(argv=None) -> None:
     ap.add_argument("--rank", type=int, default=0)
     ap.add_argument("--root", default=None)
     ap.add_argument("--timeout", type=int, default=900)
+    ap.add_argument("--fsdp", action="store_true",
+                    help="run the whole smoke with train.fsdp=true (weights "
+                         "sharded ACROSS the two processes; checkpoint saves "
+                         "gather over the pod)")
     args = ap.parse_args(argv)
     if args.child:
-        child_main(args.rank, Path(args.root))
+        child_main(args.rank, Path(args.root), fsdp=args.fsdp)
     elif args.prep:
         prep_main(Path(args.root))
     else:
         import tempfile
         root = Path(args.root) if args.root else \
             Path(tempfile.mkdtemp(prefix="smoke2p_"))
-        parent_main(root, args.timeout)
+        parent_main(root, args.timeout, fsdp=args.fsdp)
 
 
 if __name__ == "__main__":

@@ -146,3 +146,18 @@ def test_chunker_params_rules():
     assert chunker_params("dynamic", 16, 2) == 2 * 16 * 16
     assert chunker_params("dynamic", 16, 1) == 0
     assert chunker_params("fixed", 16, 4) == 0
+
+
+def test_large_config_params_match_reference_scale():
+    """configs/typeA_large_N1.yaml must land at the reference's documented
+    Large scale: ~185M encoder at d_outer 512 / d_main 768, layers 6/18/6
+    (reference docs/experimental_plan.md:120-125, README.md:41). The shipped
+    YAML is loaded, not a copy of its dims, so the recipe stays pinned."""
+    from hnet_mamba_asr_tpu.utils.config import load_config
+    cfg = load_config("configs/typeA_large_N1.yaml", [])
+    p_enc = encoder_params(cfg["encoder_conf"])["total"]
+    assert p_enc == pytest.approx(185e6, rel=0.01)
+    heads = head_params({"encoder_conf": cfg["encoder_conf"],
+                         "model_conf": cfg["model_conf"],
+                         "aed_conf": cfg["aed_conf"]}, 500)
+    assert heads["aed_head"] > 0 and heads["ctc_head"] > 0

@@ -179,3 +179,25 @@ def test_fsdp_rejects_model_parallel_mesh():
     params = model.init_params(jax.random.PRNGKey(0))
     with pytest.raises(ValueError, match="plain"):
         place_params(params, make_mesh(tp=2), fsdp=True)
+
+
+@pytest.mark.parametrize("extra", [{"scan_steps": 2}, {"accum_grad": 2}],
+                         ids=["scan2", "accum2"])
+def test_fsdp_composes_with_step_variants(tmp_path, extra):
+    """fsdp params/moments survive the scanned multi-step and the
+    accumulate/apply step paths (both donate the sharded buffers) and still
+    match replicated-dp training."""
+    model = _tiny_asr_model()
+    batch = _one_batch()
+    cfg = dict(CFG, **extra)
+    tr_dp = Trainer(model, OneBatch(batch, n=2), cfg,
+                    ckpt_dir=tmp_path / "dp", mesh=make_mesh())
+    tr_dp.train()
+    tr_fs = Trainer(model, OneBatch(batch, n=2), dict(cfg, fsdp=True),
+                    ckpt_dir=tmp_path / "fs", mesh=make_mesh())
+    tr_fs.train()
+    assert tr_fs.global_step == tr_dp.global_step
+    assert any(l.sharding.spec != P()
+               for l in jax.tree_util.tree_leaves(tr_fs.params))
+    _assert_tree_close(jax.device_get(tr_dp.params),
+                       jax.device_get(tr_fs.params))

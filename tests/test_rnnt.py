@@ -345,7 +345,7 @@ def test_rnnt_offline_serving_export(rng, tmp_path):
     ids = sm.transcribe_ids(wave, lens)
     live = model.greedy_decode(params, {"wave": wave, "wave_lens": lens})
     assert ids == live
-    with pytest.raises(ValueError, match="rnnt_ids requires"):
+    with pytest.raises(ValueError, match="require an RNNT head"):
         ctc_only = build_model(dict(_rnnt_cfg(),
                                     model_conf={"ctc_weight": 1.0}), 16)
         save_serving_artifact(tmp_path / "x", ctc_only,

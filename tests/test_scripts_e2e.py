@@ -208,3 +208,46 @@ def test_full_pipeline(workspace):
                      .astype(np.float32),
                      "wave_lens": np.array([w.shape[0]], np.int32)})[0]
         assert r["hyp"] == tok.decode(ids)
+
+
+def test_train_cli_parallel_planes(workspace):
+    """train.sp / train.pp / train.fsdp reach the Trainer from YAML (the
+    flatten_config generic hoist): each CLI branch builds its mesh/adapter
+    and completes a real 1-epoch run. Regression for the dropped-train-keys
+    bug — before the hoist, these branches were unreachable from config."""
+    import train as train_script
+    root = workspace
+    cfg_path = _write_cfg(root)
+    if not (root / "tok" / "bpe.model").exists():   # standalone-run support
+        import build_tokenizer, compute_cmvn
+        build_tokenizer.run(
+            ["--manifests", str(root / "manifests" / "train-960.jsonl"),
+             "--out", str(root / "tok" / "bpe"),
+             "--vocab-size", "24", "--no-hard-limit"])
+        compute_cmvn.run(
+            ["--manifest", str(root / "manifests" / "train-960.jsonl"),
+             "--out", str(root / "cmvn.npz"), "--n-mels", "20"])
+    base = ["--config", str(cfg_path)]
+
+    # pipeline parallel: n_main must divide pp -> n_main=2
+    tr = train_script.run(train_script.parse_args(
+        base + ["--exp-dir", str(root / "exp_pp"), "train.pp=2",
+                "encoder_conf.n_main=2"]))
+    assert type(tr.model).__name__ == "PPModel"
+    assert tr.global_step > 0 and "pp" in tr.mesh.axis_names
+
+    # sequence parallel: tiny utts all snap to the 256-frame grid (div 4*sp)
+    tr = train_script.run(train_script.parse_args(
+        base + ["--exp-dir", str(root / "exp_sp"), "train.sp=2"]))
+    assert type(tr.model).__name__ == "SPModel"
+    assert tr.global_step > 0 and "sp" in tr.mesh.axis_names
+
+    # fsdp: sharded leaves on the plain dp mesh
+    from jax.sharding import PartitionSpec as P
+    import jax
+    tr = train_script.run(train_script.parse_args(
+        base + ["--exp-dir", str(root / "exp_fsdp"), "train.fsdp=true",
+                "train.fsdp_min_elems=64"]))
+    assert tr.global_step > 0
+    assert any(l.sharding.spec != P()
+               for l in jax.tree_util.tree_leaves(tr.params))

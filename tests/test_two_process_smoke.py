@@ -24,3 +24,17 @@ def test_two_process_smoke(tmp_path):
     tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-40:])
     assert proc.returncode == 0, f"smoke_2proc failed:\n{tail}"
     assert "ALL ASSERTS PASSED" in proc.stdout, tail
+
+
+def test_two_process_smoke_fsdp(tmp_path):
+    """Same two-REAL-process job with train.fsdp=true: weight shards SPAN the
+    processes (asserted non-fully-addressable in the children), checkpoint
+    saves gather over the pod, resume re-shards — all through the real CLI."""
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "scripts" / "smoke_2proc.py"),
+         "--root", str(tmp_path / "smoke2p_fsdp"), "--timeout", "840",
+         "--fsdp"],
+        capture_output=True, text=True, timeout=900)
+    tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-40:])
+    assert proc.returncode == 0, f"smoke_2proc --fsdp failed:\n{tail}"
+    assert "ALL ASSERTS PASSED" in proc.stdout, tail
