@@ -193,8 +193,10 @@ def place_params(params, mesh: Mesh, tp_axis: str = "tp",
     has_tp = tp_axis in mesh.axis_names
     has_ep = ep_axis in mesh.axis_names
     if fsdp:
-        if has_tp or has_ep:
-            raise ValueError("fsdp composes only with the plain ('dp',) mesh")
+        if len(mesh.axis_names) > 1:
+            raise ValueError(
+                f"fsdp composes only with the plain ('{dp_axis}',) mesh; got "
+                f"axes {mesh.axis_names}")
         specs = fsdp_specs(params, mesh.shape[dp_axis], dp_axis,
                            min_elems=fsdp_min_elems)
         return jax.tree_util.tree_map(

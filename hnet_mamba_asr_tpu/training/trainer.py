@@ -91,8 +91,9 @@ class Trainer:
         # all-gathers weights per use and reduce-scatters grads. Checkpoint
         # saves gather to replicated first (see save_checkpoint) so the file
         # format is identical to the replicated path.
+        from hnet_mamba_asr_tpu.parallel.mesh import _FSDP_MIN_ELEMS
         self.fsdp = bool(g("fsdp", False))
-        self.fsdp_min_elems = int(g("fsdp_min_elems", 8192))
+        self.fsdp_min_elems = int(g("fsdp_min_elems", _FSDP_MIN_ELEMS))
         self.best_model_criterion = [tuple(c) for c in
                                      g("best_model_criterion", [["valid", "loss", "min"]])]
         self.early_stopping = dict(g("early_stopping", {}) or {})
@@ -120,16 +121,13 @@ class Trainer:
         # on-device snapshot: the train step DONATES params/opt_state buffers
         # (donate_argnums below), so an in-flight save must copy before the
         # next step dispatches; the writer thread fetches from the copies.
-        if self.fsdp:
-            # gather shards to replicated: makes the fetched checkpoint
-            # identical to the replicated path's AND (multi-host) fully
-            # addressable from process 0. Resharding allocates fresh buffers,
-            # so this also satisfies the donation-protection role.
-            self._snapshot_state = jax.jit(lambda t: t,
-                                           out_shardings=replicate(self.mesh))
-        else:
-            self._snapshot_state = jax.jit(
-                lambda t: jax.tree_util.tree_map(jnp.copy, t))
+        # fsdp saves use _gather_to_host (bounded group-wise gather) instead;
+        # a whole-tree replicated gather would materialize the FULL
+        # params+moments on every chip — the exact memory the plane removes
+        self._snapshot_state = jax.jit(
+            lambda t: jax.tree_util.tree_map(jnp.copy, t))
+        self._gather_group = jax.jit(lambda xs: xs,
+                                     out_shardings=replicate(self.mesh))
         self._build_steps()
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(self.params))
         logger.info("Trainer: devices=%d processes=%d params=%.1fM accum_grad=%d "
@@ -488,12 +486,52 @@ class Trainer:
                         len(paths), phase, metric)
 
     # ---- checkpoints ---------------------------------------------------------------
+    def _gather_to_host(self, tree, budget_bytes: int = 512 * 1024 ** 2):
+        """fsdp shard -> host-numpy gather in bounded groups.
+
+        Each group is one jitted identity with replicated out_shardings — a
+        COLLECTIVE every process must dispatch symmetrically — followed by an
+        immediate host fetch, so the per-chip memory spike is one group
+        (<= budget), never the full params+moments the fsdp plane exists to
+        shard away. Returns the host tree on the main process, None on
+        others (their fetch is skipped; only the collective is shared).
+        Grouping is leaf-order stable, so the per-group programs compile once
+        and are reused every save."""
+        leaves, treedef = jax.tree_util.tree_flatten(tree)
+        groups, cur, cur_bytes = [], [], 0
+        for i, leaf in enumerate(leaves):
+            nbytes = int(leaf.size) * leaf.dtype.itemsize
+            if cur and cur_bytes + nbytes > budget_bytes:
+                groups.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(i)
+            cur_bytes += nbytes
+        if cur:
+            groups.append(cur)
+        out: list = [None] * len(leaves)
+        for idx in groups:
+            gathered = self._gather_group([leaves[i] for i in idx])
+            # EVERY process fetches: device_get is what forces the dispatched
+            # collective to execute, and deleting an unforced result on a
+            # non-writer would strand the writers inside the collective
+            # (observed as a 2-process hang). The fetch itself is local
+            # (each process copies its own replica).
+            for j, g in zip(idx, gathered):
+                host = np.asarray(jax.device_get(g))
+                if self.is_main:
+                    out[j] = host
+            del gathered
+        if not self.is_main:
+            return None
+        return jax.tree_util.tree_unflatten(treedef, out)
+
     def save_checkpoint(self) -> None:
         gathered = None
         if self.fsdp:
-            # the shard->replicated gather is a COLLECTIVE: every process of a
-            # multi-host job must dispatch it, including non-writers
-            gathered = self._snapshot_state((self.params, self.opt_state))
+            # host-side state snapshot; the main thread pays the device->host
+            # fetch here (the async writer still hides the file IO) — the
+            # price of never materializing the full state on any one chip
+            gathered = self._gather_to_host((self.params, self.opt_state))
         if not self.is_main:
             return
         # metadata is snapshotted NOW (metric_history keeps mutating); arrays

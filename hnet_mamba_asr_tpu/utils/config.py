@@ -125,7 +125,15 @@ def flatten_config(cfg: Mapping[str, Any]) -> dict:
     # reference-mirrored defaults; anything else flows through untouched so
     # new Trainer knobs are config-reachable without editing this map. A
     # train.* key silently dropped here looks exactly like "the flag does
-    # nothing" from the CLI (found by the fsdp end-to-end verify).
+    # nothing" from the CLI (found by the fsdp end-to-end verify). The two
+    # blocks share one flat namespace, so a name collision would silently
+    # pick the train value — fail loudly instead.
+    clash = set(train) & set(ev)
+    if clash:
+        raise ValueError(
+            f"config keys appear in BOTH train: and eval: blocks: "
+            f"{sorted(clash)} — the Trainer reads one flat namespace; move "
+            f"each key to exactly one block")
     for src in (train, ev):
         for k, v in src.items():
             out.setdefault(k, v)

@@ -43,6 +43,8 @@ def main():
 
     N_STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     BLOCKS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    if BLOCKS < 1:
+        raise SystemExit("blocks must be >= 1 (block 0 is warmup-only)")
     vocab = 500
 
     small = _small_config()
@@ -87,6 +89,9 @@ def main():
             if a["n_params"] is None:
                 a["n_params"] = sum(int(np.prod(p.shape)) for p in
                                     jax.tree_util.tree_leaves(state[0]))
+            # fence the async init dispatch OUT of the timed window (value
+            # fetch is the only reliable fence through the relay)
+            _ = float(jnp.sum(jax.tree_util.tree_leaves(state[0])[0]))
             t0 = time.perf_counter()
             p, o, loss = a["run"](*state, a["batch"])
             _ = float(loss)

@@ -153,8 +153,10 @@ def test_large_config_params_match_reference_scale():
     Large scale: ~185M encoder at d_outer 512 / d_main 768, layers 6/18/6
     (reference docs/experimental_plan.md:120-125, README.md:41). The shipped
     YAML is loaded, not a copy of its dims, so the recipe stays pinned."""
+    from pathlib import Path
     from hnet_mamba_asr_tpu.utils.config import load_config
-    cfg = load_config("configs/typeA_large_N1.yaml", [])
+    repo = Path(__file__).resolve().parent.parent
+    cfg = load_config(str(repo / "configs" / "typeA_large_N1.yaml"), [])
     p_enc = encoder_params(cfg["encoder_conf"])["total"]
     assert p_enc == pytest.approx(185e6, rel=0.01)
     heads = head_params({"encoder_conf": cfg["encoder_conf"],
