@@ -35,6 +35,10 @@ def parse_args(argv=None):
                     help="force the CPU platform (default: session device)")
     ap.add_argument("--compression-N", type=int, default=1, dest="n")
     ap.add_argument("--arch-type", default="A", choices=["A", "B"])
+    ap.add_argument("--family", default="hybrid", choices=["hybrid", "rnnt"],
+                    help="rnnt = pure-transducer gate (the third recognition "
+                         "family): ctc_weight 0, rnnt_weight 1, rnnt_greedy "
+                         "decode cell (mirrors tests/test_overfit_gate_rnnt)")
     ap.add_argument("--epochs", type=int, default=None,
                     help="default: 40 at N=1 (1 batch/epoch), 30 at N>=2 "
                          "(~12 batches/epoch -> several hundred steps)")
@@ -63,8 +67,21 @@ def run(args) -> dict:
 
     root = Path(args.root)
     root.mkdir(parents=True, exist_ok=True)
-    epochs = args.epochs or (40 if args.n == 1 else 30)
+    # rnnt: greedy locks onto the memorized sequence only below loss ~0.01
+    # (~600+ steps — see CLAUDE.md round-3 item 18), so the transducer gate
+    # trains longer than the hybrid one
+    epochs = args.epochs or (240 if args.family == "rnnt"
+                             else 40 if args.n == 1 else 30)
     batch_bins = args.batch_bins or (8000 if args.n == 1 else 1500)
+    fam_train = fam_decode = []
+    if args.family == "rnnt":
+        fam_train = ["model_conf.ctc_weight=0.0", "model_conf.rnnt_weight=1.0",
+                     "rnnt_conf.d_pred=32", "rnnt_conf.d_joint=64",
+                     "optim_conf.lr=5.0e-3"]
+        fam_decode = ["model_conf.ctc_weight=0.0", "model_conf.rnnt_weight=1.0",
+                      "rnnt_conf.d_pred=32", "rnnt_conf.d_joint=64",
+                      "decode.read_outs=[rnnt]", "decode.search=[greedy]",
+                      "decode.lm=disabled", "score.gate_cell=rnnt_greedy"]
     build_tone_corpus(root)
     (root / "cfg.yaml").write_text(overfit_config(
         root, compression_n=args.n, max_epoch=epochs, arch_type=args.arch_type,
@@ -78,7 +95,8 @@ def run(args) -> dict:
 
     t0 = time.time()
     train_script.run(train_script.parse_args(
-        ["--config", str(root / "cfg.yaml"), "--exp-dir", str(root / "exp")]))
+        ["--config", str(root / "cfg.yaml"), "--exp-dir", str(root / "exp")]
+        + fam_train))
     train_s = time.time() - t0
 
     lines = [json.loads(l) for l in
@@ -90,7 +108,7 @@ def run(args) -> dict:
 
     finite = all(math.isfinite(v) for _, v in losses)
     result = {
-        "platform": jax.devices()[0].platform,
+        "platform": jax.devices()[0].platform, "family": args.family,
         "arch_type": args.arch_type, "compression_N": args.n, "epochs": epochs, "train_s": round(train_s, 1),
         "steps_logged": len(losses), "all_finite": finite,
         "loss_first": losses[0][1] if losses else None,
@@ -110,11 +128,14 @@ def run(args) -> dict:
     decode_script.run(decode_script.parse_args(
         ["--config", str(root / "cfg.yaml"),
          "--checkpoint", str(root / "exp" / "checkpoints" / "latest.ckpt"),
-         "--splits", "test-clean", "--out-dir", str(root / "exp" / "decode")]))
+         "--splits", "test-clean", "--out-dir", str(root / "exp" / "decode")]
+        + fam_decode))
     try:
         score_wer.run(score_wer.parse_args(
             ["--decode-dir", str(root / "exp" / "decode"),
-             "--config", str(root / "cfg.yaml"), "--n-bootstrap", "50"]))
+             "--config", str(root / "cfg.yaml"), "--n-bootstrap", "50"]
+            + (["score.gate_cell=rnnt_greedy"] if args.family == "rnnt"
+               else [])))
         gate_exit = 0
     except SystemExit as e:
         gate_exit = int(e.code or 0)
