@@ -26,10 +26,33 @@ trained and encoded exactly. TPU-native design (no reference counterpart):
   the same no-op algebra the streaming encoder uses (models/streaming.py).
   Valid positions then see identical context and the results match offline.
 
-Scope: N == 1 (identity chunker) Type A configs, causal or bidirectional —
-the production no-chunk control and the long-form fine-tune shape. Dynamic
-chunking compacts a data-dependent number of frames per shard and needs a
-different (load-rebalancing) design; ``sp_encode`` raises on N != 1.
+Scope: Type A configs, causal or bidirectional, N == 1 (identity chunker)
+AND N > 1 (dynamic chunker). Dynamic chunking under SP does NOT rebalance
+compacted tokens across shards (that would need a data-dependent all_to_all):
+each shard compacts ITS OWN kept frames to the front of an equal-size local
+buffer — the same valid-compacted invariant models/streaming.py proved for
+block streaming — so the global compressed stream is the true one with pad
+holes only at shard-segment tails. Pads are EXACT no-ops (dt zeroed -> SSD
+decay 1/no update; EMA P forced to 0 -> carry passes through) and the three
+extra cross-shard couplings are tiny relays:
+
+- the router's k_{t-1} halo (1 frame, ``ppermute``);
+- the compressed conv tail = the last d_conv-1 GLOBALLY-valid rows before
+  the shard (``all_gather`` of each shard's last 3 valid rows + a static
+  top-k over sp*3 candidates — counts < 3 chain through earlier shards);
+- the EMA dechunk state (scalar-decay analogue of the SSD relay: exclusive
+  log-domain prefix of per-shard (sum log(1-P), final zbar) pairs), which
+  also provides the gather-upsample fallback for frames preceding their
+  shard's first boundary (their chunk lives on an earlier shard).
+
+Bidirectional compressed stacks reverse the VALID span per shard + mirror
+the shards (offline semantics reverse only each row's valid span), then run
+the identical causal machinery. Compute waste is the offline formulation's
+own (fixed M = L buffer, hnet_chunk.py design note) sliced per shard; the
+EMA's L x L weight matrix shrinks to (L/sp)^2 per shard. One inherent
+caveat: the hard router threshold b = 1[p >= 0.5] can flip under float
+reduction-boundary noise when some p sits within ~1e-6 of 0.5 — the same
+sensitivity any reordered reduction has on thresholded routing.
 
 The module re-derives the encoder computation functionally from the param
 pytree (the streaming module's proven approach) and mirrors
@@ -50,6 +73,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from hnet_mamba_asr_tpu.models.encoder import (ConvSubsampling4, EncoderOutput,
                                                subsampled_length)
+from hnet_mamba_asr_tpu.models.hnet_chunk import _scatter_to_slots
 from hnet_mamba_asr_tpu.ops.ssd import ssd_chunked
 
 # ── cross-shard primitives ───────────────────────────────────────────────────
@@ -81,12 +105,71 @@ def _block_reverse(x: jax.Array, axis: str, sp: int) -> jax.Array:
     return lax.ppermute(x, axis, [(j, sp - 1 - j) for j in range(sp)])
 
 
+def _mirror(x: jax.Array, axis: str, sp: int) -> jax.Array:
+    """Mirror shard permutation (shard j <-> shard sp-1-j), no local change."""
+    if sp == 1:
+        return x
+    return lax.ppermute(x, axis, [(j, sp - 1 - j) for j in range(sp)])
+
+
+def _reverse_valid(x: jax.Array, counts: jax.Array) -> jax.Array:
+    """Per-row reverse of the first ``counts`` rows; pad rows become zeros.
+
+    The local half of reversing a valid-compacted stream: the result is
+    again valid-compacted (reversed valid rows at the front)."""
+    L = x.shape[1]
+    idx = counts[:, None] - 1 - jnp.arange(L)[None, :]            # [B, L]
+    out = jnp.take_along_axis(x, jnp.maximum(idx, 0)[..., None], axis=1)
+    return jnp.where((idx >= 0)[..., None], out, jnp.zeros_like(out))
+
+
+def _mirror_compressed(x: jax.Array, counts: jax.Array, axis: str,
+                       sp: int) -> tuple[jax.Array, jax.Array]:
+    """Globally reverse a per-shard valid-compacted stream: reverse each
+    shard's valid span locally, then mirror the shards. Returns the
+    transformed stream and its per-shard counts (the mirrored counts).
+    Self-inverse up to pad contents: apply ``_mirror`` then
+    ``_reverse_valid`` with the ORIGINAL counts to undo."""
+    return _mirror(_reverse_valid(x, counts), axis, sp), _mirror(counts, axis, sp)
+
+
+def _last_valid_tail(x: jax.Array, counts: jax.Array, n: int, axis: str,
+                     sp: int) -> jax.Array:
+    """The last ``n`` GLOBALLY-valid rows strictly before this shard's
+    segment, oldest -> newest; zeros where fewer than ``n`` exist.
+
+    ``x`` [B, L, D] is valid-compacted per shard (rows [0, counts) real).
+    Each shard contributes its last min(n, count) valid rows; a static
+    top-k over the sp*n candidates (keyed by global order, invalid = -1)
+    selects the true tail even when nearer shards kept fewer than ``n``
+    rows — the chain through earlier shards costs nothing extra."""
+    B, L, D = x.shape
+    j = jnp.arange(n)
+    idx = counts[:, None] - n + j[None, :]                        # [B, n]
+    cand = jnp.take_along_axis(x, jnp.maximum(idx, 0)[..., None], axis=1)
+    valid = idx >= 0
+    if sp == 1:
+        return jnp.zeros((B, n, D), x.dtype)
+    gv, gvalid = lax.all_gather((cand, valid), axis)   # [sp,B,n,D], [sp,B,n]
+    me = lax.axis_index(axis)
+    shard = jnp.arange(sp)[:, None, None]
+    key = jnp.where(gvalid & (shard < me),
+                    (shard * n + j[None, None, :]).astype(jnp.int32), -1)
+    key = key.transpose(1, 0, 2).reshape(B, sp * n)               # [B, sp*n]
+    vals = gv.transpose(1, 0, 2, 3).reshape(B, sp * n, D)
+    topk, pos = lax.top_k(key, n)                                 # newest first
+    tail = jnp.take_along_axis(vals, pos[..., None], axis=1)
+    tail = jnp.where((topk >= 0)[:, :, None], tail, jnp.zeros_like(tail))
+    return jnp.flip(tail, axis=1)                                 # oldest first
+
+
 # ── Mamba2 layer, time-sharded ───────────────────────────────────────────────
 
 
 def _mamba2_sp(p: dict, u: jax.Array, *, axis: str, sp: int, chunk_size: int,
                dtype: Any, intra_dtype: str | None, out_compute: bool,
-               pad_mask: jax.Array | None) -> jax.Array:
+               pad_mask: jax.Array | None,
+               counts: jax.Array | None = None) -> jax.Array:
     """One Mamba2 layer on a local time block [B, Ls, D].
 
     Mirrors models/mamba2.Mamba2.__call__ (same dtype casts, same SSD
@@ -94,6 +177,12 @@ def _mamba2_sp(p: dict, u: jax.Array, *, axis: str, sp: int, chunk_size: int,
     padding no-op mask (``pad_mask`` True = real frame; required for the
     reversed direction, where padding precedes valid frames), and the
     cross-shard SSD state relay + closed-form correction.
+
+    ``counts`` [B] switches to compressed-stream mode (a per-shard
+    valid-compacted buffer with pads TRAILING each shard segment): the pad
+    mask derives from the counts and the conv tail is the last d_conv-1
+    globally-valid rows (``_last_valid_tail``) instead of the previous
+    shard's last positions — which would be pads there.
     """
     B_, L, _ = u.shape
     kernel = p["in_proj"]["kernel"]
@@ -107,11 +196,16 @@ def _mamba2_sp(p: dict, u: jax.Array, *, axis: str, sp: int, chunk_size: int,
     zxbcdt = u.astype(dtype) @ kernel.astype(dtype)
     z, xBC, dt_raw = jnp.split(zxbcdt, [d_inner, d_inner + conv_dim], axis=-1)
 
+    if counts is not None:
+        pad_mask = jnp.arange(L)[None, :] < counts[:, None]
     if pad_mask is not None:
         # zero BEFORE the conv so padded frames contribute zeros to their
         # neighbours' receptive fields — identical to the offline boundary
         xBC = xBC * pad_mask[:, :, None].astype(xBC.dtype)
-    tail = _halo_from_left(xBC, d_conv - 1, axis, sp)
+    if counts is not None:
+        tail = _last_valid_tail(xBC, counts, d_conv - 1, axis, sp)
+    else:
+        tail = _halo_from_left(xBC, d_conv - 1, axis, sp)
     conv_in = jnp.concatenate([tail, xBC], axis=1)
     conv = sum(conv_in[:, k:k + L, :] * p["conv_w"][k].astype(dtype)
                for k in range(d_conv))
@@ -197,14 +291,125 @@ def _stack_sp(p: dict, x: jax.Array, rev_mask: jax.Array | None, n_layers: int,
         {"params": p["norm"]}, x)
 
 
+# ── compressed (chunk-rate) stream: stacks, router, EMA under SP ─────────────
+
+
+def _block_sp_c(p: dict, z: jax.Array, counts: jax.Array, *,
+                bidirectional: bool, axis: str, sp: int, chunk_size: int,
+                dtype: Any, intra_dtype: str | None,
+                out_compute: bool) -> jax.Array:
+    """Pre-norm residual MambaBlock on the per-shard valid-compacted
+    compressed stream. The backward direction of bidirectional blocks
+    reverses the VALID span (offline: mamba_block.reverse_sequences with
+    lengths = counts) via ``_mirror_compressed`` and runs the identical
+    causal machinery on the reversed layout."""
+    kw = dict(axis=axis, sp=sp, chunk_size=chunk_size, dtype=dtype,
+              intra_dtype=intra_dtype, out_compute=out_compute, pad_mask=None)
+    h = nn.LayerNorm(dtype=dtype, param_dtype=jnp.float32).apply(
+        {"params": p["norm"]}, z)
+    y = _mamba2_sp(p["fwd"], h, counts=counts, **kw)
+    if bidirectional:
+        hr, cr = _mirror_compressed(h, counts, axis, sp)
+        yb = _mamba2_sp(p["bwd"], hr, counts=cr, **kw)
+        y = y + _reverse_valid(_mirror(yb, axis, sp), counts)
+    return z + y
+
+
+def _stack_sp_c(p: dict, z: jax.Array, counts: jax.Array, n_layers: int, *,
+                remat: bool, **kw) -> jax.Array:
+    """MambaStack over the compressed stream: n blocks + final LayerNorm."""
+    blk = partial(_block_sp_c, **kw)
+    if remat:
+        blk = jax.checkpoint(blk)
+    for i in range(n_layers):
+        z = blk(p[f"block_{i}"], z, counts)
+    return nn.LayerNorm(dtype=kw["dtype"], param_dtype=jnp.float32).apply(
+        {"params": p["norm"]}, z)
+
+
+def _router_sp(rp: dict, x: jax.Array, mask: jax.Array, *, axis: str, sp: int,
+               dtype: Any, eps: float = 1e-6) -> tuple[jax.Array, jax.Array]:
+    """RoutingModule on a local fine block (models/hnet_chunk.py:67 numerics:
+    dtype matmuls, fp32 cosine, clamp INSIDE the sqrt — the norm-at-zero
+    gradient landmine). k_{t-1} for a shard's first frame is the previous
+    shard's last-POSITION key (offline uses jnp.roll over the fine sequence,
+    whose padding trails globally); only the global first frame forces
+    p = 1."""
+    L = x.shape[1]
+    q = x @ rp["W_q"]["kernel"].astype(dtype)
+    k = x @ rp["W_k"]["kernel"].astype(dtype)
+    k_first = _halo_from_left(k, 1, axis, sp)          # zeros on shard 0
+    k_prev = jnp.concatenate([k_first, k[:, :-1]], axis=1)
+    qf, kf = q.astype(jnp.float32), k_prev.astype(jnp.float32)
+    sq = jnp.sum(qf * qf, axis=-1) * jnp.sum(kf * kf, axis=-1)
+    cos = jnp.sum(qf * kf, axis=-1) / jnp.sqrt(jnp.maximum(sq, eps ** 2))
+    p = 0.5 * (1.0 - cos)
+    idx = lax.axis_index(axis) if sp > 1 else 0
+    first = (jnp.arange(L)[None, :] == 0) & (idx == 0)
+    p = jnp.where(first, 1.0, p)
+    p = jnp.clip(p, 0.0, 1.0)
+    b = (p >= 0.5).astype(p.dtype)
+    m = mask.astype(p.dtype)
+    return p * m, b * m
+
+
+def _ema_sp(z: jax.Array, P: jax.Array, z_mask: jax.Array, *, axis: str,
+            sp: int, p_clamp: float = 1e-4) -> tuple[jax.Array, jax.Array]:
+    """Causal EMA (ops/ema.py Eq. 5 numerics) on the per-shard
+    valid-compacted stream with a cross-shard state relay.
+
+    Interior pads are EXACT no-ops: their P is forced to 0 (NOT clamped to
+    p_clamp — offline pads trail and never matter, but here a mid-stream
+    pad with P = 1e-4 would perturb every later weight), so log(1-P) = 0
+    and the carry passes through. The relay is the scalar-decay analogue of
+    the SSD one: all_gather per-shard (sum log(1-P), final zbar) and take
+    the exclusive log-domain prefix. Returns (zbar [B,L,D] in z.dtype,
+    zbar_in [B,D] fp32 — the true EMA state entering this shard, i.e. the
+    last valid chunk's smoothed value in the global prefix, which the
+    gather-upsample uses for frames preceding the shard's first boundary).
+    """
+    B, L, D = z.shape
+    zf = z.astype(jnp.float32)
+    pc = jnp.where(z_mask,
+                   jnp.clip(P.astype(jnp.float32), p_clamp, 1.0 - p_clamp),
+                   0.0)
+    idx = lax.axis_index(axis) if sp > 1 else 0
+    first = (jnp.arange(L)[None, :] == 0) & (idx == 0)     # global slot 0
+    src = jnp.where(first[..., None], zf, pc[..., None] * zf)   # zbar_0 = z_0
+    log_keep = jnp.where(first, 0.0, jnp.log1p(-pc))
+    S = jnp.cumsum(log_keep, axis=1)                       # inclusive, <= 0
+    logw = S[:, :, None] - S[:, None, :]
+    causal = jnp.tril(jnp.ones((L, L), dtype=bool))
+    # mask BEFORE exp (the ops/ema.py gradient-NaN discipline)
+    logw = jnp.where(causal[None], logw, -jnp.inf)
+    zbar = jnp.einsum("bts,bsd->btd", jnp.exp(logw), src)
+    if sp > 1:
+        gd, gz = lax.all_gather((S[:, -1], zbar[:, -1]), axis)  # [sp,B],[sp,B,D]
+        c = jnp.cumsum(gd, axis=0)
+        c_top = lax.dynamic_index_in_dim(c, jnp.maximum(idx - 1, 0),
+                                         axis=0, keepdims=False)
+        sel = (jnp.arange(sp) < idx)[:, None]
+        w = jnp.exp(jnp.where(sel, c_top[None] - c, -jnp.inf))
+        zbar_in = jnp.einsum("sb,sbd->bd", w, gz)
+        zbar = zbar + jnp.exp(S)[..., None] * zbar_in[:, None]
+    else:
+        zbar_in = jnp.zeros((B, D), jnp.float32)
+    return zbar.astype(z.dtype), zbar_in
+
+
 # ── the encoder body (runs inside shard_map) ─────────────────────────────────
 
 
 def _encoder_body(eparams: dict, feats: jax.Array, flens: jax.Array, *,
-                  enc_cfg: dict, axis: str, sp: int, remat: bool) -> jax.Array:
-    """Type A, N == 1: conv ↓4 → enc stack → proj_in → main stack → proj_out
-    → fine-detail bypass residual → dec stack (models/encoder._forward_a with
-    the identity chunker inlined)."""
+                  enc_cfg: dict, axis: str, sp: int, dp_axis: str,
+                  remat: bool):
+    """Type A: conv ↓4 → enc stack → [dynamic chunk] → proj_in → main stack
+    → proj_out → [dechunk] → fine-detail bypass residual → dec stack
+    (models/encoder._forward_a; N == 1 inlines the identity chunker).
+
+    Returns (features, ratio_loss, kept_fraction, p, b) — the scalars are
+    psummed over (dp, sp) so they replicate, matching the offline
+    global-batch means."""
     dtype = enc_cfg["dtype"]
     Ts = feats.shape[1]                                    # local mel frames
     halo = _halo_from_right(feats, 3, axis, sp)
@@ -221,6 +426,7 @@ def _encoder_body(eparams: dict, feats: jax.Array, flens: jax.Array, *,
     idx = lax.axis_index(axis) if sp > 1 else 0
     gpos = idx * Ls + jnp.arange(Ls)[None, :]
     rev_mask = gpos >= (L_tot - enc_lens)[:, None]
+    fwd_mask = gpos < enc_lens[:, None]
 
     kw = dict(axis=axis, sp=sp, bidirectional=enc_cfg["bidirectional"],
               chunk_size=enc_cfg["chunk_size"], dtype=dtype,
@@ -228,13 +434,64 @@ def _encoder_body(eparams: dict, feats: jax.Array, flens: jax.Array, *,
               out_compute=enc_cfg["out_compute"], remat=remat)
     x_enc = _stack_sp(eparams["enc"], x, rev_mask, enc_cfg["n_enc"], **kw)
     dense = dict(dtype=dtype, param_dtype=jnp.float32)
-    z = nn.Dense(enc_cfg["d_main"], **dense).apply(
-        {"params": eparams["proj_in"]}, x_enc)
-    z = _stack_sp(eparams["main"], z, rev_mask, enc_cfg["n_main"], **kw)
-    x_dech = nn.Dense(enc_cfg["d_outer"], **dense).apply(
-        {"params": eparams["proj_out"]}, z)
-    return _stack_sp(eparams["dec"], x_enc + x_dech, rev_mask,
-                     enc_cfg["n_dec"], **kw)
+    N = enc_cfg["N"]
+
+    if N == 1:
+        z = nn.Dense(enc_cfg["d_main"], **dense).apply(
+            {"params": eparams["proj_in"]}, x_enc)
+        z = _stack_sp(eparams["main"], z, rev_mask, enc_cfg["n_main"], **kw)
+        x_dech = nn.Dense(enc_cfg["d_outer"], **dense).apply(
+            {"params": eparams["proj_out"]}, z)
+        ratio = jnp.zeros((), jnp.float32)
+        kept = jnp.ones((), jnp.float32)
+        p = b = fwd_mask.astype(jnp.float32)               # identity_chunk
+    else:
+        p, b = _router_sp(eparams["chunk"]["router"], x_enc, fwd_mask,
+                          axis=axis, sp=sp, dtype=dtype)
+        # global-batch ratio loss / kept fraction (hnet_chunk.ratio_loss)
+        axes = (dp_axis, axis)
+        mf = fwd_mask.astype(jnp.float32)
+        denom = jnp.maximum(lax.psum(mf.sum(), axes), 1.0)
+        F = lax.psum((b.astype(jnp.float32) * mf).sum(), axes) / denom
+        G = lax.psum((p.astype(jnp.float32) * mf).sum(), axes) / denom
+        coef = N / (N - 1.0)
+        ratio = coef * ((N - 1.0) * F * G + (1.0 - F) * (1.0 - G))
+        kept = F
+
+        keep = b > 0.5
+        lm = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1    # -1 = no local
+        memb = jnp.maximum(lm, 0)                              # boundary yet
+        counts = keep.sum(axis=1).astype(jnp.int32)            # [B]
+        z_buf = _scatter_to_slots(x_enc, memb, keep)           # [B, Ls, D]
+        P_buf = _scatter_to_slots(p, memb, keep)               # [B, Ls]
+        z_mask = jnp.arange(Ls)[None, :] < counts[:, None]
+
+        ckw = dict(kw)
+        ckw_remat = ckw.pop("remat")
+        zc = nn.Dense(enc_cfg["d_main"], **dense).apply(
+            {"params": eparams["proj_in"]}, z_buf)
+        zc = _stack_sp_c(eparams["main"], zc, counts, enc_cfg["n_main"],
+                         remat=ckw_remat, **ckw)
+        zc = nn.Dense(enc_cfg["d_outer"], **dense).apply(
+            {"params": eparams["proj_out"]}, zc)
+
+        if enc_cfg["hnet_ema"]:
+            zbar, zbar_in = _ema_sp(zc, P_buf, z_mask, axis=axis, sp=sp)
+            prev = zbar_in.astype(zbar.dtype)
+        else:
+            zbar = zc
+            prev = _last_valid_tail(zc, counts, 1, axis, sp)[:, 0]
+        # gather-upsample (Eq. 8) + confidence STE (Eq. 9, forward == 1.0);
+        # frames before this shard's first boundary take the relayed state
+        x_up = jnp.take_along_axis(zbar, memb[..., None], axis=1)
+        x_up = jnp.where((lm >= 0)[..., None], x_up, prev[:, None])
+        c = jnp.where(b > 0.5, p, 1.0 - p)
+        ste = (c + lax.stop_gradient(1.0 - c))[..., None]
+        x_dech = x_up * ste.astype(x_up.dtype)
+
+    x_out = _stack_sp(eparams["dec"], x_enc + x_dech, rev_mask,
+                      enc_cfg["n_dec"], **kw)
+    return x_out, ratio, kept, p, b
 
 
 # ── public API ───────────────────────────────────────────────────────────────
@@ -242,11 +499,11 @@ def _encoder_body(eparams: dict, feats: jax.Array, flens: jax.Array, *,
 
 def sp_supported(encoder) -> tuple[bool, str]:
     if encoder.arch_type != "A":
-        return False, "sequence parallelism supports Type A configs (v1)"
-    if float(encoder.N) != 1.0:
-        return False, ("sequence parallelism requires N == 1 (the dynamic "
-                       "chunker compacts a data-dependent frame count per "
-                       "shard; shard-rebalancing is future work)")
+        return False, ("sequence parallelism supports Type A configs (Type "
+                       "B's nested chunk stages are future work)")
+    if float(encoder.N) != 1.0 and encoder.chunker != "dynamic":
+        return False, ("N > 1 sequence parallelism supports the dynamic "
+                       f"chunker only (got chunker={encoder.chunker!r})")
     return True, ""
 
 
@@ -279,23 +536,23 @@ def sp_encode(model, params: dict, feats: jax.Array, flens: jax.Array,
                    n_enc=enc.n_enc, n_main=enc.n_main, n_dec=enc.n_dec,
                    bidirectional=enc.bidirectional, chunk_size=enc.chunk_size,
                    dtype=enc.dtype, intra_dtype=enc.ssd_intra_dtype,
-                   out_compute=enc.ssd_out_compute_dtype)
+                   out_compute=enc.ssd_out_compute_dtype,
+                   N=float(enc.N), hnet_ema=enc.hnet_ema)
     body = partial(_encoder_body, enc_cfg=enc_cfg, axis=sp_axis, sp=sp,
-                   remat=remat)
+                   dp_axis=dp_axis, remat=remat)
     # check_vma=False: ops/ssd.py creates fresh-zero scan carries whose
     # varying-axis annotation differs from data-derived arrays — the body is
     # SPMD-correct (every cross-shard exchange is explicit) but the static
     # VMA propagation can't prove it without pcast noise inside the kernel.
     fn = jax.shard_map(body, mesh=mesh,
                        in_specs=(P(), P(dp_axis, sp_axis, None), P(dp_axis)),
-                       out_specs=P(dp_axis, sp_axis, None), check_vma=False)
-    features = fn(params["encoder"], feats, flens)
+                       out_specs=(P(dp_axis, sp_axis, None), P(), P(),
+                                  P(dp_axis, sp_axis), P(dp_axis, sp_axis)),
+                       check_vma=False)
+    features, ratio, kept, p, b = fn(params["encoder"], feats, flens)
     lengths = subsampled_length(flens)
-    L = features.shape[1]
-    ones = jnp.ones((B, L), dtype=features.dtype)
-    return EncoderOutput(features, lengths, jnp.zeros((), jnp.float32),
-                         ((ones, ones),), (features,),
-                         (jnp.ones((), jnp.float32),))
+    return EncoderOutput(features, lengths, ratio, ((p, b),), (features,),
+                         (kept,))
 
 
 class SPModel:
@@ -381,6 +638,6 @@ def sp_loss_fn(model, params: dict, batch: dict, step, train: bool,
     out = combine_losses(model.weights, ctc_loss=ctc, aed_loss=aed,
                          ratio_loss=enc.ratio_loss)
     stats.update({k: lax.stop_gradient(v) for k, v in out.items()})
-    stats["kept_fraction"] = jnp.ones((), jnp.float32)
+    stats["kept_fraction"] = lax.stop_gradient(enc.kept_fractions[0])
     stats["batch_weight"] = row_mask.sum()
     return out["loss/total"], stats

@@ -19,7 +19,8 @@ from hnet_mamba_asr_tpu.tasks.asr_task import build_model
 VOCAB = 40
 
 
-def _config(bidirectional=True, precision="fp32", N=1, arch="A"):
+def _config(bidirectional=True, precision="fp32", N=1, arch="A", ema=True,
+            chunker="dynamic"):
     return {
         "encoder": "dcasr", "head": "ctc",
         "frontend_conf": {"n_mels": 24, "win_length": 400, "hop_length": 160},
@@ -27,7 +28,8 @@ def _config(bidirectional=True, precision="fp32", N=1, arch="A"):
                          "n_dec": 1, "arch_type": arch, "d_state": 16,
                          "headdim": 12, "ssd_chunk_size": 16,
                          "bidirectional": bidirectional,
-                         "hnet": {"compression_N": N}},
+                         "hnet": {"compression_N": N, "ema_smoothing": ema,
+                                  "chunker": chunker}},
         "aed_conf": {"n_layers": 1, "n_heads": 2, "d_ff": 48, "dropout": 0.0},
         "model_conf": {"ctc_weight": 0.3, "aed_weight": 0.7, "lsm_weight": 0.1},
         "train": {"precision": precision},
@@ -94,6 +96,75 @@ def test_sp_encode_dp_times_sp():
     off = _offline(model, params, feats, flens)
     out = sp_encode(model, params, feats, flens, mesh)
     assert _masked_err(out.features, off.features, off.lengths) < 2e-4
+
+
+@pytest.mark.parametrize("bidirectional", [False, True])
+@pytest.mark.parametrize("sp", [2, 4])
+def test_sp_encode_exact_fp32_n4(bidirectional, sp):
+    """Dynamic chunking (N=4) under SP: per-shard compaction + the router
+    halo / compressed conv tail / EMA state relays reproduce the offline
+    encoder exactly, including the ratio-loss and kept-fraction scalars."""
+    model, params, batch, feats, flens = _setup(_config(bidirectional, N=4))
+    mesh = make_mesh(sp, tp=sp, tp_axis="sp")
+    off = _offline(model, params, feats, flens)
+    out = sp_encode(model, params, feats, flens, mesh)
+    assert _masked_err(out.features, off.features, off.lengths) < 2e-4
+    assert abs(float(out.ratio_loss) - float(off.ratio_loss)) < 1e-6
+    assert abs(float(out.kept_fractions[0])
+               - float(off.kept_fractions[0])) < 1e-6
+
+
+def test_sp_encode_exact_n4_no_ema():
+    """ema_smoothing=false N>1: the gather-upsample fallback for frames
+    preceding their shard's first boundary takes the last globally-valid
+    compressed row (relayed), not the EMA state."""
+    model, params, batch, feats, flens = _setup(_config(True, N=4, ema=False))
+    mesh = make_mesh(4, tp=4, tp_axis="sp")
+    off = _offline(model, params, feats, flens)
+    out = sp_encode(model, params, feats, flens, mesh)
+    assert _masked_err(out.features, off.features, off.lengths) < 2e-4
+
+
+def test_sp_loss_and_grads_match_n4():
+    """N=4 full loss + parameter gradients (router, EMA relay, STE path
+    included) through shard_map == offline."""
+    model, params, batch, feats, flens = _setup(_config(False, N=4))
+    mesh = make_mesh(2, tp=2, tp_axis="sp")
+    l0, g0 = jax.value_and_grad(
+        lambda p: model.loss_fn(p, batch, 0, False)[0])(params)
+    l1, g1 = jax.value_and_grad(
+        lambda p: sp_loss_fn(model, p, batch, 0, False, mesh)[0])(params)
+    assert abs(float(l0) - float(l1)) < 2e-4 * max(1.0, abs(float(l0)))
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g0):
+        denom = max(float(jnp.abs(leaf).max()), 1e-3)
+        err = float(jnp.abs(leaf - flat1[path]).max()) / denom
+        assert err < 5e-3, f"{jax.tree_util.keystr(path)}: rel err {err}"
+
+
+def test_sp_trainer_step_matches_plain_n4(tmp_path):
+    """train.sp wiring at N=4: the real Trainer drives SPModel and lands on
+    the same parameters as the plain data-parallel Trainer."""
+    from hnet_mamba_asr_tpu.parallel.seq_parallel import SPModel
+    from hnet_mamba_asr_tpu.training.trainer import Trainer
+    model, params, batch, feats, flens = _setup(_config(True, N=4))
+    tcfg = {"max_epoch": 1, "grad_clip": 5.0, "accum_grad": 1,
+            "log_interval": 1, "valid_interval_epoch": 1,
+            "keep_nbest_models": 0, "optim": "adamw",
+            "optim_conf": {"lr": 1e-3, "weight_decay": 0.01},
+            "scheduler": "warmuplr", "scheduler_conf": {"warmup_steps": 10}}
+    sp_mesh = make_mesh(8, tp=4, tp_axis="sp")               # (dp=2, sp=4)
+    tr_sp = Trainer(SPModel(model, sp_mesh), _OneBatchLoader(batch), tcfg,
+                    ckpt_dir=tmp_path / "sp", mesh=sp_mesh)
+    tr_sp._train_epoch()
+    tr = Trainer(model, _OneBatchLoader(batch), tcfg,
+                 ckpt_dir=tmp_path / "plain", mesh=make_mesh(2))
+    tr._train_epoch()
+    flat_sp = dict(jax.tree_util.tree_leaves_with_path(tr_sp.params))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tr.params):
+        err = np.abs(np.asarray(leaf, np.float64)
+                     - np.asarray(flat_sp[path], np.float64)).max()
+        assert err < 1e-4, f"{jax.tree_util.keystr(path)}: {err}"
 
 
 def test_sp_encode_bf16_close():
@@ -198,12 +269,17 @@ def test_sp_model_rejects_bad_mesh():
 
 
 def test_sp_rejects_unsupported():
-    model, params, batch, feats, flens = _setup(_config(True, N=4))
+    # Type B nested stages are out of scope
+    model, params, batch, feats, flens = _setup(_config(True, N=4, arch="B"))
     ok, why = sp_supported(model.encoder)
-    assert not ok and "N == 1" in why
+    assert not ok and "Type B" in why
     mesh = make_mesh(2, tp=2, tp_axis="sp")
-    with pytest.raises(ValueError, match="N == 1"):
+    with pytest.raises(ValueError, match="Type B"):
         sp_encode(model, params, feats, flens, mesh)
+    # N > 1 requires the dynamic chunker (fixed_pool has its own geometry)
+    model2, *_ = _setup(_config(True, N=4, chunker="fixed"))
+    ok2, why2 = sp_supported(model2.encoder)
+    assert not ok2 and "dynamic" in why2
 
 
 def test_sp_rejects_misaligned_frames():
