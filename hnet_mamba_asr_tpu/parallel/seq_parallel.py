@@ -26,8 +26,14 @@ trained and encoded exactly. TPU-native design (no reference counterpart):
   the same no-op algebra the streaming encoder uses (models/streaming.py).
   Valid positions then see identical context and the results match offline.
 
-Scope: Type A configs, causal or bidirectional, N == 1 (identity chunker)
-AND N > 1 (dynamic chunker). Dynamic chunking under SP does NOT rebalance
+Scope: Type A AND Type B configs, causal or bidirectional, N == 1 (identity
+chunker) and N > 1 (dynamic chunker). Type B nests the same machinery twice:
+the stage-2 router runs ON the per-shard valid-compacted stage-1 stream (its
+k_{t-1} relay is the last GLOBALLY-valid stage-1 row, ``_last_valid_tail``),
+stage-2 compaction compacts within the already-compacted buffer (counts2 <=
+counts1 per shard), and both dechunks ride the same EMA state relay — the
+level-2 dechunk lands on the level-1 layout, the level-1 dechunk on the fine
+grid. Dynamic chunking under SP does NOT rebalance
 compacted tokens across shards (that would need a data-dependent all_to_all):
 each shard compacts ITS OWN kept frames to the front of an equal-size local
 buffer — the same valid-compacted invariant models/streaming.py proved for
@@ -353,6 +359,83 @@ def _router_sp(rp: dict, x: jax.Array, mask: jax.Array, *, axis: str, sp: int,
     return p * m, b * m
 
 
+def _router_sp_c(rp: dict, z: jax.Array, counts: jax.Array, *, axis: str,
+                 sp: int, dtype: Any,
+                 eps: float = 1e-6) -> tuple[jax.Array, jax.Array]:
+    """RoutingModule on a per-shard valid-compacted COMPRESSED stream (Type
+    B stage 2). Within the valid span slot t-1 is the previous valid row;
+    a shard's slot 0 takes the last GLOBALLY-valid row before the shard
+    (``_last_valid_tail`` — offline the compacted buffer has no interior
+    holes, so the previous slot is always the previous valid row). Only the
+    global first row (shard 0 slot 0 — always valid: the fine frame 0 is a
+    forced stage-1 boundary) forces p = 1."""
+    L = z.shape[1]
+    q = z @ rp["W_q"]["kernel"].astype(dtype)
+    k = z @ rp["W_k"]["kernel"].astype(dtype)
+    k_last = _last_valid_tail(k, counts, 1, axis, sp)  # zeros on shard 0
+    k_prev = jnp.concatenate([k_last, k[:, :-1]], axis=1)
+    qf, kf = q.astype(jnp.float32), k_prev.astype(jnp.float32)
+    sq = jnp.sum(qf * qf, axis=-1) * jnp.sum(kf * kf, axis=-1)
+    cos = jnp.sum(qf * kf, axis=-1) / jnp.sqrt(jnp.maximum(sq, eps ** 2))
+    p = 0.5 * (1.0 - cos)
+    idx = lax.axis_index(axis) if sp > 1 else 0
+    first = (jnp.arange(L)[None, :] == 0) & (idx == 0)
+    p = jnp.where(first, 1.0, p)
+    p = jnp.clip(p, 0.0, 1.0)
+    b = (p >= 0.5).astype(p.dtype)
+    m = (jnp.arange(L)[None, :] < counts[:, None]).astype(p.dtype)
+    return p * m, b * m
+
+
+def _ratio_sp(p: jax.Array, b: jax.Array, mask: jax.Array, N_stage: float,
+              axes) -> tuple[jax.Array, jax.Array]:
+    """Global-batch ratio loss + realized kept fraction for one chunk stage
+    (hnet_chunk.ratio_loss semantics with psummed fp32 sums — the offline
+    full-batch means)."""
+    mf = mask.astype(jnp.float32)
+    denom = jnp.maximum(lax.psum(mf.sum(), axes), 1.0)
+    F = lax.psum((b.astype(jnp.float32) * mf).sum(), axes) / denom
+    G = lax.psum((p.astype(jnp.float32) * mf).sum(), axes) / denom
+    coef = N_stage / (N_stage - 1.0)
+    return coef * ((N_stage - 1.0) * F * G + (1.0 - F) * (1.0 - G)), F
+
+
+def _compact_sp(x: jax.Array, p: jax.Array, b: jax.Array):
+    """Per-shard compaction of kept rows into an equal-size local buffer.
+    Returns (keep, lm, memb, counts, z_buf, P_buf): lm is the LOCAL
+    membership (-1 = no local boundary yet — those rows take the relayed
+    dechunk state), memb = max(lm, 0) indexes the buffer."""
+    keep = b > 0.5
+    lm = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1
+    memb = jnp.maximum(lm, 0)
+    counts = keep.sum(axis=1).astype(jnp.int32)                # [B]
+    z_buf = _scatter_to_slots(x, memb, keep)                   # [B, L, D]
+    P_buf = _scatter_to_slots(p, memb, keep)                   # [B, L]
+    return keep, lm, memb, counts, z_buf, P_buf
+
+
+def _dechunk_sp(zc: jax.Array, P_buf: jax.Array, counts: jax.Array,
+                memb: jax.Array, lm: jax.Array, p: jax.Array, b: jax.Array,
+                *, hnet_ema: bool, axis: str, sp: int) -> jax.Array:
+    """DynamicChunker.dechunk under SP (paper Eq. 5 -> 8 -> 9): EMA at
+    chunk rate with the cross-shard state relay, gather-upsample (rows
+    before the shard's first boundary take the relayed state — their chunk
+    lives on an earlier shard), confidence STE last (forward == 1.0)."""
+    L = zc.shape[1]
+    z_mask = jnp.arange(L)[None, :] < counts[:, None]
+    if hnet_ema:
+        zbar, zbar_in = _ema_sp(zc, P_buf, z_mask, axis=axis, sp=sp)
+        prev = zbar_in.astype(zbar.dtype)
+    else:
+        zbar = zc
+        prev = _last_valid_tail(zc, counts, 1, axis, sp)[:, 0]
+    x_up = jnp.take_along_axis(zbar, memb[..., None], axis=1)
+    x_up = jnp.where((lm >= 0)[..., None], x_up, prev[:, None])
+    c = jnp.where(b > 0.5, p, 1.0 - p)
+    ste = (c + lax.stop_gradient(1.0 - c))[..., None]
+    return x_up * ste.astype(x_up.dtype)
+
+
 def _ema_sp(z: jax.Array, P: jax.Array, z_mask: jax.Array, *, axis: str,
             sp: int, p_clamp: float = 1e-4) -> tuple[jax.Array, jax.Array]:
     """Causal EMA (ops/ema.py Eq. 5 numerics) on the per-shard
@@ -406,10 +489,16 @@ def _encoder_body(eparams: dict, feats: jax.Array, flens: jax.Array, *,
     """Type A: conv ↓4 → enc stack → [dynamic chunk] → proj_in → main stack
     → proj_out → [dechunk] → fine-detail bypass residual → dec stack
     (models/encoder._forward_a; N == 1 inlines the identity chunker).
+    Type B (models/encoder._forward_b): two nested sqrt(N) stages — chunk1
+    → proj1_in → mid → chunk2 → main → dechunk2 → mid_dec → proj1_out →
+    dechunk1 — with the stage-2 router/compaction/dechunk running on the
+    per-shard valid-compacted stage-1 stream.
 
-    Returns (features, ratio_loss, kept_fraction, p, b) — the scalars are
-    psummed over (dp, sp) so they replicate, matching the offline
-    global-batch means."""
+    Returns (features, ratio_loss, kept [S], p [S,B,Ls], b [S,B,Ls]) with
+    S = 1 (Type A) or 2 (Type B) stages stacked; the scalars are psummed
+    over (dp, sp) so they replicate, matching the offline global-batch
+    means. Type B stage-2 p/b are reported in the SP per-shard-compacted
+    layout (offline compacts globally — same values, different slots)."""
     dtype = enc_cfg["dtype"]
     Ts = feats.shape[1]                                    # local mel frames
     halo = _halo_from_right(feats, 3, axis, sp)
@@ -435,59 +524,74 @@ def _encoder_body(eparams: dict, feats: jax.Array, flens: jax.Array, *,
     x_enc = _stack_sp(eparams["enc"], x, rev_mask, enc_cfg["n_enc"], **kw)
     dense = dict(dtype=dtype, param_dtype=jnp.float32)
     N = enc_cfg["N"]
+    arch = enc_cfg["arch"]
+    axes = (dp_axis, axis)
+    ckw = {k: v for k, v in kw.items() if k != "remat"}
+    dkw = dict(hnet_ema=enc_cfg["hnet_ema"], axis=axis, sp=sp)
+    fmask32 = fwd_mask.astype(jnp.float32)
 
-    if N == 1:
+    if N == 1 and arch == "A":
         z = nn.Dense(enc_cfg["d_main"], **dense).apply(
             {"params": eparams["proj_in"]}, x_enc)
         z = _stack_sp(eparams["main"], z, rev_mask, enc_cfg["n_main"], **kw)
         x_dech = nn.Dense(enc_cfg["d_outer"], **dense).apply(
             {"params": eparams["proj_out"]}, z)
         ratio = jnp.zeros((), jnp.float32)
-        kept = jnp.ones((), jnp.float32)
-        p = b = fwd_mask.astype(jnp.float32)               # identity_chunk
-    else:
-        p, b = _router_sp(eparams["chunk"]["router"], x_enc, fwd_mask,
-                          axis=axis, sp=sp, dtype=dtype)
-        # global-batch ratio loss / kept fraction (hnet_chunk.ratio_loss)
-        axes = (dp_axis, axis)
-        mf = fwd_mask.astype(jnp.float32)
-        denom = jnp.maximum(lax.psum(mf.sum(), axes), 1.0)
-        F = lax.psum((b.astype(jnp.float32) * mf).sum(), axes) / denom
-        G = lax.psum((p.astype(jnp.float32) * mf).sum(), axes) / denom
-        coef = N / (N - 1.0)
-        ratio = coef * ((N - 1.0) * F * G + (1.0 - F) * (1.0 - G))
-        kept = F
-
-        keep = b > 0.5
-        lm = jnp.cumsum(keep.astype(jnp.int32), axis=1) - 1    # -1 = no local
-        memb = jnp.maximum(lm, 0)                              # boundary yet
-        counts = keep.sum(axis=1).astype(jnp.int32)            # [B]
-        z_buf = _scatter_to_slots(x_enc, memb, keep)           # [B, Ls, D]
-        P_buf = _scatter_to_slots(p, memb, keep)               # [B, Ls]
-        z_mask = jnp.arange(Ls)[None, :] < counts[:, None]
-
-        ckw = dict(kw)
-        ckw_remat = ckw.pop("remat")
+        kept = jnp.ones((1,), jnp.float32)
+        p = b = fmask32[None]                              # identity_chunk
+    elif arch == "A":
+        p1, b1 = _router_sp(eparams["chunk"]["router"], x_enc, fwd_mask,
+                            axis=axis, sp=sp, dtype=dtype)
+        ratio, F = _ratio_sp(p1, b1, fwd_mask, N, axes)
+        keep, lm, memb, counts, z_buf, P_buf = _compact_sp(x_enc, p1, b1)
         zc = nn.Dense(enc_cfg["d_main"], **dense).apply(
             {"params": eparams["proj_in"]}, z_buf)
         zc = _stack_sp_c(eparams["main"], zc, counts, enc_cfg["n_main"],
-                         remat=ckw_remat, **ckw)
+                         remat=kw["remat"], **ckw)
         zc = nn.Dense(enc_cfg["d_outer"], **dense).apply(
             {"params": eparams["proj_out"]}, zc)
-
-        if enc_cfg["hnet_ema"]:
-            zbar, zbar_in = _ema_sp(zc, P_buf, z_mask, axis=axis, sp=sp)
-            prev = zbar_in.astype(zbar.dtype)
-        else:
-            zbar = zc
-            prev = _last_valid_tail(zc, counts, 1, axis, sp)[:, 0]
-        # gather-upsample (Eq. 8) + confidence STE (Eq. 9, forward == 1.0);
-        # frames before this shard's first boundary take the relayed state
-        x_up = jnp.take_along_axis(zbar, memb[..., None], axis=1)
-        x_up = jnp.where((lm >= 0)[..., None], x_up, prev[:, None])
-        c = jnp.where(b > 0.5, p, 1.0 - p)
-        ste = (c + lax.stop_gradient(1.0 - c))[..., None]
-        x_dech = x_up * ste.astype(x_up.dtype)
+        x_dech = _dechunk_sp(zc, P_buf, counts, memb, lm, p1, b1, **dkw)
+        kept = F[None]
+        p, b = p1[None], b1[None]
+    elif N == 1:                                           # Type B identity
+        z1 = nn.Dense(enc_cfg["d_main"], **dense).apply(
+            {"params": eparams["proj1_in"]}, x_enc)
+        z1 = _stack_sp(eparams["mid"], z1, rev_mask, enc_cfg["n_mid"], **kw)
+        z2 = _stack_sp(eparams["main"], z1, rev_mask, enc_cfg["n_main"], **kw)
+        z1_dec = _stack_sp(eparams["mid_dec"], z1 + z2, rev_mask,
+                           enc_cfg["n_mid"], **kw)
+        x_dech = nn.Dense(enc_cfg["d_outer"], **dense).apply(
+            {"params": eparams["proj1_out"]}, z1_dec)
+        ratio = jnp.zeros((), jnp.float32)
+        kept = jnp.ones((2,), jnp.float32)
+        p = b = jnp.stack([fmask32, fmask32])
+    else:                                                  # Type B, N > 1
+        nb = N ** 0.5                                      # per-stage factor
+        p1, b1 = _router_sp(eparams["chunk1"]["router"], x_enc, fwd_mask,
+                            axis=axis, sp=sp, dtype=dtype)
+        ratio1, F1 = _ratio_sp(p1, b1, fwd_mask, nb, axes)
+        kp1, lm1, memb1, counts1, z1_buf, P1_buf = _compact_sp(x_enc, p1, b1)
+        z1 = nn.Dense(enc_cfg["d_main"], **dense).apply(
+            {"params": eparams["proj1_in"]}, z1_buf)
+        z1 = _stack_sp_c(eparams["mid"], z1, counts1, enc_cfg["n_mid"],
+                         remat=kw["remat"], **ckw)
+        z1_mask = jnp.arange(Ls)[None, :] < counts1[:, None]
+        p2, b2 = _router_sp_c(eparams["chunk2"]["router"], z1, counts1,
+                              axis=axis, sp=sp, dtype=dtype)
+        ratio2, F2 = _ratio_sp(p2, b2, z1_mask, nb, axes)
+        kp2, lm2, memb2, counts2, z2_buf, P2_buf = _compact_sp(z1, p2, b2)
+        z2 = _stack_sp_c(eparams["main"], z2_buf, counts2, enc_cfg["n_main"],
+                         remat=kw["remat"], **ckw)
+        x2 = _dechunk_sp(z2, P2_buf, counts2, memb2, lm2, p2, b2, **dkw)
+        z1_dec = _stack_sp_c(eparams["mid_dec"], z1 + x2, counts1,
+                             enc_cfg["n_mid"], remat=kw["remat"], **ckw)
+        z1_out = nn.Dense(enc_cfg["d_outer"], **dense).apply(
+            {"params": eparams["proj1_out"]}, z1_dec)
+        x_dech = _dechunk_sp(z1_out, P1_buf, counts1, memb1, lm1, p1, b1,
+                             **dkw)
+        ratio = ratio1 + ratio2
+        kept = jnp.stack([F1, F2])
+        p, b = jnp.stack([p1, p2]), jnp.stack([b1, b2])
 
     x_out = _stack_sp(eparams["dec"], x_enc + x_dech, rev_mask,
                       enc_cfg["n_dec"], **kw)
@@ -498,9 +602,6 @@ def _encoder_body(eparams: dict, feats: jax.Array, flens: jax.Array, *,
 
 
 def sp_supported(encoder) -> tuple[bool, str]:
-    if encoder.arch_type != "A":
-        return False, ("sequence parallelism supports Type A configs (Type "
-                       "B's nested chunk stages are future work)")
     if float(encoder.N) != 1.0 and encoder.chunker != "dynamic":
         return False, ("N > 1 sequence parallelism supports the dynamic "
                        f"chunker only (got chunker={encoder.chunker!r})")
@@ -534,6 +635,7 @@ def sp_encode(model, params: dict, feats: jax.Array, flens: jax.Array,
             "than the conv halo (d_conv-1 = 3 frames); use fewer sp shards")
     enc_cfg = dict(n_mels=enc.n_mels, d_outer=enc.d_outer, d_main=enc.d_main,
                    n_enc=enc.n_enc, n_main=enc.n_main, n_dec=enc.n_dec,
+                   n_mid=enc.n_mid, arch=enc.arch_type,
                    bidirectional=enc.bidirectional, chunk_size=enc.chunk_size,
                    dtype=enc.dtype, intra_dtype=enc.ssd_intra_dtype,
                    out_compute=enc.ssd_out_compute_dtype,
@@ -547,12 +649,16 @@ def sp_encode(model, params: dict, feats: jax.Array, flens: jax.Array,
     fn = jax.shard_map(body, mesh=mesh,
                        in_specs=(P(), P(dp_axis, sp_axis, None), P(dp_axis)),
                        out_specs=(P(dp_axis, sp_axis, None), P(), P(),
-                                  P(dp_axis, sp_axis), P(dp_axis, sp_axis)),
+                                  P(None, dp_axis, sp_axis),
+                                  P(None, dp_axis, sp_axis)),
                        check_vma=False)
     features, ratio, kept, p, b = fn(params["encoder"], feats, flens)
     lengths = subsampled_length(flens)
-    return EncoderOutput(features, lengths, ratio, ((p, b),), (features,),
-                         (kept,))
+    n_stages = p.shape[0]
+    return EncoderOutput(features, lengths, ratio,
+                         tuple((p[s], b[s]) for s in range(n_stages)),
+                         (features,),
+                         tuple(kept[s] for s in range(n_stages)))
 
 
 class SPModel:

@@ -25,7 +25,8 @@ def _config(bidirectional=True, precision="fp32", N=1, arch="A", ema=True,
         "encoder": "dcasr", "head": "ctc",
         "frontend_conf": {"n_mels": 24, "win_length": 400, "hop_length": 160},
         "encoder_conf": {"d_outer": 24, "d_main": 36, "n_enc": 2, "n_main": 2,
-                         "n_dec": 1, "arch_type": arch, "d_state": 16,
+                         "n_dec": 1, "n_mid": 1, "arch_type": arch,
+                         "d_state": 16,
                          "headdim": 12, "ssd_chunk_size": 16,
                          "bidirectional": bidirectional,
                          "hnet": {"compression_N": N, "ema_smoothing": ema,
@@ -167,6 +168,61 @@ def test_sp_trainer_step_matches_plain_n4(tmp_path):
         assert err < 1e-4, f"{jax.tree_util.keystr(path)}: {err}"
 
 
+@pytest.mark.parametrize("bidirectional", [False, True])
+def test_sp_encode_exact_typeb_n4(bidirectional):
+    """Type B (two nested sqrt(4)=2 stages) under SP: the stage-2 router /
+    compaction / dechunk run on the per-shard valid-compacted stage-1
+    stream and reproduce the offline encoder exactly, including the summed
+    two-stage ratio loss and both kept fractions."""
+    model, params, batch, feats, flens = _setup(
+        _config(bidirectional, N=4, arch="B"))
+    mesh = make_mesh(4, tp=4, tp_axis="sp")
+    off = _offline(model, params, feats, flens)
+    out = sp_encode(model, params, feats, flens, mesh)
+    assert _masked_err(out.features, off.features, off.lengths) < 2e-4
+    assert abs(float(out.ratio_loss) - float(off.ratio_loss)) < 1e-6
+    assert len(out.kept_fractions) == len(off.kept_fractions) == 2
+    for s in range(2):
+        assert abs(float(out.kept_fractions[s])
+                   - float(off.kept_fractions[s])) < 1e-6
+    # stage-1 boundaries live on the fine grid in BOTH layouts
+    p_off, b_off = off.boundaries[0]
+    p_sp, b_sp = out.boundaries[0]
+    L0 = p_off.shape[1]
+    np.testing.assert_allclose(np.asarray(p_sp)[:, :L0], np.asarray(p_off),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(b_sp)[:, :L0],
+                                  np.asarray(b_off))
+
+
+def test_sp_encode_typeb_identity_n1():
+    """Type B at N=1: both chunkers are identity passthroughs; SP runs the
+    mid/main/mid_dec stacks at the fine rate."""
+    model, params, batch, feats, flens = _setup(_config(True, N=1, arch="B"))
+    mesh = make_mesh(2, tp=2, tp_axis="sp")
+    off = _offline(model, params, feats, flens)
+    out = sp_encode(model, params, feats, flens, mesh)
+    assert _masked_err(out.features, off.features, off.lengths) < 2e-4
+    assert float(out.ratio_loss) == 0.0
+
+
+def test_sp_loss_and_grads_match_typeb_n4():
+    """Type B N=4 full loss + parameter gradients (both routers, both EMA
+    relays, nested STE paths) through shard_map == offline."""
+    model, params, batch, feats, flens = _setup(_config(False, N=4, arch="B"))
+    mesh = make_mesh(2, tp=2, tp_axis="sp")
+    l0, g0 = jax.value_and_grad(
+        lambda p: model.loss_fn(p, batch, 0, False)[0])(params)
+    l1, g1 = jax.value_and_grad(
+        lambda p: sp_loss_fn(model, p, batch, 0, False, mesh)[0])(params)
+    assert abs(float(l0) - float(l1)) < 2e-4 * max(1.0, abs(float(l0)))
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g0):
+        denom = max(float(jnp.abs(leaf).max()), 1e-3)
+        err = float(jnp.abs(leaf - flat1[path]).max()) / denom
+        assert err < 5e-3, f"{jax.tree_util.keystr(path)}: rel err {err}"
+
+
 def test_sp_encode_bf16_close():
     model, params, batch, feats, flens = _setup(_config(True, "bf16"))
     mesh = make_mesh(4, tp=4, tp_axis="sp")
@@ -269,17 +325,14 @@ def test_sp_model_rejects_bad_mesh():
 
 
 def test_sp_rejects_unsupported():
-    # Type B nested stages are out of scope
-    model, params, batch, feats, flens = _setup(_config(True, N=4, arch="B"))
-    ok, why = sp_supported(model.encoder)
-    assert not ok and "Type B" in why
-    mesh = make_mesh(2, tp=2, tp_axis="sp")
-    with pytest.raises(ValueError, match="Type B"):
-        sp_encode(model, params, feats, flens, mesh)
     # N > 1 requires the dynamic chunker (fixed_pool has its own geometry)
     model2, *_ = _setup(_config(True, N=4, chunker="fixed"))
     ok2, why2 = sp_supported(model2.encoder)
     assert not ok2 and "dynamic" in why2
+    mesh = make_mesh(2, tp=2, tp_axis="sp")
+    with pytest.raises(ValueError, match="dynamic"):
+        sp_encode(model2, model2.init_params(jax.random.PRNGKey(0)),
+                  jnp.zeros((2, 64, 24)), jnp.array([64, 50]), mesh)
 
 
 def test_sp_rejects_misaligned_frames():
