@@ -188,21 +188,20 @@ def place_params(params, mesh: Mesh, tp_axis: str = "tp",
     a (dp, tp) mesh; expert-shard stacked MoE weights on a (dp, ep) mesh. On
     a 3-axis (dp, tp, ep) mesh both rule sets apply — they target disjoint
     parameters (2-D projections vs [E, ...] expert stacks), asserted here.
-    ``fsdp=True`` (plain dp mesh only) instead shards every large leaf over
-    the dp axis (see fsdp_specs)."""
+
+    ``fsdp=True`` additionally shards every large leaf still replicated
+    after the tp/ep rules over the DP axis (see fsdp_specs) — ZeRO for
+    whatever the model-parallel planes don't already shard. Composes with
+    the (dp,), (dp, tp), (dp, ep), (dp, tp, ep) and (dp, sp) meshes (on the
+    sequence-parallel mesh the params enter shard_map replicated — GSPMD's
+    all-gather at that boundary IS the ZeRO-3 gather-on-use). The 'pp' mesh
+    is excluded: pipeline stages own their stacked per-stage weights."""
     has_tp = tp_axis in mesh.axis_names
     has_ep = ep_axis in mesh.axis_names
-    if fsdp:
-        if len(mesh.axis_names) > 1:
-            raise ValueError(
-                f"fsdp composes only with the plain ('{dp_axis}',) mesh; got "
-                f"axes {mesh.axis_names}")
-        specs = fsdp_specs(params, mesh.shape[dp_axis], dp_axis,
-                           min_elems=fsdp_min_elems)
-        return jax.tree_util.tree_map(
-            lambda leaf, sp: jax.device_put(leaf, NamedSharding(mesh, sp)),
-            params, specs)
-    if not (has_tp or has_ep):
+    if fsdp and "pp" in mesh.axis_names:
+        raise ValueError("fsdp does not compose with the pipeline plane "
+                         "(pp stages own their stacked per-stage weights)")
+    if not (fsdp or has_tp or has_ep):
         return jax.device_put(params, replicate(mesh))
     if has_tp and has_ep:
         t = tp_specs(params, tp_axis)
@@ -213,9 +212,16 @@ def place_params(params, mesh: Mesh, tp_axis: str = "tp",
             return ts if ts != P() else es
 
         specs = jax.tree_util.tree_map(merge, t, e)
-    else:
+    elif has_tp or has_ep:
         specs = tp_specs(params, tp_axis) if has_tp \
             else ep_specs(params, ep_axis)
+    else:
+        specs = jax.tree_util.tree_map(lambda _: P(), params)
+    if fsdp:
+        fs = fsdp_specs(params, mesh.shape[dp_axis], dp_axis,
+                        min_elems=fsdp_min_elems)
+        specs = jax.tree_util.tree_map(
+            lambda base, f: base if base != P() else f, specs, fs)
     return jax.tree_util.tree_map(
         lambda leaf, sp: jax.device_put(leaf, NamedSharding(mesh, sp)),
         params, specs)
@@ -246,7 +252,7 @@ def shard_batch(batch: dict, mesh: Mesh, dp_axis: str = "dp",
     (``jax.make_array_from_process_local_data``). All processes must produce
     the same padded batch shape per step — guaranteed when the length grid
     snaps T and the bucketed sampler emits equal batch counts. A batch-axis
-    array whose local B is not divisible by the local device count RAISES
+    array whose local B is not divisible by the dp rows this process owns RAISES
     (assembling it replicated would silently disagree across hosts — each
     process only holds its own rows); only sub-batch-rank arrays (scalars,
     genuinely process-identical entries) take the replicated path.
@@ -256,23 +262,31 @@ def shard_batch(batch: dict, mesh: Mesh, dp_axis: str = "dp",
     rep = replicate(mesh)
     n_dev = mesh.devices.size
     multi_host = jax.process_count() > 1
-    local_dev = max(1, n_dev // jax.process_count())
+    # The batch shards over the DP axis only, so divisibility is against the
+    # dp-axis extent — NOT the total device count (on a (dp, sp) mesh with
+    # dp=2, sp=2 a batch of 2 rows is perfectly shardable). Multi-host: each
+    # process contributes its local rows for the dp rows it owns (the default
+    # make_mesh layout keeps model axes intra-process, so a process owns
+    # dp_size/process_count whole dp rows).
+    dp_size = mesh.shape[dp_axis]
+    local_dev = max(1, dp_size // jax.process_count())
 
     def place(k, v):
         if isinstance(v, (np.ndarray, jax.Array)):
             is_batch_arr = (getattr(v, "ndim", 0) > batch_axis
                             and k not in REPLICATED_BATCH_KEYS
                             and not replicate_batch)
-            divisor = local_dev if multi_host else n_dev
+            divisor = local_dev if multi_host else dp_size
             divisible = is_batch_arr and v.shape[batch_axis] % divisor == 0
             if multi_host:
                 if is_batch_arr and not divisible:
                     raise ValueError(
                         f"shard_batch['{k}']: local batch size "
                         f"{v.shape[batch_axis]} (axis {batch_axis}) is not "
-                        f"divisible by the {local_dev} local devices of this "
-                        f"process ({jax.process_count()} processes, "
-                        f"{n_dev} global devices). On a multi-host run every "
+                        f"divisible by the {local_dev} dp rows this process "
+                        f"owns ({jax.process_count()} processes, "
+                        f"{n_dev} global devices, dp={dp_size}). On a "
+                        f"multi-host run every "
                         f"process contributes only its own sampler shard, so "
                         f"this array cannot be assembled into a consistent "
                         f"global batch. Pin batch_bins so B is constant and "

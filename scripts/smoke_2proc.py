@@ -48,7 +48,8 @@ DEV_PER_PROC = 2
 
 
 # ──────────────────────────────── child ──────────────────────────────────────
-def child_main(rank: int, root: Path, fsdp: bool = False) -> None:
+def child_main(rank: int, root: Path, fsdp: bool = False,
+               sp: bool = False) -> None:
     import jax
     jax.config.update("jax_platforms", "cpu")
 
@@ -82,6 +83,14 @@ def child_main(rank: int, root: Path, fsdp: bool = False) -> None:
     # inside it while shards still span both processes (asserted below)
     overrides = (["train.fsdp=true", "train.fsdp_min_elems=512"] if fsdp
                  else [])
+    if sp:
+        # sequence parallelism under a REAL multi-process job: mesh
+        # (dp=2, sp=2) with one whole dp row per process (the production
+        # layout — sp halos/state-relays ride the fast intra-host links,
+        # dp gradient psums cross the process boundary via Gloo). Exercises
+        # shard_map + make_array_from_process_local_data on a 2-axis mesh,
+        # neither of which the plain/fsdp modes touch.
+        overrides += ["train.sp=2"]
 
     # stage A: fresh 2-epoch train through the real CLI (maybe_init_distributed
     # inside run() joins the jax.distributed job from the env this process
@@ -94,6 +103,9 @@ def child_main(rank: int, root: Path, fsdp: bool = False) -> None:
     assert jax.device_count() == N_PROC * DEV_PER_PROC, jax.device_count()
     assert trainer.mesh.devices.size == N_PROC * DEV_PER_PROC, \
         f"mesh does not span the job: {trainer.mesh.devices.size} devices"
+    if sp:
+        assert type(trainer.model).__name__ == "SPModel", type(trainer.model)
+        assert "sp" in trainer.mesh.axis_names, trainer.mesh.axis_names
     gmesh = trainer.mesh if fsdp else None
     if fsdp:
         from jax.sharding import PartitionSpec as P
@@ -164,7 +176,8 @@ def _spawn(args: list[str], env_extra: dict, log: Path) -> subprocess.Popen:
                             stderr=subprocess.STDOUT)
 
 
-def parent_main(root: Path, timeout: int, fsdp: bool = False) -> None:
+def parent_main(root: Path, timeout: int, fsdp: bool = False,
+                sp: bool = False) -> None:
     root.mkdir(parents=True, exist_ok=True)
     prep = _spawn(["--prep", "--root", str(root)], {}, root / "prep.log")
     if prep.wait(timeout) != 0:
@@ -176,7 +189,7 @@ def parent_main(root: Path, timeout: int, fsdp: bool = False) -> None:
         for r in range(N_PROC):
             children.append(_spawn(
                 ["--child", "--rank", str(r), "--root", str(root)]
-                + (["--fsdp"] if fsdp else []),
+                + (["--fsdp"] if fsdp else []) + (["--sp"] if sp else []),
                 {"JAX_COORDINATOR_ADDRESS": f"127.0.0.1:{port}",
                  "JAX_NUM_PROCESSES": str(N_PROC),
                  "JAX_PROCESS_ID": str(r),
@@ -287,16 +300,21 @@ def main(argv=None) -> None:
                     help="run the whole smoke with train.fsdp=true (weights "
                          "sharded ACROSS the two processes; checkpoint saves "
                          "gather over the pod)")
+    ap.add_argument("--sp", action="store_true",
+                    help="run the whole smoke with train.sp=2 (sequence-"
+                         "parallel encoder on a (dp=2, sp=2) mesh spanning "
+                         "the two processes; shard_map + 2-axis "
+                         "make_array_from_process_local_data)")
     args = ap.parse_args(argv)
     if args.child:
-        child_main(args.rank, Path(args.root), fsdp=args.fsdp)
+        child_main(args.rank, Path(args.root), fsdp=args.fsdp, sp=args.sp)
     elif args.prep:
         prep_main(Path(args.root))
     else:
         import tempfile
         root = Path(args.root) if args.root else \
             Path(tempfile.mkdtemp(prefix="smoke2p_"))
-        parent_main(root, args.timeout, fsdp=args.fsdp)
+        parent_main(root, args.timeout, fsdp=args.fsdp, sp=args.sp)
 
 
 if __name__ == "__main__":

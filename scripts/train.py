@@ -73,10 +73,10 @@ def run(args) -> None:
                          "every other model-parallel plane; train.tp and "
                          "train.ep may compose into a (dp, tp, ep) mesh "
                          "(their sharded parameter sets are disjoint)")
-    if fsdp and planes > 0:
-        raise ValueError("train.fsdp shards weights over the dp axis itself "
-                         "and composes only with plain data parallelism — "
-                         "unset train.tp/sp/pp/ep")
+    if fsdp and pp > 1:
+        raise ValueError("train.fsdp does not compose with train.pp "
+                         "(pipeline stages own their stacked per-stage "
+                         "weights); it composes with dp/tp/ep/sp")
     if (sp > 1 or pp > 1) and int(flat.get("scan_steps", 1)) > 1:
         raise ValueError("train.sp/pp with train.scan_steps is not "
                          "supported (shard_map inside the fused scan is "

@@ -174,11 +174,69 @@ def test_fsdp_checkpoint_gathered_and_roundtrips(tmp_path):
                for l in jax.tree_util.tree_leaves(tr2.params))
 
 
-def test_fsdp_rejects_model_parallel_mesh():
+def test_fsdp_rejects_pipeline_mesh_only():
+    """fsdp composes with tp/ep/sp meshes but not pp (pipeline stages own
+    their stacked per-stage weights)."""
     model = _tiny_asr_model()
     params = model.init_params(jax.random.PRNGKey(0))
-    with pytest.raises(ValueError, match="plain"):
-        place_params(params, make_mesh(tp=2), fsdp=True)
+    with pytest.raises(ValueError, match="pipeline"):
+        place_params(params, make_mesh(tp=2, tp_axis="pp"), fsdp=True)
+    # (dp, tp): tp rules win on the projections, fsdp shards the rest
+    placed = place_params(params, make_mesh(tp=2), fsdp=True,
+                          fsdp_min_elems=64)
+    flat = {jax.tree_util.keystr(p): l for p, l in
+            jax.tree_util.tree_leaves_with_path(placed)}
+    tp_leaves = [k for k, l in flat.items()
+                 if "tp" in str(l.sharding.spec)]
+    dp_leaves = [k for k, l in flat.items()
+                 if "dp" in str(l.sharding.spec)]
+    assert any("in_proj" in k for k in tp_leaves), tp_leaves
+    assert dp_leaves, "fsdp sharded nothing on the (dp, tp) mesh"
+    assert not set(tp_leaves) & set(dp_leaves)
+
+
+def test_fsdp_composes_with_tp_training(tmp_path):
+    """fsdp + tensor parallelism on a (dp=4, tp=2) mesh trains to the same
+    parameters as plain replicated dp."""
+    model = _tiny_asr_model()
+    batch = _one_batch()
+    tr_dp = Trainer(model, OneBatch(batch), CFG, ckpt_dir=tmp_path / "dp",
+                    mesh=make_mesh())
+    tr_dp.train()
+    tr = Trainer(model, OneBatch(batch), dict(CFG, fsdp=True),
+                 ckpt_dir=tmp_path / "tp_fs", mesh=make_mesh(tp=2))
+    specs = {str(l.sharding.spec)
+             for l in jax.tree_util.tree_leaves(tr.params)}
+    assert any("tp" in s for s in specs) and any("dp" in s for s in specs)
+    tr.train()
+    _assert_tree_close(jax.device_get(tr_dp.params),
+                       jax.device_get(tr.params))
+
+
+def test_fsdp_composes_with_sp_training(tmp_path):
+    """fsdp + sequence parallelism: on the (dp=4, sp=2) mesh the params are
+    dp-sharded at rest and all-gathered at the shard_map boundary (the
+    ZeRO-3 gather-on-use); training matches plain replicated dp."""
+    from hnet_mamba_asr_tpu.parallel.seq_parallel import SPModel
+    model = _tiny_asr_model()
+    # mel frames must divide 4*sp = 8 AND give >= 4 frames per shard after
+    # the x4 subsample -> T_mel = 32 (5360 samples)
+    rng_np = np.random.default_rng(0)
+    batch = dict(_one_batch(),
+                 wave=rng_np.normal(size=(8, 5360)).astype(np.float32) * 0.1,
+                 wave_lens=np.full(8, 5360, np.int32))
+    tr_dp = Trainer(model, OneBatch(batch), CFG, ckpt_dir=tmp_path / "dp",
+                    mesh=make_mesh())
+    tr_dp.train()
+    sp_mesh = make_mesh(tp=2, tp_axis="sp")
+    tr = Trainer(SPModel(model, sp_mesh), OneBatch(batch),
+                 dict(CFG, fsdp=True), ckpt_dir=tmp_path / "sp_fs",
+                 mesh=sp_mesh)
+    assert any("dp" in str(l.sharding.spec)
+               for l in jax.tree_util.tree_leaves(tr.params))
+    tr.train()
+    _assert_tree_close(jax.device_get(tr_dp.params),
+                       jax.device_get(tr.params))
 
 
 @pytest.mark.parametrize("extra", [{"scan_steps": 2}, {"accum_grad": 2}],
