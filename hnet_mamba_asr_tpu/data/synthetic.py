@@ -123,3 +123,33 @@ decode: {{read_outs: [ctc], search: [greedy], lm: disabled, batch_bins: {batch_b
 score: {{gate_cell: ctc_greedy}}
 goal: {{sane_test_clean_wer_below: 12.0}}
 """
+
+
+# Tone word -> a stand-in ARPA phone with a real manner class (vowel /
+# fricative / nasal — interp/probes.py _MANNER), so the phone-class probe
+# has >1 class to separate on the synthetic corpus.
+TONE_PHONES = {"a": "AA", "b": "IY", "c": "S", "d": "M"}
+
+_WORD_S = 0.25          # tone_word duration_s default
+_GAP_S = 0.08           # tone_utterance gap_s default
+
+
+def tone_alignment_records(entries: list[dict]) -> list[dict]:
+    """Exact forced alignments for a ``build_tone_corpus`` corpus.
+
+    The corpus layout is fully deterministic (gap, word, gap, word, ...),
+    so word intervals are known analytically — the synthetic analogue of
+    the reference's MFA TextGrids (reference: scripts/run_mfa.py +
+    src/dcasr/interp/alignments.py). Each word doubles as a single phone
+    (``TONE_PHONES``) so both probe tiers are populated.
+    """
+    records = []
+    for e in entries:
+        words, phones = [], []
+        for i, w in enumerate(e["text"].split()):
+            start = _GAP_S + i * (_WORD_S + _GAP_S)
+            end = start + _WORD_S
+            words.append([w, round(start, 6), round(end, 6)])
+            phones.append([TONE_PHONES[w], round(start, 6), round(end, 6)])
+        records.append({"id": e["id"], "words": words, "phones": phones})
+    return records

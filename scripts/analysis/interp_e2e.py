@@ -1,0 +1,221 @@
+#!/usr/bin/env python
+"""End-to-end interpretability gate on the synthetic tone corpus.
+
+The missing-data analogue of the reference's full interp program
+(reference: scripts/run_interp.py + src/dcasr/interp/driver.py): build the
+tone-word corpus WITH exact analytic forced alignments (the corpus layout is
+deterministic, so "MFA truth" is free — data/synthetic.tone_alignment_records),
+train a real N>=2 dynamic-chunking model through scripts/train.py, then drive
+all four run_interp.py modes (boundaries / probes / robustness / emergence)
+through the real CLI against that checkpoint, and gate on the results:
+
+  - probes: linear word-identity and phone-class probes on encoder frames must
+    beat their majority baselines by a wide margin (tones are linearly
+    separable -> a correctly wired collect/fit path scores high; a label/
+    feature misalignment scores at chance).
+  - boundaries: the report must cover every aligned utterance with finite
+    P/R/F1 and a random-permutation floor attached (mandate d).
+  - robustness: every configured perturbation produces a scored block with a
+    clean-vs-perturbed consistency section.
+  - emergence: one row per retained epoch checkpoint (keep_all_checkpoints),
+    each with the same boundary metrics.
+
+Usage:
+    python scripts/analysis/interp_e2e.py [--cpu] [--compression-N 2]
+        [--epochs 30] [--root /tmp/interp_e2e] [--out result.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--root", default="/tmp/interp_e2e")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU platform (default: session device)")
+    ap.add_argument("--compression-N", type=int, default=2, dest="n",
+                    help="boundary reports need real dynamic chunking (N>=2)")
+    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--batch-bins", type=int, default=1500)
+    ap.add_argument("--scan-steps", type=int, default=8)
+    ap.add_argument("--probe-backend", default=None,
+                    help="sklearn|jax (default: jax on accelerators, "
+                         "sklearn on cpu)")
+    ap.add_argument("--modes", default="boundaries,probes,robustness,emergence")
+    ap.add_argument("--word-probe-bar", type=float, default=0.9,
+                    help="frames-level word_id probe accuracy gate")
+    ap.add_argument("--out", default=None, help="write the result JSON here")
+    return ap.parse_args(argv)
+
+
+def _interp_block(root: Path, backend: str) -> str:
+    """YAML appended to the overfit config: the interp wiring run_interp.py
+    reads (absolute paths so REPO_ROOT-relative resolution passes through)."""
+    return f"""
+interp:
+  eval_split: dev-clean
+  alignments_dir: {root}/alignments
+  tol_s: 0.06          # truth is off the 40 ms encoder grid by up to 20 ms
+  batch_bins: 8000
+  baseline_trials: 20
+  probe_train_manifest: {root}/manifests/probe-train.jsonl
+  probe_train_alignments: {root}/alignments/probe-train.jsonl
+  probe: {{levels: [frames, chunks], top_k_words: 4, train_cap: 5000,
+           test_cap: 2000, max_iter: 300, backend: {backend}}}
+  robustness: {{noise_snr_db: [10], speed_factors: [1.1],
+                silence: {{duration_s: 0.3}}, baseline_trials: 10}}
+  emergence: {{baseline_trials: 10}}
+"""
+
+
+def run(args) -> dict:
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_test_cache_cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+    from hnet_mamba_asr_tpu.data.synthetic import (
+        build_tone_corpus, overfit_config, tone_alignment_records)
+    from hnet_mamba_asr_tpu.data.manifests import write_manifest
+    from hnet_mamba_asr_tpu.interp.alignments import (check_alignment,
+                                                      write_alignments)
+    import build_tokenizer, compute_cmvn, run_interp
+    import train as train_script
+
+    root = Path(args.root)
+    root.mkdir(parents=True, exist_ok=True)
+    backend = args.probe_backend or ("sklearn" if args.cpu else "jax")
+    modes = [m.strip() for m in args.modes.split(",") if m.strip()]
+
+    # ── corpus + analytic truth ──────────────────────────────────────────
+    entries = build_tone_corpus(root)
+    dev, probe_train = entries[:8], entries[8:]
+    write_manifest(probe_train, root / "manifests" / "probe-train.jsonl")
+    records = {r["id"]: r for r in tone_alignment_records(entries)}
+    for e in entries:  # integrity mandate: truth must pass the MFA checks
+        issues = check_alignment(records[e["id"]], e["text"],
+                                 e["frames"] / 16000.0)
+        if issues:
+            raise AssertionError(f"analytic alignment broken for {e['id']}: "
+                                 f"{issues}")
+    write_alignments([records[e["id"]] for e in dev],
+                     root / "alignments" / "dev-clean.jsonl")
+    write_alignments([records[e["id"]] for e in probe_train],
+                     root / "alignments" / "probe-train.jsonl")
+
+    # ── train the N>=2 model through the real CLI ────────────────────────
+    cfg_path = root / "cfg.yaml"
+    cfg_path.write_text(
+        overfit_config(root, compression_n=args.n, max_epoch=args.epochs,
+                       valid_interval=max(5, args.epochs // 6),
+                       batch_bins=args.batch_bins,
+                       scan_steps=max(1, args.scan_steps))
+        + _interp_block(root, backend))
+    build_tokenizer.run(["--manifests", str(root / "manifests" / "train-960.jsonl"),
+                         "--out", str(root / "tok" / "bpe"),
+                         "--vocab-size", "12", "--no-hard-limit"])
+    compute_cmvn.run(["--manifest", str(root / "manifests" / "train-960.jsonl"),
+                      "--out", str(root / "cmvn.npz"), "--n-mels", "20"])
+    t0 = time.time()
+    train_script.run(train_script.parse_args(
+        ["--config", str(cfg_path), "--exp-dir", str(root / "exp"),
+         "train.keep_all_checkpoints=true"]))
+    train_s = time.time() - t0
+
+    # ── the four interp modes through the real CLI ───────────────────────
+    ckpt = root / "exp" / "checkpoints" / "latest.ckpt"
+    out_dir = root / "interp_out"
+    t1 = time.time()
+    for mode in modes:
+        run_interp.run(run_interp.parse_args(
+            ["--config", str(cfg_path), "--checkpoint", str(ckpt),
+             "--mode", mode, "--out-dir", str(out_dir)]))
+    interp_s = time.time() - t1
+
+    # ── gate ─────────────────────────────────────────────────────────────
+    result: dict = {"platform": jax.devices()[0].platform,
+                    "compression_N": args.n, "epochs": args.epochs,
+                    "probe_backend": backend, "train_s": round(train_s, 1),
+                    "interp_s": round(interp_s, 1), "modes": modes}
+    checks: dict[str, bool] = {}
+
+    def _finite(x) -> bool:
+        return isinstance(x, (int, float)) and math.isfinite(x)
+
+    if "boundaries" in modes:
+        rep = json.loads((out_dir / "boundaries.json").read_text())
+        words = rep["boundaries"]["stage0"]["words"]
+        result["boundary_words"] = {
+            k: words[k] for k in ("precision", "recall", "f1", "r_value")}
+        result["boundary_random_f1"] = words["random_baseline"]["f1"]
+        checks["boundaries_finite"] = all(
+            _finite(words[k]) for k in ("precision", "recall", "f1"))
+        checks["boundaries_cover_all"] = not words.get("missing_alignments")
+        result["boundary_f1_vs_random"] = round(
+            words["f1"] - words["random_baseline"]["f1"], 4)
+
+    if "probes" in modes:
+        rep = json.loads((out_dir / "probes.json").read_text())
+        frames = rep["probes"]["frames"]
+        result["probe_frames"] = {
+            "word_id_accuracy": frames["word_id"]["accuracy"],
+            "word_id_majority": frames["word_id"]["majority_baseline"],
+            "phone_class_accuracy": frames["phone_class"]["accuracy"],
+            "phone_class_majority": frames["phone_class"]["majority_baseline"],
+        }
+        checks["probe_word_id"] = (
+            frames["word_id"]["accuracy"] >= args.word_probe_bar)
+        checks["probe_phone_class"] = (
+            frames["phone_class"]["accuracy"]
+            > frames["phone_class"]["majority_baseline"])
+        checks["probe_chunks_present"] = any(
+            k.startswith("chunks_s") for k in rep["probes"])
+
+    if "robustness" in modes:
+        rep = json.loads((out_dir / "robustness.json").read_text())
+        blocks = rep["robustness"]
+        result["robustness_perturbations"] = sorted(blocks)
+        checks["robustness_all_scored"] = bool(blocks) and all(
+            _finite(b["stage0"]["words"]["f1"])
+            and _finite(b["stage0"]["consistency"]["f1"])
+            for b in blocks.values())
+        sil = next((b for n, b in blocks.items() if "silence" in n), None)
+        if sil is not None:
+            win = sil["stage0"]["inserted_window"]
+            result["silence_window_rate_per_s"] = win["window_rate_per_s"]
+            result["silence_overall_rate_per_s"] = win["overall_rate_per_s"]
+
+    if "emergence" in modes:
+        rep = json.loads((out_dir / "emergence.json").read_text())
+        rows = rep["emergence"]
+        f1s = [r["boundaries"]["stage0"]["words"]["f1"] for r in rows]
+        result["emergence_epochs"] = [r["epoch"] for r in rows]
+        result["emergence_words_f1"] = [round(v, 4) for v in f1s]
+        checks["emergence_all_epochs"] = len(rows) >= max(2, args.epochs // 2)
+        checks["emergence_finite"] = all(_finite(v) for v in f1s)
+
+    result["checks"] = checks
+    result["gate"] = all(checks.values())
+    print(json.dumps(result, indent=2))
+    if args.out:
+        Path(args.out).write_text(json.dumps(result, indent=2))
+    return result
+
+
+if __name__ == "__main__":
+    sys.exit(0 if run(parse_args())["gate"] else 1)
