@@ -26,8 +26,15 @@ SAMPLE_RATE = 16000
 # distinct filterbank bins even at n_mels=20.
 TONE_WORDS = {"a": 330.0, "b": 740.0, "c": 1560.0, "d": 3100.0}
 
+# Single source of truth for the corpus timing grid: tone_word/tone_utterance
+# synthesize with these, and tone_alignment_records derives the analytic
+# forced alignments from the SAME constants — the audio and its "MFA truth"
+# cannot silently diverge (advisor r3).
+WORD_S = 0.25
+GAP_S = 0.08
 
-def tone_word(word: str, *, duration_s: float = 0.25,
+
+def tone_word(word: str, *, duration_s: float = WORD_S,
               sample_rate: int = SAMPLE_RATE) -> np.ndarray:
     """One word: a ramped sine at the word's frequency."""
     t = np.arange(int(duration_s * sample_rate)) / sample_rate
@@ -38,7 +45,7 @@ def tone_word(word: str, *, duration_s: float = 0.25,
 
 
 def tone_utterance(words: list[str], rng: np.random.Generator, *,
-                   gap_s: float = 0.08, noise: float = 0.01,
+                   gap_s: float = GAP_S, noise: float = 0.01,
                    sample_rate: int = SAMPLE_RATE) -> np.ndarray:
     """Words separated by silence gaps, plus a low noise floor."""
     gap = np.zeros(int(gap_s * sample_rate))
@@ -130,10 +137,6 @@ goal: {{sane_test_clean_wer_below: 12.0}}
 # has >1 class to separate on the synthetic corpus.
 TONE_PHONES = {"a": "AA", "b": "IY", "c": "S", "d": "M"}
 
-_WORD_S = 0.25          # tone_word duration_s default
-_GAP_S = 0.08           # tone_utterance gap_s default
-
-
 def tone_alignment_records(entries: list[dict]) -> list[dict]:
     """Exact forced alignments for a ``build_tone_corpus`` corpus.
 
@@ -147,8 +150,8 @@ def tone_alignment_records(entries: list[dict]) -> list[dict]:
     for e in entries:
         words, phones = [], []
         for i, w in enumerate(e["text"].split()):
-            start = _GAP_S + i * (_WORD_S + _GAP_S)
-            end = start + _WORD_S
+            start = GAP_S + i * (WORD_S + GAP_S)
+            end = start + WORD_S
             words.append([w, round(start, 6), round(end, 6)])
             phones.append([TONE_PHONES[w], round(start, 6), round(end, 6)])
         records.append({"id": e["id"], "words": words, "phones": phones})

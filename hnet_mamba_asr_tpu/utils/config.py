@@ -134,7 +134,36 @@ def flatten_config(cfg: Mapping[str, Any]) -> dict:
             f"config keys appear in BOTH train: and eval: blocks: "
             f"{sorted(clash)} — the Trainer reads one flat namespace; move "
             f"each key to exactly one block")
-    for src in (train, ev):
+    # A block key that collides with a pinned key sourced from a DIFFERENT
+    # level (e.g. train.keep_all_checkpoints vs the top-level pin) must be
+    # honored, not setdefault-dropped — the drop looks exactly like "the flag
+    # does nothing" from the CLI (advisor r3: interp_e2e passed
+    # train.keep_all_checkpoints=true and pruning stayed on). If the
+    # canonical level ALSO sets the key explicitly to a different value, the
+    # intent is ambiguous: fail loudly.
+    pinned_source = {
+        "max_epoch": "train", "grad_clip": "train", "grad_clip_type": "train",
+        "precision": "train", "log_interval": "train", "max_steps": "train",
+        "scan_steps": "train", "tp": "train", "ckpt_backend": "train",
+        "valid_interval_epoch": "eval",
+        "accum_grad": "top", "keep_nbest_models": "top",
+        "keep_all_checkpoints": "top", "best_model_criterion": "top",
+        "early_stopping": "top", "optim": "top", "optim_conf": "top",
+        "scheduler": "top", "scheduler_conf": "top",
+    }
+    levels = {"train": train, "eval": ev, "top": c}
+    for src_name in ("train", "eval"):
+        src = levels[src_name]
         for k, v in src.items():
-            out.setdefault(k, v)
+            pin = pinned_source.get(k)
+            if pin is None or pin == src_name:
+                out.setdefault(k, v)
+                continue
+            canonical = levels[pin]
+            if k in canonical and canonical[k] != v:
+                where = "top-level" if pin == "top" else f"{pin}: block"
+                raise ValueError(
+                    f"{src_name}.{k}={v!r} contradicts the {where} "
+                    f"{k}={canonical[k]!r} — set it in exactly one place")
+            out[k] = v
     return out

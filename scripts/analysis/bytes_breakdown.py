@@ -28,88 +28,8 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent.parent
 sys.path.insert(0, str(REPO))
 
-DTYPE_BYTES = {
-    "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2, "f16": 2,
-    "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8, "c64": 8,
-    "c128": 16,
-}
-
-_SHAPE_RE = re.compile(r"\b([a-z]+\d*)\[([\d,]*)\]")
-
-
-def shape_bytes(shape_str: str) -> int:
-    """Total bytes of one HLO shape string (handles tuples by summing)."""
-    total = 0
-    for dtype, dims in _SHAPE_RE.findall(shape_str):
-        if dtype not in DTYPE_BYTES:
-            continue
-        n = 1
-        for d in dims.split(","):
-            if d:
-                n *= int(d)
-        total += n * DTYPE_BYTES[dtype]
-    return total
-
-
-_NAME_RE = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*")
-_OPCODE_RE = re.compile(r"\s*([\w\-]+)\(")
-
-
-def _scan_shape(s: str, i: int):
-    """Return (shape_str, end_index) starting at s[i].
-
-    HLO shapes are either ``dtype[dims]{layout}`` or a parenthesized tuple of
-    them; layout annotations contain nested parens (``{2,1,0:T(8,128)S(1)}``)
-    so we scan with paren/brace depth instead of a regex."""
-    start = i
-    depth_p = depth_b = 0
-    n = len(s)
-    while i < n:
-        c = s[i]
-        if c == "(":
-            depth_p += 1
-        elif c == ")":
-            depth_p -= 1
-            if depth_p == 0 and s[start] == "(":
-                return s[start:i + 1], i + 1
-        elif c == "{":
-            depth_b += 1
-        elif c == "}":
-            depth_b -= 1
-        elif c == " " and depth_p == 0 and depth_b == 0:
-            return s[start:i], i
-        i += 1
-    return s[start:], n
-
-
-def parse_hlo(text: str):
-    """computation name -> list of (instr_name, shape_str, opcode, operands, called)."""
-    comps: dict[str, list] = {}
-    cur = None
-    for line in text.splitlines():
-        m = re.match(r"^\s*(?:ENTRY\s+)?%?([\w.\-]+)\s+\(.*\)\s*->\s*.*\{\s*$", line)
-        if m and "=" not in line.split("{")[0]:
-            cur = m.group(1)
-            comps[cur] = []
-            continue
-        if cur is None:
-            continue
-        mn = _NAME_RE.match(line)
-        if not mn:
-            continue
-        name = mn.group(1)
-        shape, end = _scan_shape(line, mn.end())
-        mo = _OPCODE_RE.match(line[end:])
-        if not mo:
-            continue
-        opcode = mo.group(1)
-        # operand names: %foo.123 tokens after the opcode's open paren
-        rest = line[end + mo.end():]
-        operands = re.findall(r"%([\w.\-]+)", rest.split(" calls=")[0]
-                              .split(", calls=")[0])
-        called = re.findall(r"calls=%?([\w.\-]+)", rest)
-        comps[cur].append((name, shape, opcode, operands, called))
-    return comps
+from hnet_mamba_asr_tpu.utils.hlo_bytes import (  # noqa: E402
+    parse_hlo, shape_bytes, traffic_bounds)
 
 
 def classify(name: str, opcode: str, called_ops: set[str]) -> str:

@@ -119,10 +119,15 @@ def run(args) -> dict:
                      root / "alignments" / "probe-train.jsonl")
 
     # ── train the N>=2 model through the real CLI ────────────────────────
+    # Epoch checkpoints only exist on validation epochs, and emergence wants
+    # one row per retained checkpoint — validate every epoch when emergence
+    # is requested (tiny corpus, dev eval is cheap); otherwise keep the
+    # sparse cadence that makes the non-emergence modes fast.
+    valid_interval = 1 if "emergence" in modes else max(5, args.epochs // 6)
     cfg_path = root / "cfg.yaml"
     cfg_path.write_text(
         overfit_config(root, compression_n=args.n, max_epoch=args.epochs,
-                       valid_interval=max(5, args.epochs // 6),
+                       valid_interval=valid_interval,
                        batch_bins=args.batch_bins,
                        scan_steps=max(1, args.scan_steps))
         + _interp_block(root, backend))
@@ -134,7 +139,7 @@ def run(args) -> dict:
     t0 = time.time()
     train_script.run(train_script.parse_args(
         ["--config", str(cfg_path), "--exp-dir", str(root / "exp"),
-         "train.keep_all_checkpoints=true"]))
+         "keep_all_checkpoints=true"]))
     train_s = time.time() - t0
 
     # ── the four interp modes through the real CLI ───────────────────────
@@ -206,7 +211,11 @@ def run(args) -> dict:
         f1s = [r["boundaries"]["stage0"]["words"]["f1"] for r in rows]
         result["emergence_epochs"] = [r["epoch"] for r in rows]
         result["emergence_words_f1"] = [round(v, 4) for v in f1s]
-        checks["emergence_all_epochs"] = len(rows) >= max(2, args.epochs // 2)
+        # one row per expected SAVE epoch (epoch ckpts exist only on
+        # validation epochs — advisor r3: gating on epochs//2 was
+        # unsatisfiable for every --epochs at the sparse cadence)
+        expected_saves = args.epochs // valid_interval
+        checks["emergence_all_epochs"] = len(rows) >= max(2, expected_saves)
         checks["emergence_finite"] = all(_finite(v) for v in f1s)
 
     result["checks"] = checks

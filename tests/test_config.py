@@ -75,3 +75,25 @@ def test_flatten_hoists_every_train_knob():
     assert flat["async_ckpt"] is False
     assert flat["max_epoch"] == 3          # fixed-map keys unaffected
     assert flat["scan_steps"] == 1         # defaults still present
+
+def test_flatten_honors_cross_level_pinned_keys():
+    """A block key colliding with a pinned key sourced from another level is
+    honored, not setdefault-dropped (advisor r3: train.keep_all_checkpoints=
+    true vanished and checkpoint pruning stayed on)."""
+    flat = flatten_config({"train": {"keep_all_checkpoints": True,
+                                     "accum_grad": 4}})
+    assert flat["keep_all_checkpoints"] is True
+    assert flat["accum_grad"] == 4
+    # and the eval-sourced pin through train:
+    flat = flatten_config({"train": {"valid_interval_epoch": 2}})
+    assert flat["valid_interval_epoch"] == 2
+
+
+def test_flatten_raises_on_contradictory_levels():
+    import pytest
+    with pytest.raises(ValueError, match="contradicts"):
+        flatten_config({"keep_all_checkpoints": False,
+                        "train": {"keep_all_checkpoints": True}})
+    # same value in both places is fine (no ambiguity)
+    flat = flatten_config({"accum_grad": 4, "train": {"accum_grad": 4}})
+    assert flat["accum_grad"] == 4
