@@ -28,37 +28,91 @@ from hnet_mamba_asr_tpu.utils.logging_utils import get_logger
 logger = get_logger(__name__)
 
 
-def _build_line_index(corpus_path: Path) -> np.ndarray:
-    offsets, pos = [], 0
+def _file_tag(p: Path) -> str:
+    s = p.stat()
+    return f"{p.name}:{s.st_size}:{s.st_mtime_ns}"
+
+
+def _sidecar_arrays(cache: Path, fingerprint: str, build) -> dict:
+    """Generic npz sidecar cache keyed by a dependency-fingerprint string.
+
+    The fingerprint (file tags of every input the arrays were derived from,
+    plus any shape contract) is stored INSIDE the npz; a mismatch — or any
+    read error on a truncated/corrupt file — triggers a silent rebuild.
+    Writes are per-pid tmp + atomic rename so concurrent builders can't race.
+    """
+    if cache.exists():
+        try:
+            with np.load(cache) as z:
+                if str(z["fingerprint"]) == fingerprint:
+                    return {k: z[k] for k in z.files if k != "fingerprint"}
+            logger.info("stale sidecar cache %s (inputs changed); rebuilding",
+                        cache.name)
+        except Exception:
+            logger.warning("unreadable sidecar cache %s; rebuilding", cache.name)
+    t0 = time.time()
+    arrays = build()
+    tmp = cache.with_suffix(f".tmp{os.getpid()}.npz")
+    np.savez(tmp, fingerprint=np.str_(fingerprint), **arrays)
+    os.replace(tmp, cache)
+    logger.info("sidecar cache %s built in %.0f s", cache.name, time.time() - t0)
+    return arrays
+
+
+# ASCII whitespace lookup (the bytes ``bytes.strip()`` removes): a line with
+# no byte outside this set is blank and gets no index entry.
+_WS_BYTE = np.zeros(256, dtype=bool)
+_WS_BYTE[list(b" \t\r\n\v\f")] = True
+
+
+def _scan_line_offsets(corpus_path: Path) -> np.ndarray:
+    """Byte offsets of every non-blank line, via vectorized block scans.
+
+    Streams the file in 8 MiB blocks; newline positions and the "does this
+    line contain ink?" test come from numpy reductions, so a 40M-line corpus
+    indexes with no per-line Python. Behavioral spec: reference
+    src/dcasr/data/lm_text.py:29-39 (offset recorded iff raw.strip()).
+    """
+    kept: list[np.ndarray] = []
+    pos = 0                       # file offset of the current block's start
+    line_start = 0                # offset where the (possibly partial) current line began
+    line_has_ink = False          # any non-whitespace byte seen in it so far
     with open(corpus_path, "rb") as f:
-        for raw in f:
-            if raw.strip():
-                offsets.append(pos)
-            pos += len(raw)
-    return np.asarray(offsets, dtype=np.int64)
+        while True:
+            block = f.read(1 << 23)
+            if not block:
+                break
+            arr = np.frombuffer(block, dtype=np.uint8)
+            ink_cum = np.cumsum(~_WS_BYTE[arr])
+            ends = np.flatnonzero(arr == ord("\n"))
+            if ends.size:
+                starts = np.concatenate(
+                    ([line_start], pos + ends[:-1].astype(np.int64) + 1))
+                ink_to_end = ink_cum[ends]
+                ink_in_line = np.diff(ink_to_end, prepend=0)
+                if line_has_ink:
+                    ink_in_line[0] += 1
+                kept.append(starts[ink_in_line > 0])
+                line_start = pos + int(ends[-1]) + 1
+                line_has_ink = bool(int(ink_cum[-1]) - int(ink_to_end[-1]))
+            else:
+                line_has_ink = line_has_ink or bool(ink_cum[-1])
+            pos += len(block)
+    if line_start < pos and line_has_ink:     # unterminated final line
+        kept.append(np.asarray([line_start], dtype=np.int64))
+    if not kept:
+        return np.zeros(0, dtype=np.int64)
+    return np.concatenate(kept).astype(np.int64)
 
 
 def load_line_index(corpus_path: str | Path) -> np.ndarray:
     """Cached byte offsets of non-empty lines; rebuilt when the file changes."""
     corpus_path = Path(corpus_path)
-    cache = corpus_path.with_suffix(corpus_path.suffix + ".idx.npz")
-    stat = corpus_path.stat()
-    if cache.exists():
-        try:
-            z = np.load(cache)
-            if (int(z["size"]) == stat.st_size
-                    and int(z["mtime_ns"]) == stat.st_mtime_ns):
-                return z["offsets"]
-            logger.info("corpus changed; rebuilding line index %s", cache.name)
-        except Exception:
-            logger.warning("unreadable line-index cache %s; rebuilding", cache.name)
-    offsets = _build_line_index(corpus_path)
-    tmp = cache.with_suffix(f".tmp{os.getpid()}.npz")
-    np.savez(tmp, offsets=offsets, size=np.int64(stat.st_size),
-             mtime_ns=np.int64(stat.st_mtime_ns))
-    os.replace(tmp, cache)
-    logger.info("line index: %d non-empty lines -> %s", len(offsets), cache.name)
-    return offsets
+    out = _sidecar_arrays(
+        corpus_path.with_suffix(corpus_path.suffix + ".idx.npz"),
+        f"corpus={_file_tag(corpus_path)}",
+        lambda: {"offsets": _scan_line_offsets(corpus_path)})
+    return out["offsets"]
 
 
 def load_token_lengths(corpus_path: str | Path, tokenizer,
@@ -66,87 +120,69 @@ def load_token_lengths(corpus_path: str | Path, tokenizer,
     """EXACT per-line token counts, cached per (corpus, tokenizer model).
 
     Exact counts make the sampler's token budget a hard bound (+1 bos/eos wrap
-    only) — deterministic device memory, no estimate-overshoot tail.
+    only) — deterministic device memory, no estimate-overshoot tail. The
+    fingerprint ties the cache to both input files AND the line count, so a
+    regenerated index can never pair with a stale length table.
     """
     corpus_path = Path(corpus_path)
-    stat = corpus_path.stat()
     tok_path = Path(tokenizer.model_path)
-    tok_stat = tok_path.stat()
-    cache = corpus_path.with_suffix(corpus_path.suffix + f".len.{tok_path.stem}.npz")
-    if cache.exists():
-        try:
-            z = np.load(cache)
-            if (int(z["size"]) == stat.st_size
-                    and int(z["mtime_ns"]) == stat.st_mtime_ns
-                    and int(z["tok_size"]) == tok_stat.st_size
-                    and int(z["tok_mtime_ns"]) == tok_stat.st_mtime_ns
-                    and len(z["lengths"]) == len(offsets)):
-                return z["lengths"]
-            logger.info("stale token-length cache %s; rebuilding", cache.name)
-        except Exception:
-            logger.warning("unreadable token-length cache %s; rebuilding", cache.name)
-    t0 = time.time()
-    counts = _count_tokens(corpus_path, tok_path, offsets)
-    tmp = cache.with_suffix(f".tmp{os.getpid()}.npz")
-    np.savez(tmp, lengths=counts, size=np.int64(stat.st_size),
-             mtime_ns=np.int64(stat.st_mtime_ns), tok_size=np.int64(tok_stat.st_size),
-             tok_mtime_ns=np.int64(tok_stat.st_mtime_ns))
-    os.replace(tmp, cache)
-    logger.info("token lengths: %d lines in %.0f s -> %s",
-                len(counts), time.time() - t0, cache.name)
-    return counts
+    out = _sidecar_arrays(
+        corpus_path.with_suffix(corpus_path.suffix + f".len.{tok_path.stem}.npz"),
+        f"corpus={_file_tag(corpus_path)};tok={_file_tag(tok_path)};"
+        f"n={len(offsets)}",
+        lambda: {"lengths": _count_tokens(corpus_path, tok_path, offsets)})
+    return out["lengths"]
 
 
-_POOL_TOKENIZER = None
+# Per-worker state for the span pool, installed once by the fork initializer:
+# (corpus file handle, tokenizer). Each worker owns its own handle.
+_SPAN_CTX: tuple | None = None
 
 
-def _pool_init(model_path: str) -> None:
-    global _POOL_TOKENIZER
+def _span_init(corpus: str, tok_model: str) -> None:
+    global _SPAN_CTX
     from hnet_mamba_asr_tpu.data.tokenizer import Tokenizer
-    _POOL_TOKENIZER = Tokenizer(model_path)
+    _SPAN_CTX = (open(corpus, "rb"), Tokenizer(tok_model))
 
 
-def _pool_count(lines: list[str]) -> list[int]:
-    return [len(_POOL_TOKENIZER.encode(line)) for line in lines]
+def _count_span(job: tuple[np.ndarray, int, int]) -> np.ndarray:
+    """Encode lines offsets[lo:hi] straight from the worker's own handle."""
+    offsets, lo, hi = job
+    fh, tok = _SPAN_CTX
+    out = np.empty(hi - lo, dtype=np.int32)
+    for i in range(lo, hi):
+        fh.seek(int(offsets[i]))
+        out[i - lo] = len(tok.encode(fh.readline().decode("utf-8").strip()))
+    return out
 
 
 def _count_tokens(corpus_path: Path, tok_path: Path,
                   offsets: np.ndarray) -> np.ndarray:
-    """Exact per-line token counts; a fork pool parallelizes the encode pass
-    over CPU cores (one pooled pass over a 40M-line corpus, mirroring the
-    reference's approach; falls back to in-process on single-core hosts)."""
+    """Exact per-line token counts, parallelized by SPAN partitioning.
+
+    The index is cut into contiguous spans and each fork-pool worker reads its
+    spans directly from its own file handle — no line text ever crosses the
+    IPC pipe (only the int32 result slabs do). Spans are several-per-worker so
+    a length-skewed region can't straggle the pool.
+    """
     import multiprocessing as mp
 
-    counts = np.empty(len(offsets), dtype=np.int32)
-    n_procs = min(12, os.cpu_count() or 1)
-    chunk = 20000
-
-    def line_chunks():
-        with open(corpus_path, "rb") as f:
-            buf = []
-            for off in offsets:
-                f.seek(int(off))
-                buf.append(f.readline().decode("utf-8").strip())
-                if len(buf) == chunk:
-                    yield buf
-                    buf = []
-            if buf:
-                yield buf
-
-    if n_procs <= 1 or len(offsets) < chunk:
-        _pool_init(str(tok_path))
-        pos = 0
-        for lines in line_chunks():
-            counts[pos:pos + len(lines)] = _pool_count(lines)
-            pos += len(lines)
-        return counts
-    with mp.get_context("fork").Pool(n_procs, _pool_init,
-                                     (str(tok_path),)) as pool:
-        pos = 0
-        for res in pool.imap(_pool_count, line_chunks()):
-            counts[pos:pos + len(res)] = res
-            pos += len(res)
-    return counts
+    n = len(offsets)
+    workers = min(12, os.cpu_count() or 1)
+    span = 20000
+    if workers <= 1 or n < 2 * span:
+        _span_init(str(corpus_path), str(tok_path))
+        try:
+            return _count_span((offsets, 0, n))
+        finally:
+            _SPAN_CTX[0].close()
+    edges = np.linspace(0, n, max(4 * workers, n // span) + 1, dtype=np.int64)
+    jobs = [(offsets, int(a), int(b))
+            for a, b in zip(edges[:-1], edges[1:]) if b > a]
+    with mp.get_context("fork").Pool(workers, _span_init,
+                                     (str(corpus_path), str(tok_path))) as pool:
+        slabs = pool.map(_count_span, jobs)
+    return np.concatenate(slabs)
 
 
 class LMTextDataset:

@@ -61,6 +61,47 @@ def maybe_init_distributed() -> bool:
     return False
 
 
+def validate_planes(flat: dict) -> tuple[int, int, int, int, bool]:
+    """Parse + validate the parallelism planes from a flattened train config.
+
+    Returns ``(tp, sp, pp, ep, fsdp)``. The composition matrix (every pair in
+    {tp, sp, pp, ep, fsdp}² is either composed-and-tested or excluded HERE
+    with a pinned error — PARITY.md §2.10 records the full argument):
+
+    - GSPMD planes (tp, ep, fsdp) compose freely with each other: they are
+      sharding ANNOTATIONS on one jit program over disjoint parameter sets
+      (projections / stacked [E,...] experts / every other large leaf), so
+      their spec trees merge leaf-wise (see place_params).
+    - fsdp also composes with sp and pp: both enter their shard_map with
+      params pinned replicated (sp) or pp-stacked (pp) by in_specs, so
+      GSPMD's reshard at that boundary IS the ZeRO gather-on-use.
+    - sp and pp exclude tp, ep, and each other: a shard_map body is a
+      PER-DEVICE program — GSPMD cannot shard a parameter INSIDE it, so
+      composing tp/ep into sp/pp would mean hand-writing the tensor/expert
+      collectives into every layer of the shard_map body (a second,
+      divergent implementation of each layer), and sp+pp would need nested
+      shard_maps over different axes of the same trunk. Excluded on
+      cost/benefit: fsdp already covers "params too big" for sp (and pp IS
+      the params-too-big plane); sp covers "sequence too long".
+    """
+    tp = int(flat.get("tp", 1))
+    sp = int(flat.get("sp", 1))
+    pp = int(flat.get("pp", 1))
+    ep = int(flat.get("ep", 1))
+    fsdp = bool(flat.get("fsdp", False))
+    planes = sum(p > 1 for p in (tp, sp, pp, ep))
+    if planes > 1 and not (planes == 2 and tp > 1 and ep > 1):
+        raise ValueError("train.sp / train.pp are mutually exclusive with "
+                         "every other model-parallel plane; train.tp and "
+                         "train.ep may compose into a (dp, tp, ep) mesh "
+                         "(their sharded parameter sets are disjoint)")
+    if (sp > 1 or pp > 1) and int(flat.get("scan_steps", 1)) > 1:
+        raise ValueError("train.sp/pp with train.scan_steps is not "
+                         "supported (shard_map inside the fused scan is "
+                         "untested); use accum_grad instead")
+    return tp, sp, pp, ep, fsdp
+
+
 def make_mesh(n_devices: int | None = None, dp_axis: str = "dp",
               tp: int = 1, tp_axis: str = "tp",
               ep: int = 1, ep_axis: str = "ep") -> Mesh:
@@ -192,15 +233,12 @@ def place_params(params, mesh: Mesh, tp_axis: str = "tp",
     ``fsdp=True`` additionally shards every large leaf still replicated
     after the tp/ep rules over the DP axis (see fsdp_specs) — ZeRO for
     whatever the model-parallel planes don't already shard. Composes with
-    the (dp,), (dp, tp), (dp, ep), (dp, tp, ep) and (dp, sp) meshes (on the
-    sequence-parallel mesh the params enter shard_map replicated — GSPMD's
-    all-gather at that boundary IS the ZeRO-3 gather-on-use). The 'pp' mesh
-    is excluded: pipeline stages own their stacked per-stage weights."""
+    EVERY mesh: on the shard_map planes' meshes ((dp, sp) and (dp, pp)) the
+    params enter the shard_map pinned by in_specs (replicated for sp;
+    pp-stacked for pp, built from the ZeRO-sharded leaves inside the jit) —
+    GSPMD's reshard at that boundary IS the ZeRO-3 gather-on-use."""
     has_tp = tp_axis in mesh.axis_names
     has_ep = ep_axis in mesh.axis_names
-    if fsdp and "pp" in mesh.axis_names:
-        raise ValueError("fsdp does not compose with the pipeline plane "
-                         "(pp stages own their stacked per-stage weights)")
     if not (fsdp or has_tp or has_ep):
         return jax.device_put(params, replicate(mesh))
     if has_tp and has_ep:

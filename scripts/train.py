@@ -60,27 +60,9 @@ def run(args) -> None:
     train_loader, _, dev_loaders = build_dataloaders(cfg, REPO_ROOT, tokenizer,
                                                      seed=seed)
     model = build_model(cfg, tokenizer.vocab_size, cmvn=cmvn)
-    from hnet_mamba_asr_tpu.parallel.mesh import make_mesh
+    from hnet_mamba_asr_tpu.parallel.mesh import make_mesh, validate_planes
     flat = flatten_config(cfg)
-    sp = int(flat.get("sp", 1))
-    pp = int(flat.get("pp", 1))
-    ep = int(flat.get("ep", 1))
-    tp = int(flat.get("tp", 1))
-    fsdp = bool(flat.get("fsdp", False))
-    planes = sum(p > 1 for p in (tp, sp, pp, ep))
-    if planes > 1 and not (planes == 2 and tp > 1 and ep > 1):
-        raise ValueError("train.sp / train.pp are mutually exclusive with "
-                         "every other model-parallel plane; train.tp and "
-                         "train.ep may compose into a (dp, tp, ep) mesh "
-                         "(their sharded parameter sets are disjoint)")
-    if fsdp and pp > 1:
-        raise ValueError("train.fsdp does not compose with train.pp "
-                         "(pipeline stages own their stacked per-stage "
-                         "weights); it composes with dp/tp/ep/sp")
-    if (sp > 1 or pp > 1) and int(flat.get("scan_steps", 1)) > 1:
-        raise ValueError("train.sp/pp with train.scan_steps is not "
-                         "supported (shard_map inside the fused scan is "
-                         "untested); use accum_grad instead")
+    tp, sp, pp, ep, fsdp = validate_planes(flat)
     if sp > 1:
         # long-form sequence parallelism: (dp, sp) mesh + the SPModel adapter
         # (parallel/seq_parallel.py) — the Trainer itself is untouched

@@ -174,13 +174,11 @@ def test_fsdp_checkpoint_gathered_and_roundtrips(tmp_path):
                for l in jax.tree_util.tree_leaves(tr2.params))
 
 
-def test_fsdp_rejects_pipeline_mesh_only():
-    """fsdp composes with tp/ep/sp meshes but not pp (pipeline stages own
-    their stacked per-stage weights)."""
+def test_fsdp_tp_spec_merge():
+    """On a (dp, tp) mesh the tp rules win on the projections and fsdp
+    shards the remaining large leaves — never both on one leaf."""
     model = _tiny_asr_model()
     params = model.init_params(jax.random.PRNGKey(0))
-    with pytest.raises(ValueError, match="pipeline"):
-        place_params(params, make_mesh(tp=2, tp_axis="pp"), fsdp=True)
     # (dp, tp): tp rules win on the projections, fsdp shards the rest
     placed = place_params(params, make_mesh(tp=2), fsdp=True,
                           fsdp_min_elems=64)
@@ -232,6 +230,37 @@ def test_fsdp_composes_with_sp_training(tmp_path):
     tr = Trainer(SPModel(model, sp_mesh), OneBatch(batch),
                  dict(CFG, fsdp=True), ckpt_dir=tmp_path / "sp_fs",
                  mesh=sp_mesh)
+    assert any("dp" in str(l.sharding.spec)
+               for l in jax.tree_util.tree_leaves(tr.params))
+    tr.train()
+    _assert_tree_close(jax.device_get(tr_dp.params),
+                       jax.device_get(tr.params))
+
+
+def test_fsdp_composes_with_pp_training(tmp_path):
+    """fsdp + pipeline parallelism on a (dp=2, pp=2) mesh: params rest
+    dp-sharded (ZeRO); pp_loss_fn stacks the block leaves inside the jit and
+    the shard_map in_spec P('pp') reshards them — GSPMD's gather at the stack
+    IS the ZeRO-3 gather-on-use. Trains to the same parameters as plain dp."""
+    from hnet_mamba_asr_tpu.parallel.pipeline import PPModel
+    cfg_model = {
+        "encoder": "dcasr", "head": "ctc",
+        "frontend_conf": {"n_mels": 20},
+        "encoder_conf": {"d_outer": 16, "d_main": 32, "n_enc": 1, "n_main": 2,
+                         "n_dec": 1, "arch_type": "A", "d_state": 8,
+                         "headdim": 8, "ssd_chunk_size": 16,
+                         "hnet": {"compression_N": 1}},
+        "model_conf": {"ctc_weight": 1.0, "aed_weight": 0.0},
+    }
+    model = build_model(cfg_model, 12)         # n_main=2: one block per stage
+    batch = _one_batch()
+    tr_dp = Trainer(model, OneBatch(batch), CFG, ckpt_dir=tmp_path / "dp",
+                    mesh=make_mesh())
+    tr_dp.train()
+    pp_mesh = make_mesh(tp=2, tp_axis="pp")
+    tr = Trainer(PPModel(model, pp_mesh), OneBatch(batch),
+                 dict(CFG, fsdp=True), ckpt_dir=tmp_path / "pp_fs",
+                 mesh=pp_mesh)
     assert any("dp" in str(l.sharding.spec)
                for l in jax.tree_util.tree_leaves(tr.params))
     tr.train()
