@@ -151,7 +151,11 @@ def _beam_scan(aed, params, memory, memory_lengths, max_steps, ctc_logp, *,
     R = beam_size
     P = nbest
     V = aed.vocab_size
-    cap = aed.max_decode_len + 1
+    # KV ring + token buffers sized to the BUCKETED trip count, not the
+    # config-wide max_decode_len: positions never exceed N_ITERS, so a 513-
+    # slot ring for a 64-step search would read 8x dead cache every
+    # self-attention (the dominant per-step HBM traffic at beam x batch rows)
+    cap = min(aed.max_decode_len, N_ITERS) + 1
     rows = B * R
     use_ctc = ctc_logp is not None
     w = float(ctc_weight) if use_ctc else 0.0
@@ -348,7 +352,21 @@ def _beam_scan(aed, params, memory, memory_lengths, max_steps, ctc_logp, *,
                                         state["last_tok"])
         return new_state, ()
 
-    state, _ = jax.lax.scan(body, state, jnp.arange(N_ITERS))
+    # while_loop, not scan: the host engines stop the moment every utterance
+    # is done (eos retirements / early-stop / cap), and typical transcripts
+    # terminate in ~25 steps vs a 256-step bucket — iterations past the last
+    # active utterance are provably inert (every observable carry is gated on
+    # state["active"]), so exiting early is exact, not approximate
+    def _cond(carry):
+        t, st = carry
+        return (t < N_ITERS) & st["active"].any()
+
+    def _wbody(carry):
+        t, st = carry
+        st, _ = body(st, t)
+        return t + 1, st
+
+    _, state = jax.lax.while_loop(_cond, _wbody, (jnp.int32(0), state))
     keep = ("alive_score", "alive_aed", "alive_tok", "pool_score", "pool_aed",
             "pool_ctc", "pool_len", "pool_tok", "pool_n")
     out = {k: state[k] for k in keep}
