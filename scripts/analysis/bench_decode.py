@@ -30,6 +30,9 @@ sys.path.insert(0, str(REPO))
 
 def main():
     import jax
+    # persist remote compiles: a cold run pays minutes per beam cell through
+    # the relay; re-runs (the within-run A/B discipline needs several) hit
+    # the cache and start measuring in seconds
     jax.config.update("jax_compilation_cache_dir",
                       "/root/.cache/jax_bench_cache")
     from __graft_entry__ import _batch, _small_config

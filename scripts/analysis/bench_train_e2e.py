@@ -115,11 +115,92 @@ def measure_variant(root: Path, name: str, *, accum: int, scan: int,
             "sec_per_opt_step": round((t1 - t0) / max(1, opt_steps), 4)}
 
 
+def measure_host_only(root: Path, *, epochs: int, wire: str = "int16") -> dict:
+    """The host half alone: iterate the REAL DataLoader (WAV read, collate,
+    wire encode, sampler) with NO device work — the e2e number can never
+    exceed min(host-only, device-only), so this pins which side owns the gap.
+    """
+    import time
+
+    from hnet_mamba_asr_tpu.tasks.build import (build_dataloaders,
+                                                build_tokenizer)
+    from hnet_mamba_asr_tpu.utils.config import load_config
+
+    cfg_path = root / "cfg_hostonly.yaml"
+    cfg_path.write_text(config_yaml(root, accum=1, scan=8, wire=wire))
+    cfg = load_config(str(cfg_path), [])
+    tok = build_tokenizer(cfg, REPO)
+    loader, _, _ = build_dataloaders(cfg, REPO, tok, seed=0)
+    n_frames = 0
+    for b in loader:                       # warm epoch (page cache, kernels)
+        n_frames += int(b["row_mask"].sum()) * UTT_FRAMES
+    t0 = time.perf_counter()
+    n_frames = 0
+    for e in range(max(1, epochs - 1)):
+        loader.set_epoch(e + 1)
+        for b in loader:
+            n_frames += int(b["row_mask"].sum()) * UTT_FRAMES
+    dt = time.perf_counter() - t0
+    return {"variant": "host_only", "wire_dtype": wire,
+            "frames_per_s": round(n_frames / dt, 1),
+            "epochs_timed": max(1, epochs - 1)}
+
+
+def measure_device_only(*, n_steps: int = 8) -> dict:
+    """The device half alone: bench.py's production step shape (B=32 x 1000
+    frames, remat none, bf16 intra) as one scanned device call, timed by
+    value-fetch fencing — no host pipeline in the loop."""
+    import time
+
+    import jax
+    import optax
+
+    from __graft_entry__ import _batch, _small_config
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    cfg = _small_config()
+    cfg["model_conf"] = {"ctc_weight": 1.0, "aed_weight": 0.0}
+    cfg["encoder_conf"].update(remat_policy="none", ssd_intra_dtype="bf16")
+    model = build_model(cfg, 500)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = _batch(B=32, frames=1000, n_mels=80, vocab=500)
+    tx = optax.chain(optax.clip_by_global_norm(5.0), optax.adamw(1e-3))
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def run(params, opt_state, batch):
+        def body(carry, i):
+            p, s = carry
+            (loss, _), grads = jax.value_and_grad(
+                lambda q: model.loss_fn(q, batch, i, True),
+                has_aux=True)(p)
+            u, s = tx.update(grads, s, p)
+            return (optax.apply_updates(p, u), s), loss
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), jax.numpy.arange(n_steps))
+        return params, opt_state, losses[-1]
+
+    params, opt_state, loss = run(params, opt_state, batch)   # compile+warm
+    _ = float(loss)
+    best = float("inf")
+    for _t in range(3):
+        t0 = time.perf_counter()
+        params, opt_state, loss = run(params, opt_state, batch)
+        _ = float(loss)
+        best = min(best, time.perf_counter() - t0)
+    return {"variant": "device_only", "scan_steps": n_steps,
+            "frames_per_s": round(32 * 1000 * n_steps / best, 1),
+            "sec_per_opt_step": round(best / n_steps, 4)}
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--utts", type=int, default=256)
     ap.add_argument("--epochs", type=int, default=3)
     ap.add_argument("--variants", default="accum2,fused,scan8")
+    ap.add_argument("--gap", action="store_true",
+                    help="also measure host-only and device-only halves and "
+                         "emit the e2e gap decomposition (judge r3 #8)")
     ap.add_argument("--root", default="/tmp/bench_train_e2e")
     ap.add_argument("--out", default=str(REPO / "docs" / "results" /
                                          "train_e2e_tpu.json"))
@@ -149,6 +230,26 @@ def main(argv=None) -> None:
         results.append(r)
         print(json.dumps(r), flush=True)
 
+    gap = None
+    if args.gap:
+        host = measure_host_only(root, epochs=args.epochs)
+        print(json.dumps(host), flush=True)
+        dev = measure_device_only()
+        print(json.dumps(dev), flush=True)
+        e2e = max((r for r in results if r["variant"].startswith("scan")),
+                  key=lambda r: r["frames_per_s"], default=None)
+        gap = {"host_only_fps": host["frames_per_s"],
+               "device_only_fps": dev["frames_per_s"],
+               "e2e_fps": e2e["frames_per_s"] if e2e else None,
+               "relay_dispatch_s": relay["dispatch_s"]}
+        if e2e:
+            ceiling = min(host["frames_per_s"], dev["frames_per_s"])
+            gap["pipeline_ceiling_fps"] = ceiling
+            gap["e2e_over_ceiling"] = round(e2e["frames_per_s"] / ceiling, 3)
+            gap["bottleneck"] = ("host" if host["frames_per_s"]
+                                 < dev["frames_per_s"] else "device")
+        print(json.dumps({"gap": gap}), flush=True)
+
     out = Path(args.out)
     out.parent.mkdir(parents=True, exist_ok=True)
     # Merge into an existing artifact (narrative keys like "diagnosis" are
@@ -161,6 +262,8 @@ def main(argv=None) -> None:
             doc = {}
     doc.setdefault("device", str(jax.devices()[0]))
     doc["relay"] = relay
+    if gap is not None:
+        doc["gap"] = gap
     doc["utt_frames"] = UTT_FRAMES
     doc["n_utts"] = args.utts
     merged = list(doc.get("results", []))
