@@ -41,6 +41,9 @@ from hnet_mamba_asr_tpu.decoders.joint import Hypothesis
 NEG_INF = -1.0e9                 # beam/pool padding
 CTC_LOG0 = -1.0e10               # CTC lattice log-zero (host LOG_ZERO)
 _JIT_CACHE: dict = {}
+LAST_STATS: dict = {}            # {n_steps, n_iters} of the latest search
+                                 # (diagnostics for bench_decode: separates
+                                 # "more steps" from "costlier steps")
 
 
 def _pow2_bucket(n: int, lo: int = 8) -> int:
@@ -140,9 +143,11 @@ def _ctc_advance_r(ctc_logp, r_par, tok, last_par, t, blank):
     return jnp.stack([r0, r1], -1).transpose(1, 2, 0, 3)       # [B, R, T, 2]
 
 
-def _beam_scan(aed, params, memory, memory_lengths, max_steps, ctc_logp, *,
+def _beam_scan(aed, params, memory, memory_lengths, max_steps, ctc_logp,
+               lm_params=None, *,
                beam_size: int, nbest: int, length_bonus: float, pre: int,
-               N_ITERS: int, ctc_weight: float, blank: int):
+               N_ITERS: int, ctc_weight: float, blank: int,
+               lm_model=None, lm_ids=(1, 2, 3)):
     """Jittable core. memory [B, S, d]; max_steps [B] int32 (per-utt cap);
     ctc_logp [B, T, W] or None (pure AED). Returns pool + alive state after
     the scan. N_ITERS (static, bucketed) bounds the scan; iterations past
@@ -366,12 +371,42 @@ def _beam_scan(aed, params, memory, memory_lengths, max_steps, ctc_logp, *,
         st, _ = body(st, t)
         return t + 1, st
 
-    _, state = jax.lax.while_loop(_cond, _wbody, (jnp.int32(0), state))
+    n_steps, state = jax.lax.while_loop(_cond, _wbody, (jnp.int32(0), state))
     keep = ("alive_score", "alive_aed", "alive_tok", "pool_score", "pool_aed",
             "pool_ctc", "pool_len", "pool_tok", "pool_n")
     out = {k: state[k] for k in keep}
+    out["n_steps"] = n_steps                  # executed trips (diagnostics)
     if use_ctc:
         out["alive_ctc"] = state["alive_ctc"]
+    if lm_model is not None:
+        # fused second-pass LM scoring: one causal-LM forward over the whole
+        # n-best pool INSIDE this program — the *_lm decode cells previously
+        # paid a second device dispatch (CausalLMScorer.sequence_logprob) per
+        # batch just to score the completions the search already holds. Same
+        # math as the host scorer's _seq_fn: fp32 log_softmax of the padded
+        # forward, target gather, masked sum over tokens + terminal eos.
+        bos, eos_lm, pad_lm = lm_ids
+        tok = out["pool_tok"].reshape(B * P, -1)             # [BP, cap]
+        ln = out["pool_len"].reshape(B * P)                  # [BP]
+        Lr = tok.shape[1] + 1
+        pos = jnp.arange(Lr)[None, :]                        # [1, Lr]
+        prev = jnp.broadcast_to(jnp.clip(pos - 1, 0, tok.shape[1] - 1),
+                                (B * P, Lr))
+        cur = jnp.broadcast_to(jnp.minimum(pos, tok.shape[1] - 1),
+                               (B * P, Lr))
+        ys_in = jnp.where(pos == 0, bos,
+                          jnp.where(pos - 1 < ln[:, None],
+                                    jnp.take_along_axis(tok, prev, 1), pad_lm))
+        ys_out = jnp.where(pos < ln[:, None],
+                           jnp.take_along_axis(tok, cur, 1),
+                           jnp.where(pos == ln[:, None], eos_lm, pad_lm))
+        logp = jax.nn.log_softmax(
+            lm_model.apply(lm_params, ys_in.astype(jnp.int32)
+                           ).astype(jnp.float32), axis=-1)
+        tgt = jnp.take_along_axis(logp, ys_out[..., None].astype(jnp.int32),
+                                  axis=-1)[..., 0]
+        scored = (pos <= ln[:, None]).astype(jnp.float32)    # tokens + eos
+        out["pool_lm"] = (tgt * scored).sum(-1).reshape(B, P)
     return out
 
 
@@ -382,12 +417,20 @@ def beam_search_device(aed, params, features, lengths, *,
                        pre_beam: int | None = None,
                        n_utts: int | None = None,
                        ctc_log_probs=None, blank_id: int | None = None,
-                       ctc_weight: float = 0.0
+                       ctc_weight: float = 0.0, lm=None
                        ) -> list[list[Hypothesis]]:
     """AED or joint CTC+AED n-best beam, entirely on-device (ONE jitted call
     per batch). ``ctc_log_probs`` [B, T, V+1] + ``ctc_weight`` > 0 enables
     joint scoring. Returns per-utterance Hypothesis lists compatible with
-    lm_rescore (the aed_beam* / joint_beam* cells of the decode matrix)."""
+    lm_rescore (the aed_beam* / joint_beam* cells of the decode matrix).
+
+    ``lm`` (a CausalLMScorer) fuses the second-pass rescoring LM forward into
+    the SAME jitted program: each returned Hypothesis carries its full
+    sequence log-prob in ``.lm`` and lm_rescore/lm_rescore_batch skip their
+    own device call — the *_lm cells cost one dispatch per batch instead of
+    two (the relay charges ~1.5 s per dispatch; reference semantics anchor:
+    src/dcasr/decoders/joint.py lm_rescore, a post-hoc re-rank of the fixed
+    complete n-best, unchanged here)."""
     lens = np.asarray(lengths)
     B = features.shape[0]
     n = int(n_utts) if n_utts is not None else B
@@ -412,8 +455,10 @@ def beam_search_device(aed, params, features, lengths, *,
         tmask = np.arange(T)[None, :, None] < lens[:, None, None]
         ctc_arg = jnp.asarray(np.where(tmask, lp, pad))
 
+    lm_model = lm.lm_model if lm is not None else None
+    lm_ids = (lm.bos_id, lm.eos_id, lm.pad_id) if lm is not None else (1, 2, 3)
     key = (aed, beam_size, nbest, float(length_bonus), pre, n_iters,
-           use_ctc, float(ctc_weight), blank_id)
+           use_ctc, float(ctc_weight), blank_id, lm_model, lm_ids)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         import functools
@@ -421,11 +466,14 @@ def beam_search_device(aed, params, features, lengths, *,
             _beam_scan, aed, beam_size=beam_size, nbest=nbest,
             length_bonus=length_bonus, pre=pre, N_ITERS=n_iters,
             ctc_weight=float(ctc_weight) if use_ctc else 0.0,
-            blank=int(blank_id) if use_ctc else 0))
+            blank=int(blank_id) if use_ctc else 0,
+            lm_model=lm_model, lm_ids=lm_ids))
         _JIT_CACHE[key] = fn
     out = fn({"params": params}, features, jnp.asarray(lens, jnp.int32),
-             jnp.asarray(max_steps), ctc_arg)
+             jnp.asarray(max_steps), ctc_arg,
+             lm.lm_params if lm is not None else None)
     out = {k: np.asarray(v) for k, v in out.items()}
+    LAST_STATS.update(n_steps=int(out["n_steps"]), n_iters=n_iters)
 
     results: list[list[Hypothesis]] = []
     for b in range(n):
@@ -437,7 +485,9 @@ def beam_search_device(aed, params, features, lengths, *,
                     tokens=out["pool_tok"][b, p, :L].tolist(),
                     aed=float(out["pool_aed"][b, p]),
                     ctc=float(out["pool_ctc"][b, p]),
-                    score=float(out["pool_score"][b, p])))
+                    score=float(out["pool_score"][b, p]),
+                    lm=(float(out["pool_lm"][b, p]) if lm is not None
+                        else None)))
         if not hyps:                                  # pool empty: alive best
             order = np.argsort(-out["alive_score"][b])
             for r in order[:nbest]:

@@ -99,6 +99,9 @@ class Hypothesis:
     ctc: float                                  # absolute CTC prefix log-prob
     ctc_state: np.ndarray | None = None
     score: float = field(default=0.0)           # acoustic combination + bonus
+    lm: float | None = None                     # fused full-sequence LM log-prob
+                                                # (device beam scores the pool
+                                                # in-program; None = not scored)
 
 
 def joint_beam_search_nbest(memory, memory_lengths, *, aed_next_logprobs,
@@ -335,11 +338,17 @@ def lm_rescore_batch(nbests: list[list[Hypothesis]], lm, lm_weight: float, *,
                      ) -> list[list[int]]:
     """lm_rescore over a whole batch with ONE LM call: every utterance's
     n-best flattens into a single sequence_logprob, then the per-utterance
-    re-rank is identical to lm_rescore (same formula, same tie behavior)."""
-    flat = [h.tokens for nb in nbests for h in nb]
+    re-rank is identical to lm_rescore (same formula, same tie behavior).
+    Hypotheses already carrying a fused ``.lm`` score (device beam with
+    lm=...) are used as-is — only unscored ones pay the LM call."""
+    flat = [h for nb in nbests for h in nb]
     if not flat:
         return [[] for _ in nbests]
-    lm_scores = np.asarray(lm.sequence_logprob(flat))
+    lm_scores = np.asarray([h.lm if h.lm is not None else 0.0 for h in flat])
+    need = [i for i, h in enumerate(flat) if h.lm is None]
+    if need:
+        lm_scores[need] = np.asarray(
+            lm.sequence_logprob([flat[i].tokens for i in need]))
     out: list[list[int]] = []
     k = 0
     for nb in nbests:
@@ -369,7 +378,11 @@ def lm_rescore(nbest: list[Hypothesis], lm, lm_weight: float, *, ctc_weight: flo
     acoustic best. Returns bare ids."""
     if not nbest:
         return []
-    lm_scores = np.asarray(lm.sequence_logprob([h.tokens for h in nbest]))
+    lm_scores = np.asarray([h.lm if h.lm is not None else 0.0 for h in nbest])
+    need = [i for i, h in enumerate(nbest) if h.lm is None]
+    if need:
+        lm_scores[need] = np.asarray(
+            lm.sequence_logprob([nbest[i].tokens for i in need]))
     best, best_score = nbest[0], float("-inf")
     for h, lms in zip(nbest, lm_scores.tolist()):
         s = ((1.0 - ctc_weight) * h.aed + ctc_weight * h.ctc

@@ -476,9 +476,12 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
                 beam_size=beam_size, nbest=(beam_size if cell["lm"] else 1),
                 length_bonus=length_bonus, pre_beam=pre, n_utts=n_real,
                 ctc_log_probs=ctc_logp, ctc_weight=ctc_w,
-                blank_id=model.ctc.blank_id if model.ctc is not None else None)
+                blank_id=model.ctc.blank_id if model.ctc is not None else None,
+                lm=(use_lm if cell["lm"] else None))
             if cell["lm"]:
-                # one LM call rescoring every utterance's n-best at once
+                # re-rank on fused in-program LM scores (lm_rescore_batch
+                # only calls the LM for hypotheses lacking one — the rare
+                # empty-pool alive fallback)
                 hyps.extend(lm_rescore_batch(
                     nbest_all, use_lm, rescore_weight, ctc_weight=ctc_w,
                     length_bonus=rescore_length_bonus))

@@ -98,16 +98,28 @@ def main():
             t0 = time.perf_counter()
             decode_batch(model, params, tok, dict(batch), cell, dc, lm=lm)
             trials[cell["name"]].append(time.perf_counter() - t0)
+    from hnet_mamba_asr_tpu.decoders import device_beam
+    steps = {}
     rtf = {}
     for cell in cells:
         dt = statistics.median(trials[cell["name"]])
         rtf[cell["name"]] = round(dt / audio_s, 4)
+        extra = ""
+        if cell["read_out"] in ("aed", "joint") and device_beam.LAST_STATS:
+            # re-run once to read THIS cell's executed-trip diagnostic (the
+            # aed/joint RTF ratio conflates steps-run with cost-per-step)
+            decode_batch(model, params, tok, dict(batch), cell, dc, lm=lm)
+            steps[cell["name"]] = dict(device_beam.LAST_STATS)
+            extra = (f"  steps={device_beam.LAST_STATS['n_steps']}"
+                     f"/{device_beam.LAST_STATS['n_iters']}")
         print(f"{cell['name']:11s} {dt:7.2f}s  RTF {dt / audio_s:7.4f}  "
               f"({audio_s / dt:6.1f}x realtime)  "
-              f"trials={[round(x / audio_s, 4) for x in trials[cell['name']]]}")
+              f"trials={[round(x / audio_s, 4) for x in trials[cell['name']]]}"
+              + extra)
     doc = {"B": B, "secs_per_utt": secs, "beam": dc["beam_size"],
            "trials": n_trials, "relay": relay,
-           "device": str(jax.devices()[0]), "rtf_median": rtf}
+           "device": str(jax.devices()[0]), "rtf_median": rtf,
+           "beam_steps": steps}
     if "joint_beam" in rtf and "aed_beam" in rtf:
         doc["joint_over_aed"] = round(rtf["joint_beam"] / rtf["aed_beam"], 3)
     if "joint_beam_lm" in rtf and "aed_beam_lm" in rtf:

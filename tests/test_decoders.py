@@ -378,6 +378,54 @@ def test_device_beam_short_utterances(rng):
                    [h.tokens for h in host], (w, b)
 
 
+def test_device_beam_fused_lm_rescore(rng):
+    """beam_search_device(lm=...) scores the n-best pool INSIDE the search
+    program; the attached .lm values must equal the host scorer's
+    sequence_logprob (same fp32 math, different padding shapes), and the
+    rescorers must re-rank identically WITHOUT a second LM call."""
+    from hnet_mamba_asr_tpu.decoders.device_beam import beam_search_device
+    from hnet_mamba_asr_tpu.decoders.joint import lm_rescore_batch
+    from hnet_mamba_asr_tpu.models.aed import AEDHead
+
+    V, DM, S, B = 12, 16, 9, 3
+    head = AEDHead(vocab_size=V, d_model=DM, n_layers=1, n_heads=2, d_ff=32,
+                   dropout=0.0, max_decode_len=8)
+    mem = jnp.asarray(rng.normal(size=(B, S, DM)).astype(np.float32))
+    mlens = np.asarray([S, S - 3, S - 1])
+    params = head.init(jax.random.PRNGKey(1), mem, jnp.asarray(mlens),
+                       jnp.zeros((B, 3), jnp.int32))["params"]
+    raw = rng.normal(size=(B, S, V + 1))
+    ctc_lp = raw - np.log(np.exp(raw).sum(-1, keepdims=True))
+    lm = TransformerLM(vocab_size=V, d_model=16, n_layers=1, n_heads=2,
+                       d_ff=32, dropout=0.0)
+    scorer = CausalLMScorer(
+        lm, lm.init(jax.random.PRNGKey(7), jnp.zeros((1, 4), jnp.int32)))
+
+    # joint config covers the use_ctc code path; the LM block is shared
+    dev = beam_search_device(head, params, mem, mlens, beam_size=3, nbest=3,
+                             ctc_log_probs=ctc_lp, ctc_weight=0.3,
+                             blank_id=V, lm=scorer)
+    flat = [h for nb in dev for h in nb]
+    assert flat and all(h.lm is not None for h in flat)
+    host_lm = scorer.sequence_logprob([h.tokens for h in flat])
+    np.testing.assert_allclose([h.lm for h in flat], host_lm, atol=1e-4)
+
+    calls = []
+    orig = scorer.sequence_logprob
+    scorer.sequence_logprob = lambda seqs: (calls.append(len(seqs)),
+                                            orig(seqs))[1]
+    fused = lm_rescore_batch(dev, scorer, 0.6, ctc_weight=0.3,
+                             length_bonus=0.1)
+    assert calls == []                        # fused scores: zero LM calls
+    for nb in dev:                            # strip -> host-scored path
+        for h in nb:
+            h.lm = None
+    unfused = lm_rescore_batch(dev, scorer, 0.6, ctc_weight=0.3,
+                               length_bonus=0.1)
+    assert calls == [len(flat)]
+    assert fused == unfused
+
+
 def test_lockstep_partial_batch_rows(rng):
     """n_utts < padded B: the stepper slices its returns to the real utts and
     the padded rows never leak into results."""
