@@ -87,6 +87,59 @@ def _ctc_prefix_psi(ctc_logp, r_prev, cand, last_tok, t, blank):
     return psi, eos_psi
 
 
+def _ctc_prefix_psi_matmul(ctc_logp, expx, mx, r_prev, cand, last_tok, t,
+                           blank):
+    """MXU form of ``_ctc_prefix_psi``: the generic-candidate reduction
+
+        psi_sum[b,r,w] = logsumexp_{tt>=start} ( r_sum[b,r,tt-1] + x[b,tt,w] )
+
+    separates into per-row / per-column max shifts plus ONE batched matmul
+    over the frame axis,
+
+        exp(r_sum - m1) [B,R,T-1]  @  exp(x - m2) [B,T-1,W]  ->  [B,R,W]
+
+    where ``expx``/``mx`` (the x-side factor over frames 1..T-1 and its
+    per-column max) are STATIC across beam steps and precomputed once per
+    batch. Contributions >~88 nats below the row maximum flush to zero in
+    exp — exactly the terms a float32 logsumexp discards anyway. The
+    c == last_tok column (phi = r1, not r_sum) is patched from a [B,R,T]
+    reduction, and the psi_0 / eos terms mirror the reference recursion
+    (src/dcasr/decoders/joint.py CTCPrefixScorer.score). Inference-only
+    math: the log/where forms here are never differentiated."""
+    B, T, W = ctc_logp.shape
+    R, C = cand.shape[1], cand.shape[2]
+    r_sum = jnp.logaddexp(r_prev[..., 0], r_prev[..., 1])      # [B, R, T]
+    start = jnp.maximum(t, 1)
+    act = (jnp.arange(1, T) >= start)                          # [T-1] (tt axis)
+    left = jnp.where(act[None, None, :], r_sum[..., :-1], CTC_LOG0)
+    m1 = jnp.maximum(left.max(-1), -1.0e9)                     # [B, R]
+    dot = jnp.einsum("brt,btw->brw", jnp.exp(left - m1[..., None]), expx,
+                     preferred_element_type=jnp.float32)       # [B, R, W]
+    psi_sum = jnp.where(dot > 0.0, jnp.log(jnp.maximum(dot, 1e-37)), 0.0)
+    psi_sum = jnp.where(dot > 0.0, psi_sum + m1[..., None] + mx[:, None, :],
+                        CTC_LOG0)
+    psi0 = jnp.where(t == 0, ctc_logp[:, 0, :], CTC_LOG0)      # [B, W]
+    psi_full = jnp.logaddexp(psi0[:, None, :], psi_sum)        # [B, R, W]
+    psi = jnp.take_along_axis(
+        psi_full, jnp.minimum(cand, W - 1), 2)                 # [B, R, C]
+
+    # same-token column: phi uses the parent's r1 (label-ending mass) instead
+    # of r_sum — one [B, R, T] reduction for the R possible collisions
+    lt = jnp.minimum(jnp.maximum(last_tok, 0), W - 1)          # [B, R]
+    xs_last = jnp.take_along_axis(
+        ctc_logp, jnp.broadcast_to(lt[:, None, :], (B, T, R)), 2)  # [B, T, R]
+    xs_last = jnp.moveaxis(xs_last, 1, 2)                      # [B, R, T]
+    contrib = jnp.where(act[None, None, :],
+                        r_prev[..., :-1, 1] + xs_last[..., 1:], CTC_LOG0)
+    psi0_last = jnp.where(t == 0, xs_last[..., 0], CTC_LOG0)   # [B, R]
+    psi_same = jnp.logaddexp(psi0_last, jax.nn.logsumexp(contrib, axis=-1))
+    same = (cand == last_tok[..., None]) & (t > 0)
+    psi = jnp.where(same, psi_same[..., None], psi)
+    psi = jnp.where(cand == -1, CTC_LOG0, psi)
+    eos_psi = r_sum[:, :, -1]
+    return psi, eos_psi
+
+
 def _ctc_advance_r(ctc_logp, r_par, tok, last_par, t, blank):
     """Advance the carried CTC forward state for the R SELECTED winners only.
 
@@ -147,7 +200,7 @@ def _beam_scan(aed, params, memory, memory_lengths, max_steps, ctc_logp,
                lm_params=None, *,
                beam_size: int, nbest: int, length_bonus: float, pre: int,
                N_ITERS: int, ctc_weight: float, blank: int,
-               lm_model=None, lm_ids=(1, 2, 3)):
+               lm_model=None, lm_ids=(1, 2, 3), psi_matmul: bool = True):
     """Jittable core. memory [B, S, d]; max_steps [B] int32 (per-utt cap);
     ctc_logp [B, T, W] or None (pure AED). Returns pool + alive state after
     the scan. N_ITERS (static, bucketed) bounds the scan; iterations past
@@ -206,6 +259,10 @@ def _beam_scan(aed, params, memory, memory_lengths, max_steps, ctc_logp,
                                             ).astype(jnp.float32)
         state["alive_ctc"] = jnp.zeros((B, R), jnp.float32)
         state["last_tok"] = jnp.full((B, R), -1, jnp.int32)
+        # static x-side factor of the psi matmul (frames 1..T-1): constant
+        # across beam steps, hoisted out of the while_loop by construction
+        mx = ctc_logp[:, 1:, :].max(1)                         # [B, W]
+        expx = jnp.exp(ctc_logp[:, 1:, :] - mx[:, None, :])    # [B, T-1, W]
 
     eos = aed.eos_id
 
@@ -222,8 +279,14 @@ def _beam_scan(aed, params, memory, memory_lengths, max_steps, ctc_logp,
             lp_c = jnp.concatenate([lp_top, lp[:, :, eos][..., None]], -1)
             C = pre + 1
             dup = has_eos[..., None] & (jnp.arange(C) == pre)
-            psi, eos_psi = _ctc_prefix_psi(
-                ctc_logp, state["r_state"], cand, state["last_tok"], t, blank)
+            if psi_matmul:
+                psi, eos_psi = _ctc_prefix_psi_matmul(
+                    ctc_logp, expx, mx, state["r_state"], cand,
+                    state["last_tok"], t, blank)
+            else:
+                psi, eos_psi = _ctc_prefix_psi(
+                    ctc_logp, state["r_state"], cand, state["last_tok"], t,
+                    blank)
             psi = jnp.where(cand == eos, eos_psi[..., None], psi)
             new_aed = state["alive_aed"][..., None] + lp_c
             new_len = t + jnp.where(cand == eos, 0, 1)
@@ -457,8 +520,12 @@ def beam_search_device(aed, params, features, lengths, *,
 
     lm_model = lm.lm_model if lm is not None else None
     lm_ids = (lm.bos_id, lm.eos_id, lm.pad_id) if lm is not None else (1, 2, 3)
+    # HMASR_PSI_LOOP=1 selects the pre-r4 [B,R,C,T] gather/logsumexp psi
+    # (kept for within-run A/B against the MXU matmul form)
+    import os
+    psi_matmul = os.environ.get("HMASR_PSI_LOOP", "0") != "1"
     key = (aed, beam_size, nbest, float(length_bonus), pre, n_iters,
-           use_ctc, float(ctc_weight), blank_id, lm_model, lm_ids)
+           use_ctc, float(ctc_weight), blank_id, lm_model, lm_ids, psi_matmul)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         import functools
@@ -467,7 +534,7 @@ def beam_search_device(aed, params, features, lengths, *,
             length_bonus=length_bonus, pre=pre, N_ITERS=n_iters,
             ctc_weight=float(ctc_weight) if use_ctc else 0.0,
             blank=int(blank_id) if use_ctc else 0,
-            lm_model=lm_model, lm_ids=lm_ids))
+            lm_model=lm_model, lm_ids=lm_ids, psi_matmul=psi_matmul))
         _JIT_CACHE[key] = fn
     out = fn({"params": params}, features, jnp.asarray(lens, jnp.int32),
              jnp.asarray(max_steps), ctc_arg,
