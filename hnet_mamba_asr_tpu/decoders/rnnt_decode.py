@@ -37,11 +37,15 @@ def _step_fn(head):
 
 def rnnt_beam_search(head, params, memory, memory_lengths, *,
                      beam_size: int = 8,
-                     max_symbols: int | None = None) -> list[list[int]]:
+                     max_symbols: int | None = None,
+                     nbest: int | None = None):
     """memory [B, T, d_memory], memory_lengths [B] -> one id list per row.
 
     ``max_symbols`` caps label emissions per frame (default: the head's
-    greedy cap). Scores are alignment-marginalized per label sequence."""
+    greedy cap). Scores are alignment-marginalized per label sequence.
+    ``nbest``: return the top-n surviving beam per utterance as Hypothesis
+    lists instead (score/aed = transducer log-prob, ctc = 0 — the shape
+    lm_rescore_batch re-ranks for the rnnt_beam_lm cell)."""
     max_symbols = int(max_symbols if max_symbols is not None
                       else head.max_symbols)
     variables = {"params": params}
@@ -100,6 +104,12 @@ def rnnt_beam_search(head, params, memory, memory_lengths, *,
                            [:beam_size])
             hyps = dict(sorted(nxt.items(), key=lambda kv: -kv[1])
                         [:beam_size])
-        best = max(hyps.items(), key=lambda kv: kv[1])[0] if hyps else ()
-        out.append(list(best))
+        if nbest is not None:
+            from hnet_mamba_asr_tpu.decoders.joint import Hypothesis
+            ranked = sorted(hyps.items(), key=lambda kv: -kv[1])[:nbest]
+            out.append([Hypothesis(tokens=list(y), aed=float(s), ctc=0.0,
+                                   score=float(s)) for y, s in ranked])
+        else:
+            best = max(hyps.items(), key=lambda kv: kv[1])[0] if hyps else ()
+            out.append(list(best))
     return out

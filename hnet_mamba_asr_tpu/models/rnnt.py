@@ -194,6 +194,20 @@ class _RNNTBeamMixin:
                     beam_size: int = 8,
                     max_symbols: int | None = None):
         """-> (tokens [B, L], lengths [B]) of the best merged hypothesis."""
+        ftoks, fplen, fscore = self.beam_decode_nbest(
+            memory, memory_lengths, beam_size, max_symbols)
+        best = jnp.argmax(fscore, axis=1)
+        toks = jnp.take_along_axis(ftoks, best[:, None, None], 1)[:, 0]
+        plen = jnp.take_along_axis(fplen, best[:, None], 1)[:, 0]
+        return toks, plen
+
+    def beam_decode_nbest(self, memory: jax.Array, memory_lengths: jax.Array,
+                          beam_size: int = 8,
+                          max_symbols: int | None = None):
+        """-> the whole final merged beam (tokens [B, K, L], lengths [B, K],
+        scores [B, K]; dead rows score NEG_INF) — the n-best pool the
+        rnnt_beam_lm cell re-ranks with a second-pass LM (the same post-hoc
+        discipline as the AED/joint cells' lm_rescore)."""
         K = int(beam_size)
         R = int(max_symbols if max_symbols is not None else self.max_symbols)
         B, T, _ = memory.shape
@@ -298,14 +312,12 @@ class _RNNTBeamMixin:
         (ftoks, fplen, fscore), _ = jax.lax.scan(
             frame, (ftoks0, fplen0, fscore0),
             (enc_f.transpose(1, 0, 2), t_real.transpose(1, 0)))
-        best = jnp.argmax(fscore, axis=1)
-        toks = jnp.take_along_axis(ftoks, best[:, None, None], 1)[:, 0]
-        plen = jnp.take_along_axis(fplen, best[:, None], 1)[:, 0]
-        return toks, plen
+        return ftoks, fplen, fscore
 
 
-# graft the mixin method onto RNNTHead (kept separate for readability)
+# graft the mixin methods onto RNNTHead (kept separate for readability)
 RNNTHead.beam_decode = _RNNTBeamMixin.beam_decode
+RNNTHead.beam_decode_nbest = _RNNTBeamMixin.beam_decode_nbest
 
 
 def rnnt_host_greedy(tokens, lengths) -> list[list[int]]:

@@ -7,7 +7,9 @@ beam (``lm_weight``), second-pass n-best rescoring for AED/joint
 (``rescore_weight`` / ``rescore_length_bonus``, distinct knobs so the settled
 CTC fusion weight and the rescoring lambda tune independently). The canonical
 matrix: ctc_greedy, ctc_beam, ctc_beam_lm, aed_beam, aed_beam_lm, joint_beam,
-joint_beam_lm.
+joint_beam_lm. Beyond the reference, transducer models add rnnt_greedy,
+rnnt_beam and rnnt_beam_lm (second-pass LM re-rank of the surviving beam,
+same discipline as the aed/joint *_lm cells).
 
 TPU timing discipline: device work is fenced with ``jax.block_until_ready``
 before reading the clock (the analog of the reference's cuda-synchronize
@@ -35,7 +37,7 @@ import numpy as np
 
 from hnet_mamba_asr_tpu.decoders.ctc_decode import ctc_prefix_beam_search
 from hnet_mamba_asr_tpu.decoders.joint import (
-    joint_beam_search, joint_beam_search_nbest,
+    Hypothesis, joint_beam_search, joint_beam_search_nbest,
     joint_beam_search_nbest_lockstep, lm_rescore, lm_rescore_batch,
 )
 from hnet_mamba_asr_tpu.decoders.lm_scorer import CausalLMScorer, _bucket
@@ -73,9 +75,8 @@ def expand_cells(decode_cfg: Mapping[str, Any]) -> list[dict]:
                 raise ValueError(f"unknown search {s!r}")
             if s == "greedy" and ro not in ("ctc", "rnnt"):
                 continue                # greedy: CTC frame-argmax / RNNT scan
-            lm_opts = [False, True] if (s == "beam" and with_lm
-                                        and ro != "rnnt") else [False]
-            for use_lm in lm_opts:      # no rnnt LM-fusion cell (yet)
+            lm_opts = [False, True] if (s == "beam" and with_lm) else [False]
+            for use_lm in lm_opts:      # every beam (incl. rnnt) gets an LM cell
                 name = f"{ro}_{s}" + ("_lm" if use_lm else "")
                 if name in seen:
                     continue
@@ -405,7 +406,36 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
         times = [dt / max(n_real, 1)] * n_real
     elif cell["read_out"] == "rnnt":                     # transducer beam
         t0 = time.perf_counter()
-        if bool(dc.get("device_beam", True)):
+        if cell["lm"]:
+            # second-pass LM re-rank of the surviving beam (the same
+            # post-hoc n-best discipline as the aed/joint *_lm cells;
+            # transducer score rides in .aed with ctc_weight=0)
+            if bool(dc.get("device_beam", True)):
+                ftoks, fplen, fscore = model.rnnt.apply(
+                    {"params": params["rnnt"]}, enc.features, enc.lengths,
+                    int(beam_size), method="beam_decode_nbest")
+                ftoks, fplen, fscore = (np.asarray(ftoks), np.asarray(fplen),
+                                        np.asarray(fscore))
+                nbest_all = []
+                for b in range(n_real):
+                    rows = [Hypothesis(tokens=ftoks[b, k, :fplen[b, k]].tolist(),
+                                       aed=float(fscore[b, k]), ctc=0.0,
+                                       score=float(fscore[b, k]))
+                            for k in range(fscore.shape[1])
+                            if fscore[b, k] > -5.0e8]
+                    rows.sort(key=lambda h: h.score, reverse=True)
+                    nbest_all.append(rows[:beam_size])
+            else:
+                from hnet_mamba_asr_tpu.decoders.rnnt_decode import (
+                    rnnt_beam_search,
+                )
+                nbest_all = rnnt_beam_search(
+                    model.rnnt, params["rnnt"], enc.features, enc.lengths,
+                    beam_size=beam_size, nbest=beam_size)[:n_real]
+            hyps = lm_rescore_batch(nbest_all, use_lm, rescore_weight,
+                                    ctc_weight=0.0,
+                                    length_bonus=rescore_length_bonus)
+        elif bool(dc.get("device_beam", True)):
             # whole search in ONE jitted scan (models/rnnt.beam_decode);
             # exact merge-by-sequence via token-buffer compare
             from hnet_mamba_asr_tpu.models.rnnt import rnnt_host_greedy

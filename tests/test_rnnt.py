@@ -600,3 +600,99 @@ def test_rnnt_beam_serving_export(rng, tmp_path):
         4, method="beam_decode")
     live = [np.asarray(toks)[b, :int(tl[b])].tolist() for b in range(2)]
     assert ids == live
+
+
+def test_rnnt_beam_nbest_pools_match(rng):
+    """Device beam_decode_nbest's pool reproduces the host engine's nbest
+    (same sequences, fp32-vs-fp64 score tolerance) — the n-best both
+    rnnt_beam_lm paths re-rank."""
+    from hnet_mamba_asr_tpu.decoders.rnnt_decode import rnnt_beam_search
+    from hnet_mamba_asr_tpu.models.rnnt import RNNTHead
+
+    V, D = 6, 10
+    head = RNNTHead(vocab_size=V, d_memory=D, d_pred=8, d_joint=16,
+                    context=2, max_symbols=3, max_decode_len=24)
+    for seed in range(3):
+        r = np.random.default_rng(170 + seed)
+        B, T = 2, 7
+        mem = jnp.asarray(r.normal(size=(B, T, D)) * 1.5, jnp.float32)
+        lens = jnp.asarray([T, 5], jnp.int32)
+        params = head.init(jax.random.PRNGKey(seed), mem, lens,
+                           jnp.zeros((B, 3), jnp.int32),
+                           jnp.full((B,), 3), method="loss")["params"]
+        host = rnnt_beam_search(head, params, mem, lens, beam_size=4,
+                                nbest=4)
+        ftoks, fplen, fscore = head.apply({"params": params}, mem, lens, 4,
+                                          method="beam_decode_nbest")
+        ftoks, fplen, fscore = (np.asarray(ftoks), np.asarray(fplen),
+                                np.asarray(fscore))
+        for b in range(B):
+            dev = sorted(
+                ((ftoks[b, k, :fplen[b, k]].tolist(), float(fscore[b, k]))
+                 for k in range(4) if fscore[b, k] > -5.0e8),
+                key=lambda kv: -kv[1])
+            assert [t for t, _ in dev] == [h.tokens for h in host[b]], \
+                (seed, b)
+            np.testing.assert_allclose([s for _, s in dev],
+                                       [h.score for h in host[b]], atol=1e-3)
+
+
+def test_rnnt_beam_lm_cell(rng):
+    """rnnt_beam_lm: expand_cells emits it with lm enabled; a strong LM
+    favoring a runner-up flips the transcript; lm_weight=0 reproduces the
+    acoustic rnnt_beam result — on BOTH the device and host nbest paths."""
+    from types import SimpleNamespace
+
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+    from hnet_mamba_asr_tpu.tasks.decode_task import decode_batch, expand_cells
+
+    cells = expand_cells({"read_outs": ["rnnt"], "search": ["beam"],
+                          "lm": "enabled"})
+    assert [c["name"] for c in cells] == ["rnnt_beam", "rnnt_beam_lm"]
+    lm_cell = cells[1]
+
+    model = build_model(_rnnt_cfg(), 16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    B, frames = 2, 64
+    n = (frames - 1) * 160 + 400
+    batch = {"wave": np.asarray(rng.normal(size=(B, n)), np.float32) * 0.1,
+             "wave_lens": np.full(B, n, np.int32),
+             "tokens": np.asarray(rng.integers(4, 16, size=(B, 6)), np.int32),
+             "token_lens": np.full(B, 6, np.int32),
+             "ids": ["u0", "u1"], "row_mask": np.ones(B, bool)}
+    tok = SimpleNamespace(bos_id=1, eos_id=2, pad_id=3, vocab_size=16,
+                          decode=lambda ids: " ".join(map(str, ids)))
+
+    base = decode_batch(model, params, tok, dict(batch), cells[0],
+                        {"beam_size": 4})
+    acoustic_best = [r["hyp"] for r in base]
+
+    class FavoringLM:
+        """Huge log-prob for one target sequence, tiny for everything else."""
+        def __init__(self, target):
+            self.target = target
+
+        def sequence_logprob(self, seqs):
+            return np.asarray([0.0 if s == self.target else -1e4
+                               for s in seqs], np.float64)
+
+    # find a runner-up to favor (device nbest pool of utt 0)
+    enc = model.encode(params, batch)
+    ftoks, fplen, fscore = model.rnnt.apply(
+        {"params": params["rnnt"]}, enc.features, enc.lengths, 4,
+        method="beam_decode_nbest")
+    pool0 = [np.asarray(ftoks)[0, k, :int(np.asarray(fplen)[0, k])].tolist()
+             for k in range(4) if float(np.asarray(fscore)[0, k]) > -5.0e8]
+    runner_up = next((s for s in pool0
+                      if " ".join(map(str, s)) != acoustic_best[0]), None)
+    assert runner_up is not None, "beam produced a single hypothesis"
+
+    for dev_flag in (True, False):
+        dc0 = {"beam_size": 4, "rescore_weight": 0.0, "device_beam": dev_flag}
+        neutral = decode_batch(model, params, tok, dict(batch), lm_cell, dc0,
+                               lm=FavoringLM(runner_up))
+        assert [r["hyp"] for r in neutral] == acoustic_best, dev_flag
+        dc1 = {"beam_size": 4, "rescore_weight": 1e6, "device_beam": dev_flag}
+        flipped = decode_batch(model, params, tok, dict(batch), lm_cell, dc1,
+                               lm=FavoringLM(runner_up))
+        assert flipped[0]["hyp"] == " ".join(map(str, runner_up)), dev_flag
