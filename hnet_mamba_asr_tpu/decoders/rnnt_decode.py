@@ -15,6 +15,15 @@ brute-force enumeration scored by ops/rnnt_loss — the oracle pattern every
 search engine in this repo follows). Scores accumulate in float64 on host;
 the joint evaluations are batched over beam rows and ride jitted,
 shape-cached device calls (one per expansion round per frame).
+
+First-pass LM shallow fusion (``lm``/``lm_weight``): each label emission
+adds ``lm_weight * logP_LM(label | labels so far)`` to the hypothesis's
+SELECTION score — the same fusion rule as the CTC prefix beam
+(decoders/ctc_decode.py) applied to the transducer's label sequence. The
+LM term depends only on the label sequence, never the alignment, so exact
+alignment merges are unaffected: the acoustic log-sum and the raw LM
+log-prob are carried separately and combined only for pruning/ranking.
+Blank consumes a frame without an LM term (the LM never sees blanks).
 """
 from __future__ import annotations
 
@@ -38,14 +47,18 @@ def _step_fn(head):
 def rnnt_beam_search(head, params, memory, memory_lengths, *,
                      beam_size: int = 8,
                      max_symbols: int | None = None,
-                     nbest: int | None = None):
+                     nbest: int | None = None,
+                     lm=None, lm_weight: float = 0.0):
     """memory [B, T, d_memory], memory_lengths [B] -> one id list per row.
 
     ``max_symbols`` caps label emissions per frame (default: the head's
     greedy cap). Scores are alignment-marginalized per label sequence.
     ``nbest``: return the top-n surviving beam per utterance as Hypothesis
-    lists instead (score/aed = transducer log-prob, ctc = 0 — the shape
-    lm_rescore_batch re-ranks for the rnnt_beam_lm cell)."""
+    lists instead (aed = acoustic transducer log-prob, ctc = 0, score =
+    the fused selection score — the shape lm_rescore_batch re-ranks for
+    the rnnt_beam_lm cell).
+    ``lm``: a CausalLMScorer for first-pass shallow fusion; per expansion
+    round ONE batched next_logprobs call scores every frontier sequence."""
     max_symbols = int(max_symbols if max_symbols is not None
                       else head.max_symbols)
     variables = {"params": params}
@@ -56,16 +69,21 @@ def rnnt_beam_search(head, params, memory, memory_lengths, *,
     C = head.context
     bos = int(head.bos_id)
     blank = int(head.blank_id)
-    out: list[list[int]] = []
+    fuse = lm is not None and lm_weight != 0.0
+    w = float(lm_weight)
+    out = []
 
     for b in range(memory.shape[0]):
-        # hyp: tuple(labels) -> log-sum score of alignments waiting at frame t
-        hyps = {(): 0.0}
+        # hyp: tuple(labels) -> (acoustic log-sum over alignments waiting at
+        # frame t, raw LM log-prob of the labels). Ranking uses ac + w*lm.
+        hyps = {(): (0.0, 0.0)}
+        rank = (lambda kv: -(kv[1][0] + w * kv[1][1])) if fuse \
+            else (lambda kv: -kv[1][0])
         for t in range(int(lens[b])):
             enc_t = enc_f[b, t]
             # expansion rounds: round 0 scores every surviving hyp once;
             # each round may extend by one label; blanks bank into `nxt`
-            nxt: dict[tuple, float] = {}
+            nxt: dict[tuple, tuple[float, float]] = {}
             cur = hyps
             for round_ in range(max_symbols + 1):
                 seqs = list(cur.keys())
@@ -80,36 +98,46 @@ def rnnt_beam_search(head, params, memory, memory_lengths, *,
                                      hist), np.float64)        # [R, V+1]
                 # blank: the alignment consumes frame t -> merge into nxt
                 for i, y in enumerate(seqs):
-                    s = cur[y] + lp[i, blank]
-                    nxt[y] = np.logaddexp(nxt[y], s) if y in nxt else s
+                    ac, lms = cur[y]
+                    s = ac + lp[i, blank]
+                    if y in nxt:
+                        s = np.logaddexp(nxt[y][0], s)
+                    nxt[y] = (s, lms)
                 if round_ == max_symbols:
                     break
+                # one batched LM call scores every frontier sequence's
+                # next-token distribution (shallow fusion)
+                lmlp = (np.asarray(lm.next_logprobs([list(y) for y in seqs]),
+                                   np.float64) if fuse else None)
                 # label expansions (merge into the NEXT round's frontier —
                 # two parents cannot produce the same child in one round,
                 # but a child may coincide with a hyp already in `cur`
                 # only via different label counts, impossible same-round)
-                frontier: dict[tuple, float] = {}
+                frontier: dict[tuple, tuple[float, float]] = {}
                 for i, y in enumerate(seqs):
-                    base = cur[y]
+                    ac, lms = cur[y]
                     for k in range(head.vocab_size):
-                        cand = base + lp[i, k]
+                        cand = ac + lp[i, k]
                         child = y + (k,)
-                        frontier[child] = np.logaddexp(
-                            frontier[child], cand) if child in frontier \
-                            else cand
+                        clm = lms + lmlp[i, k] if fuse else 0.0
+                        if child in frontier:
+                            cand = np.logaddexp(frontier[child][0], cand)
+                        frontier[child] = (cand, clm)
                 if not frontier:
                     break
-                # prune the frontier to the beam
-                cur = dict(sorted(frontier.items(), key=lambda kv: -kv[1])
-                           [:beam_size])
-            hyps = dict(sorted(nxt.items(), key=lambda kv: -kv[1])
-                        [:beam_size])
+                # prune the frontier to the beam (fused score when fusing)
+                cur = dict(sorted(frontier.items(), key=rank)[:beam_size])
+            hyps = dict(sorted(nxt.items(), key=rank)[:beam_size])
         if nbest is not None:
             from hnet_mamba_asr_tpu.decoders.joint import Hypothesis
-            ranked = sorted(hyps.items(), key=lambda kv: -kv[1])[:nbest]
-            out.append([Hypothesis(tokens=list(y), aed=float(s), ctc=0.0,
-                                   score=float(s)) for y, s in ranked])
+            ranked = sorted(hyps.items(), key=rank)[:nbest]
+            # .lm stays None: lm_rescore_batch fills it with the full
+            # sequence_logprob (incl. eos) — the fused lms here excludes
+            # the eos closure term by the shallow-fusion selection rule
+            out.append([Hypothesis(tokens=list(y), aed=float(ac), ctc=0.0,
+                                   score=float(ac + w * lms))
+                        for y, (ac, lms) in ranked])
         else:
-            best = max(hyps.items(), key=lambda kv: kv[1])[0] if hyps else ()
+            best = min(hyps.items(), key=rank)[0] if hyps else ()
             out.append(list(best))
     return out

@@ -188,6 +188,19 @@ class _RNNTBeamMixin:
     Children never need child-child merging: distinct parents produce
     distinct children in a round (same structure as the host engine in
     decoders/rnnt_decode.py, whose fp64 scores remain the oracle).
+
+    First-pass LM shallow fusion runs IN-SCAN (``lm_model``/``lm_params``):
+    every label emission adds ``lm_weight * logP_LM(label | labels)`` to
+    the SELECTION score while the acoustic log-sum and the raw LM log-prob
+    ride as separate carries (the LM term is a function of the label
+    sequence only, so exact alignment merges are untouched). Each round
+    one batched cached LM step (decoders/device_ctc_beam._lm_step) scores
+    the round frontier; the per-frame winners come out of the BANK, whose
+    rows snapshot frontiers of different rounds — instead of banking whole
+    KV caches (Nb× the memory), each bank row remembers its frame-start
+    ancestor (``root``) and the winners REPLAY their <= max_symbols new
+    labels from the pristine frame-start caches (masked steps), which
+    reproduces the caches and next-token distribution exactly.
     """
 
     def beam_decode(self, memory: jax.Array, memory_lengths: jax.Array,
@@ -203,11 +216,23 @@ class _RNNTBeamMixin:
 
     def beam_decode_nbest(self, memory: jax.Array, memory_lengths: jax.Array,
                           beam_size: int = 8,
-                          max_symbols: int | None = None):
+                          max_symbols: int | None = None,
+                          lm_model=None, lm_params=None, lm_pe=None,
+                          lm_weight: float = 0.0, lm_cache_cap: int = 512):
         """-> the whole final merged beam (tokens [B, K, L], lengths [B, K],
         scores [B, K]; dead rows score NEG_INF) — the n-best pool the
         rnnt_beam_lm cell re-ranks with a second-pass LM (the same post-hoc
-        discipline as the AED/joint cells' lm_rescore)."""
+        discipline as the AED/joint cells' lm_rescore).
+
+        With ``lm_model`` (a models/lm.TransformerLM) + ``lm_params`` +
+        ``lm_pe`` (sinusoidal PE table [cap, d_model]) the search fuses the
+        LM first-pass at ``lm_weight`` and returns a 4-tuple
+        (tokens, lengths, acoustic_scores, lm_logprobs). The returned LM
+        log-probs INCLUDE the eos closure term (comparable to
+        CausalLMScorer.sequence_logprob, so lm_rescore_batch re-ranks the
+        fused and unfused pools with the same formula); in-search selection
+        uses the running label-only LM mass, the standard shallow-fusion
+        rule."""
         K = int(beam_size)
         R = int(max_symbols if max_symbols is not None else self.max_symbols)
         B, T, _ = memory.shape
@@ -215,6 +240,8 @@ class _RNNTBeamMixin:
         V = self.vocab_size
         blank = self.blank_id
         Nb = K * (R + 2)                       # bank capacity (loose bound)
+        use_lm = lm_model is not None
+        w = float(lm_weight)
         enc_f = self.enc_proj(memory.astype(self.dtype))      # [B, T, J]
         ar_b = jnp.arange(B)[:, None]
 
@@ -223,6 +250,20 @@ class _RNNTBeamMixin:
         fscore0 = jnp.where(jnp.arange(K)[None, :] == 0, 0.0, NEG_INF) \
             * jnp.ones((B, 1), jnp.float32)
 
+        if use_lm:
+            from hnet_mamba_asr_tpu.decoders.device_ctc_beam import (
+                _lm_init_caches, _lm_step,
+            )
+            rows = B * K
+            cap = int(min(L + 1, lm_cache_cap))
+            caches0 = _lm_init_caches(lm_model, rows, cap)
+            bos = jnp.full((rows,), lm_model.bos_id, jnp.int32)
+            lm_next0, caches0 = _lm_step(
+                lm_model, lm_pe, lm_params, caches0, bos,
+                jnp.zeros((rows,), jnp.int32), jnp.ones((rows,), bool))
+            lm_next0 = lm_next0.reshape(B, K, -1)             # [B, K, Vlm]
+            flms0 = jnp.zeros((B, K), jnp.float32)
+
         def _hist(toks, plen):
             """[B, K, L], [B, K] -> [B, K, context] (most recent first)."""
             cols = plen[..., None] - 1 - jnp.arange(self.context)[None, None]
@@ -230,7 +271,16 @@ class _RNNTBeamMixin:
             return jnp.where(cols >= 0, h, self.bos_id)
 
         def frame(carry, inp):
-            ftoks, fplen, fscore = carry
+            if use_lm:
+                ftoks, fplen, fscore, flms, lm_next, caches = carry
+                plen_start = fplen                            # replay anchor
+                root = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None],
+                                        (B, K))
+                broot = jnp.zeros((B, Nb), jnp.int32)
+                blms = jnp.zeros((B, Nb), jnp.float32)
+                caches_r = caches                             # round frontier
+            else:
+                ftoks, fplen, fscore = carry
             enc_t, t_real = inp                               # [B, J], [B]
             btoks = jnp.zeros((B, Nb, L), jnp.int32)
             bplen = jnp.zeros((B, Nb), jnp.int32)
@@ -238,7 +288,7 @@ class _RNNTBeamMixin:
             bvalid = jnp.zeros((B, Nb), bool)
             count = jnp.zeros((B,), jnp.int32)
 
-            for _ in range(R + 1):                            # static unroll
+            for round_ in range(R + 1):                       # static unroll
                 hist = _hist(ftoks, fplen)
                 logits = self.out(jnp.tanh(
                     enc_t[:, None, :] + self._predict(hist)))
@@ -280,14 +330,37 @@ class _RNNTBeamMixin:
                                ).astype(jnp.int32), bplen)
                 bvalid = bvalid | ohb.any(1)
                 count = count + unmatched.sum(-1)
+                if use_lm:
+                    # a merged row's LM score equals the bank row's (same
+                    # sequence); appended rows copy the frontier's lms/root
+                    blms = jnp.where(
+                        ohb.any(1),
+                        jnp.einsum("bkn,bk->bn", oh, flms).astype(jnp.float32),
+                        blms)
+                    broot = jnp.where(
+                        ohb.any(1),
+                        jnp.einsum("bkn,bk->bn", oh, root.astype(jnp.float32)
+                                   ).astype(jnp.int32), broot)
+                if round_ == R:
+                    break                 # last round only banks; children
+                                          # would be discarded at frame end
 
                 # ---- children: flatten [K*V] and keep top-K ---------------
                 can_grow = live & (fplen < L)
-                child = jnp.where(can_grow[:, :, None],
-                                  fscore[:, :, None] + lp[..., :V], NEG_INF)
-                top, idx = jax.lax.top_k(child.reshape(B, K * V), K)
+                child_ac = jnp.where(can_grow[:, :, None],
+                                     fscore[:, :, None] + lp[..., :V], NEG_INF)
+                if use_lm:
+                    # selection on the FUSED score; acoustic/LM parts are
+                    # re-gathered from the winning (parent, label) pairs
+                    child_lms = flms[:, :, None] + lm_next[..., :V]
+                    child_sel = jnp.where(child_ac > NEG_INF / 2,
+                                          child_ac + w * child_lms, NEG_INF)
+                else:
+                    child_sel = child_ac
+                _, idx = jax.lax.top_k(child_sel.reshape(B, K * V), K)
                 parent = idx // V
                 label = idx % V
+                top = jnp.take_along_axis(child_ac.reshape(B, K * V), idx, 1)
                 ptoks = jnp.take_along_axis(
                     ftoks, parent[:, :, None], axis=1)
                 pplen = jnp.take_along_axis(fplen, parent, axis=1)
@@ -296,19 +369,88 @@ class _RNNTBeamMixin:
                 ftoks = jnp.where(wr, label[:, :, None], ptoks)
                 fplen = pplen + 1
                 fscore = top
+                if use_lm:
+                    flms = jnp.take_along_axis(
+                        child_lms.reshape(B, K * V), idx, 1)
+                    root = jnp.take_along_axis(root, parent, axis=1)
+                    # one batched cached LM step advances the new frontier
+                    # (per-row positions; dead/frozen rows masked)
+                    gpar = (parent + ar_b * K).reshape(rows)
+                    caches_r = tuple((ck[gpar], cv[gpar])
+                                     for ck, cv in caches_r)
+                    alive_r = (top > NEG_INF / 2) & t_real[:, None]
+                    pos_r = jnp.minimum(pplen + 1, cap - 1).reshape(rows)
+                    write = (alive_r & (pplen + 1 < cap)).reshape(rows)
+                    step_lp, caches_r = _lm_step(
+                        lm_model, lm_pe, lm_params, caches_r,
+                        jnp.where(write, label.reshape(rows),
+                                  lm_model.pad_id),
+                        pos_r, write)
+                    par_next = jnp.take_along_axis(
+                        lm_next, parent[..., None], 1)
+                    lm_next = jnp.where(write.reshape(B, K)[..., None],
+                                        step_lp.reshape(B, K, -1), par_next)
 
             # ---- frame end: next frontier = top-K of the bank -------------
             bs = jnp.where(bvalid, bscore, NEG_INF)
-            top, idx = jax.lax.top_k(bs, K)
+            if use_lm:
+                _, idx = jax.lax.top_k(
+                    jnp.where(bvalid, bscore + w * blms, NEG_INF), K)
+                top = jnp.take_along_axis(bs, idx, 1)
+            else:
+                top, idx = jax.lax.top_k(bs, K)
             ntoks = jnp.take_along_axis(btoks, idx[:, :, None], axis=1)
             nplen = jnp.take_along_axis(bplen, idx, axis=1)
-            ftoks2, fplen2, fscore2 = carry
             keep = t_real[:, None]
+            if not use_lm:
+                ftoks2, fplen2, fscore2 = carry
+                return (jnp.where(keep[..., None], ntoks, ftoks2),
+                        jnp.where(keep, nplen, fplen2),
+                        jnp.where(keep, top, fscore2)), ()
+
+            # ---- LM replay: winners re-derive caches + next-token dist from
+            # the pristine frame-start caches of their root ancestor --------
+            nlms = jnp.take_along_axis(blms, idx, 1)
+            nroot = jnp.take_along_axis(broot, idx, 1)        # [B, K]
+            p0 = jnp.take_along_axis(plen_start, nroot, 1)    # labels at start
+            groot = (nroot + ar_b * K).reshape(rows)
+            ncaches = tuple((ck[groot], cv[groot]) for ck, cv in caches)
+            nlm_next = jnp.take_along_axis(carry[4], nroot[..., None], 1)
+            delta = nplen - p0                                # 0..R new labels
+            for j in range(R):
+                seq_i = jnp.minimum(p0 + j, L - 1)            # label index
+                tok_j = jnp.take_along_axis(ntoks, seq_i[..., None], 2)[..., 0]
+                active = (j < delta) & t_real[:, None]
+                pos_j = jnp.minimum(p0 + 1 + j, cap - 1).reshape(rows)
+                write = (active & (p0 + 1 + j < cap)).reshape(rows)
+                step_lp, ncaches = _lm_step(
+                    lm_model, lm_pe, lm_params, ncaches,
+                    jnp.where(write, tok_j.reshape(rows), lm_model.pad_id),
+                    pos_j, write)
+                nlm_next = jnp.where(write.reshape(B, K)[..., None],
+                                     step_lp.reshape(B, K, -1), nlm_next)
+
+            ftoks2, fplen2, fscore2, flms2, lm_next2, caches2 = carry
+            keep_r = jnp.broadcast_to(keep, (B, K)).reshape(rows)
+            kcaches = tuple(
+                (jnp.where(keep_r[:, None, None, None], nk, ok),
+                 jnp.where(keep_r[:, None, None, None], nv, ov))
+                for (nk, nv), (ok, ov) in zip(ncaches, caches2))
             return (jnp.where(keep[..., None], ntoks, ftoks2),
                     jnp.where(keep, nplen, fplen2),
-                    jnp.where(keep, top, fscore2)), ()
+                    jnp.where(keep, top, fscore2),
+                    jnp.where(keep, nlms, flms2),
+                    jnp.where(keep[..., None], nlm_next, lm_next2),
+                    kcaches), ()
 
         t_real = (jnp.arange(T)[None, :] < memory_lengths[:, None])
+        if use_lm:
+            (ftoks, fplen, fscore, flms, lm_nextF, _), _ = jax.lax.scan(
+                frame, (ftoks0, fplen0, fscore0, flms0, lm_next0, caches0),
+                (enc_f.transpose(1, 0, 2), t_real.transpose(1, 0)))
+            return (ftoks, fplen, fscore,
+                    flms + lm_nextF[..., lm_model.eos_id])
+
         (ftoks, fplen, fscore), _ = jax.lax.scan(
             frame, (ftoks0, fplen0, fscore0),
             (enc_f.transpose(1, 0, 2), t_real.transpose(1, 0)))

@@ -407,20 +407,44 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
     elif cell["read_out"] == "rnnt":                     # transducer beam
         t0 = time.perf_counter()
         if cell["lm"]:
-            # second-pass LM re-rank of the surviving beam (the same
-            # post-hoc n-best discipline as the aed/joint *_lm cells;
-            # transducer score rides in .aed with ctc_weight=0)
+            # first-pass shallow fusion at lm_weight (when set) + second-pass
+            # LM re-rank of the surviving beam at rescore_weight — the same
+            # distinct-knob discipline as the aed/joint *_lm cells; the
+            # transducer's acoustic score rides in .aed with ctc_weight=0
+            fuse = lm_weight != 0.0
             if bool(dc.get("device_beam", True)):
-                ftoks, fplen, fscore = model.rnnt.apply(
-                    {"params": params["rnnt"]}, enc.features, enc.lengths,
-                    int(beam_size), method="beam_decode_nbest")
+                if fuse:
+                    # in-scan fused search: ONE device call per batch (the
+                    # LM steps ride inside the frame scan)
+                    from hnet_mamba_asr_tpu.models.aed import sinusoidal_pe
+                    Rms = int(model.rnnt.max_symbols)
+                    T_enc = int(enc.features.shape[1])
+                    L_buf = min(model.rnnt.max_decode_len,
+                                max(T_enc * Rms, 1))
+                    cap = min(L_buf + 1, 512)
+                    pe = jnp.asarray(sinusoidal_pe(
+                        cap, use_lm.lm_model.d_model))
+                    ftoks, fplen, fscore, flms = model.rnnt.apply(
+                        {"params": params["rnnt"]}, enc.features, enc.lengths,
+                        int(beam_size), method="beam_decode_nbest",
+                        lm_model=use_lm.lm_model, lm_params=use_lm.lm_params,
+                        lm_pe=pe, lm_weight=lm_weight, lm_cache_cap=cap)
+                    flms = np.asarray(flms)
+                else:
+                    ftoks, fplen, fscore = model.rnnt.apply(
+                        {"params": params["rnnt"]}, enc.features, enc.lengths,
+                        int(beam_size), method="beam_decode_nbest")
+                    flms = None
                 ftoks, fplen, fscore = (np.asarray(ftoks), np.asarray(fplen),
                                         np.asarray(fscore))
                 nbest_all = []
                 for b in range(n_real):
                     rows = [Hypothesis(tokens=ftoks[b, k, :fplen[b, k]].tolist(),
                                        aed=float(fscore[b, k]), ctc=0.0,
-                                       score=float(fscore[b, k]))
+                                       lm=(float(flms[b, k]) if fuse else None),
+                                       score=float(fscore[b, k])
+                                       + (lm_weight * float(flms[b, k])
+                                          if fuse else 0.0))
                             for k in range(fscore.shape[1])
                             if fscore[b, k] > -5.0e8]
                     rows.sort(key=lambda h: h.score, reverse=True)
@@ -431,7 +455,9 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
                 )
                 nbest_all = rnnt_beam_search(
                     model.rnnt, params["rnnt"], enc.features, enc.lengths,
-                    beam_size=beam_size, nbest=beam_size)[:n_real]
+                    beam_size=beam_size, nbest=beam_size,
+                    lm=(use_lm if fuse else None),
+                    lm_weight=lm_weight)[:n_real]
             hyps = lm_rescore_batch(nbest_all, use_lm, rescore_weight,
                                     ctc_weight=0.0,
                                     length_bonus=rescore_length_bonus)

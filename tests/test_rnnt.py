@@ -696,3 +696,186 @@ def test_rnnt_beam_lm_cell(rng):
         flipped = decode_batch(model, params, tok, dict(batch), lm_cell, dc1,
                                lm=FavoringLM(runner_up))
         assert flipped[0]["hyp"] == " ".join(map(str, runner_up)), dev_flag
+
+
+def _fusion_lm(vocab=6, seed=11):
+    from hnet_mamba_asr_tpu.decoders.lm_scorer import CausalLMScorer
+    from hnet_mamba_asr_tpu.models.lm import TransformerLM
+    lm = TransformerLM(vocab_size=vocab, d_model=16, n_layers=2, n_heads=2,
+                       d_ff=32, dropout=0.0)
+    params = lm.init(jax.random.PRNGKey(seed), jnp.zeros((1, 4), jnp.int32))
+    return lm, params, CausalLMScorer(lm, params)
+
+
+def test_rnnt_host_fusion_accounting(rng):
+    """Host fused beam: every hypothesis's fused score decomposes into its
+    acoustic part plus lm_weight * the label-only LM mass (== next_logprobs
+    chained by hand). (The acoustic part itself is beam-trajectory-dependent
+    — fusion changes pruning, which changes which alignments merge — so it
+    is NOT compared against the unfused engine; the brute-force MAP test
+    below pins absolute correctness.)"""
+    from hnet_mamba_asr_tpu.decoders.rnnt_decode import rnnt_beam_search
+    from hnet_mamba_asr_tpu.models.rnnt import RNNTHead
+
+    V, D = 6, 10
+    head = RNNTHead(vocab_size=V, d_memory=D, d_pred=8, d_joint=16,
+                    context=2, max_symbols=2, max_decode_len=16)
+    lm, _, scorer = _fusion_lm(vocab=V)
+    r = np.random.default_rng(77)
+    B, T = 2, 5
+    mem = jnp.asarray(r.normal(size=(B, T, D)) * 1.5, jnp.float32)
+    lens = jnp.asarray([T, 4], jnp.int32)
+    params = head.init(jax.random.PRNGKey(1), mem, lens,
+                       jnp.zeros((B, 3), jnp.int32),
+                       jnp.full((B,), 3), method="loss")["params"]
+    w = 0.7
+    fused = rnnt_beam_search(head, params, mem, lens, beam_size=8,
+                             nbest=8, lm=scorer, lm_weight=w)
+    for b in range(B):
+        for h in fused[b]:
+            # label-only LM mass, chained by hand from next_logprobs
+            lms = 0.0
+            for i in range(len(h.tokens)):
+                lms += float(scorer.next_logprobs([h.tokens[:i]])
+                             [0][h.tokens[i]])
+            np.testing.assert_allclose(h.score, h.aed + w * lms,
+                                       rtol=0, atol=1e-6)
+
+
+def test_rnnt_fused_beam_finds_fused_map(rng):
+    """With generous width/emission caps the FUSED beam's best hypothesis is
+    the argmax of [full transducer alignment marginal + lm_weight * label-
+    only LM mass] over every sequence up to length 3 — the brute-force
+    oracle with the shallow-fusion objective."""
+    from itertools import product
+
+    from hnet_mamba_asr_tpu.decoders.rnnt_decode import rnnt_beam_search
+    from hnet_mamba_asr_tpu.models.rnnt import RNNTHead
+
+    V, D, T = 3, 8, 4
+    head = RNNTHead(vocab_size=V, d_memory=D, d_pred=8, d_joint=16,
+                    context=2, max_symbols=3, max_decode_len=16)
+    lm, _, scorer = _fusion_lm(vocab=V, seed=2)
+    w = 1.3
+    for seed in range(2):
+        r = np.random.default_rng(60 + seed)
+        mem = jnp.asarray(r.normal(size=(1, T, D)) * 2.0, jnp.float32)
+        lens = jnp.asarray([T], jnp.int32)
+        params = head.init(jax.random.PRNGKey(seed), mem, lens,
+                           jnp.zeros((1, 3), jnp.int32), jnp.asarray([3]),
+                           method="loss")["params"]
+        best_seq, best_s = None, -np.inf
+        for L in range(0, 4):
+            for y in product(range(V), repeat=L):
+                tgt = np.zeros((1, 3), np.int32)
+                tgt[0, :L] = y
+                ac = -float(head.apply({"params": params}, mem, lens,
+                                       jnp.asarray(tgt), jnp.asarray([L]),
+                                       method="loss")[0])
+                lms = sum(float(scorer.next_logprobs([list(y[:i])])
+                                [0][y[i]]) for i in range(L))
+                if ac + w * lms > best_s:
+                    best_s, best_seq = ac + w * lms, list(y)
+        got = rnnt_beam_search(head, params, mem, lens, beam_size=27,
+                               max_symbols=3, lm=scorer, lm_weight=w)[0]
+        assert got == best_seq, (seed, got, best_seq, best_s)
+
+
+def test_rnnt_fused_device_matches_host(rng):
+    """Device in-scan fused beam == host fused engine: same sequences in the
+    same fused order, acoustic scores to fp32 tolerance, and the returned
+    LM log-prob equals sequence_logprob (incl. eos)."""
+    from hnet_mamba_asr_tpu.decoders.rnnt_decode import rnnt_beam_search
+    from hnet_mamba_asr_tpu.models.aed import sinusoidal_pe
+    from hnet_mamba_asr_tpu.models.rnnt import RNNTHead
+
+    V, D = 6, 10
+    head = RNNTHead(vocab_size=V, d_memory=D, d_pred=8, d_joint=16,
+                    context=2, max_symbols=3, max_decode_len=24)
+    lm, lm_params, scorer = _fusion_lm(vocab=V)
+    for seed in range(3):
+        r = np.random.default_rng(500 + seed)
+        B, T = 2, 6
+        mem = jnp.asarray(r.normal(size=(B, T, D)) * 1.5, jnp.float32)
+        lens = jnp.asarray([T, 4], jnp.int32)
+        params = head.init(jax.random.PRNGKey(seed), mem, lens,
+                           jnp.zeros((B, 3), jnp.int32),
+                           jnp.full((B,), 3), method="loss")["params"]
+        w = 0.6
+        host = rnnt_beam_search(head, params, mem, lens, beam_size=4,
+                                nbest=4, lm=scorer, lm_weight=w)
+        L = min(head.max_decode_len, T * head.max_symbols)
+        cap = L + 1
+        pe = jnp.asarray(sinusoidal_pe(cap, lm.d_model))
+        ftoks, fplen, fscore, flms = head.apply(
+            {"params": params}, mem, lens, 4, method="beam_decode_nbest",
+            lm_model=lm, lm_params=lm_params, lm_pe=pe, lm_weight=w,
+            lm_cache_cap=cap)
+        ftoks, fplen, fscore, flms = (np.asarray(ftoks), np.asarray(fplen),
+                                      np.asarray(fscore), np.asarray(flms))
+        for b in range(B):
+            # device rows come out already in fused order (top_k)
+            dev = [(ftoks[b, k, :fplen[b, k]].tolist(), float(fscore[b, k]),
+                    float(flms[b, k]))
+                   for k in range(4) if fscore[b, k] > -5.0e8]
+            assert [t for t, _, _ in dev] == [h.tokens for h in host[b]], \
+                (seed, b)
+            np.testing.assert_allclose([s for _, s, _ in dev],
+                                       [h.aed for h in host[b]], atol=1e-3)
+            # returned LM mass == full sequence_logprob (incl. eos)
+            want = scorer.sequence_logprob([t for t, _, _ in dev])
+            np.testing.assert_allclose([l for _, _, l in dev], want,
+                                       atol=1e-3)
+
+
+def test_rnnt_beam_lm_fused_cell(rng):
+    """rnnt_beam_lm with lm_weight != 0 runs first-pass fusion on BOTH paths:
+    a strong LM favoring a runner-up flips the transcript through the search
+    itself (rescore_weight=0), and lm_weight=0 reproduces the acoustic-only
+    pool."""
+    from types import SimpleNamespace
+
+    from hnet_mamba_asr_tpu.decoders.lm_scorer import CausalLMScorer
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+    from hnet_mamba_asr_tpu.tasks.decode_task import decode_batch, expand_cells
+
+    cells = expand_cells({"read_outs": ["rnnt"], "search": ["beam"],
+                          "lm": "enabled"})
+    lm_cell = cells[1]
+    assert lm_cell["name"] == "rnnt_beam_lm"
+
+    model = build_model(_rnnt_cfg(), 16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    B, frames = 2, 64
+    n = (frames - 1) * 160 + 400
+    batch = {"wave": np.asarray(rng.normal(size=(B, n)), np.float32) * 0.1,
+             "wave_lens": np.full(B, n, np.int32),
+             "tokens": np.asarray(rng.integers(4, 16, size=(B, 6)), np.int32),
+             "token_lens": np.full(B, 6, np.int32),
+             "ids": ["u0", "u1"], "row_mask": np.ones(B, bool)}
+    tok = SimpleNamespace(bos_id=1, eos_id=2, pad_id=3, vocab_size=16,
+                          decode=lambda ids: " ".join(map(str, ids)))
+
+    lm, lm_params, scorer = _fusion_lm(vocab=16, seed=4)
+
+    base = decode_batch(model, params, tok, dict(batch), cells[0],
+                        {"beam_size": 4})
+    acoustic_best = [r["hyp"] for r in base]
+
+    for dev_flag in (True, False):
+        # lm_weight=0 (+rescore 0) reproduces the acoustic-only result
+        dc0 = {"beam_size": 4, "lm_weight": 0.0, "rescore_weight": 0.0,
+               "device_beam": dev_flag}
+        neutral = decode_batch(model, params, tok, dict(batch), lm_cell, dc0,
+                               lm=scorer)
+        assert [r["hyp"] for r in neutral] == acoustic_best, dev_flag
+        # a real (random) LM fused at a strong weight still yields valid
+        # transcripts on both paths, and both paths AGREE with each other
+        dc1 = {"beam_size": 4, "lm_weight": 2.0, "rescore_weight": 0.0,
+               "device_beam": dev_flag}
+        fused = decode_batch(model, params, tok, dict(batch), lm_cell, dc1,
+                             lm=scorer)
+        if dev_flag:
+            fused_dev = [r["hyp"] for r in fused]
+        else:
+            assert [r["hyp"] for r in fused] == fused_dev
