@@ -218,11 +218,21 @@ class _RNNTBeamMixin:
                           beam_size: int = 8,
                           max_symbols: int | None = None,
                           lm_model=None, lm_params=None, lm_pe=None,
-                          lm_weight: float = 0.0, lm_cache_cap: int = 512):
+                          lm_weight: float = 0.0, lm_cache_cap: int = 512,
+                          state=None, token_buf_len: int | None = None):
         """-> the whole final merged beam (tokens [B, K, L], lengths [B, K],
         scores [B, K]; dead rows score NEG_INF) — the n-best pool the
         rnnt_beam_lm cell re-ranks with a second-pass LM (the same post-hoc
         discipline as the AED/joint cells' lm_rescore).
+
+        STREAMING: the returned triple IS the search's whole state (the
+        search is frame-synchronous with no lookahead), so feeding encoder
+        frames block by block with the previous call's outputs threaded
+        back as ``state`` equals one offline pass EXACTLY — pass
+        ``token_buf_len`` on the first call so the token buffer's size is
+        block-independent (padding rows beyond ``memory_lengths`` are
+        state no-ops). Not combinable with LM fusion (whose carry also
+        holds KV caches).
 
         With ``lm_model`` (a models/lm.TransformerLM) + ``lm_params`` +
         ``lm_pe`` (sinusoidal PE table [cap, d_model]) the search fuses the
@@ -236,19 +246,32 @@ class _RNNTBeamMixin:
         K = int(beam_size)
         R = int(max_symbols if max_symbols is not None else self.max_symbols)
         B, T, _ = memory.shape
-        L = min(self.max_decode_len, T * R if T * R > 0 else 1)
+        use_lm = lm_model is not None
+        if state is not None and use_lm:
+            raise ValueError("streaming state does not compose with LM "
+                             "fusion (the fused carry also holds KV caches)")
+        if state is not None:
+            L = int(state[0].shape[-1])
+        elif token_buf_len is not None:
+            L = int(token_buf_len)
+        else:
+            L = min(self.max_decode_len, T * R if T * R > 0 else 1)
         V = self.vocab_size
         blank = self.blank_id
         Nb = K * (R + 2)                       # bank capacity (loose bound)
-        use_lm = lm_model is not None
         w = float(lm_weight)
         enc_f = self.enc_proj(memory.astype(self.dtype))      # [B, T, J]
         ar_b = jnp.arange(B)[:, None]
 
-        ftoks0 = jnp.zeros((B, K, L), jnp.int32)
-        fplen0 = jnp.zeros((B, K), jnp.int32)
-        fscore0 = jnp.where(jnp.arange(K)[None, :] == 0, 0.0, NEG_INF) \
-            * jnp.ones((B, 1), jnp.float32)
+        if state is not None:
+            ftoks0, fplen0, fscore0 = (jnp.asarray(state[0], jnp.int32),
+                                       jnp.asarray(state[1], jnp.int32),
+                                       jnp.asarray(state[2], jnp.float32))
+        else:
+            ftoks0 = jnp.zeros((B, K, L), jnp.int32)
+            fplen0 = jnp.zeros((B, K), jnp.int32)
+            fscore0 = jnp.where(jnp.arange(K)[None, :] == 0, 0.0, NEG_INF) \
+                * jnp.ones((B, 1), jnp.float32)
 
         if use_lm:
             from hnet_mamba_asr_tpu.decoders.device_ctc_beam import (

@@ -212,7 +212,10 @@ def save_streaming_artifact(out_dir: str | Path, model, params,
                             quantize_min_size: int = 4096,
                             platforms: tuple[str, ...] | None = None,
                             extra_meta: dict | None = None,
-                            tokenizer=None) -> Path:
+                            tokenizer=None,
+                            stream_decode: str = "greedy",
+                            beam_size: int = 8,
+                            token_buf_len: int = 256) -> Path:
     """Export EXACT causal streaming as one step program + initial states.
 
     ``batch=B`` exports the step at batch B for MULTI-SESSION serving: the
@@ -246,6 +249,13 @@ def save_streaming_artifact(out_dir: str | Path, model, params,
         raise ValueError("streaming serving requires a CTC or RNNT head")
     if batch < 1:
         raise ValueError(f"batch must be >= 1, got {batch}")
+    if stream_decode not in ("greedy", "beam"):
+        raise ValueError(f"stream_decode must be greedy|beam, "
+                         f"got {stream_decode!r}")
+    use_beam = stream_decode == "beam"
+    if use_beam and not use_rnnt:
+        raise ValueError("stream_decode='beam' requires an RNNT-only model "
+                         "(the transducer beam is the streaming-exact one)")
     cse = CausalStreamingEncoder(model, params, block_enc=block_enc)
     W_mel = cse.W_mel
     S_win = (W_mel - 1) * cse.hop + cse.win
@@ -253,7 +263,18 @@ def save_streaming_artifact(out_dir: str | Path, model, params,
 
     params = jax.tree_util.tree_map(np.asarray, params)
     states0 = jax.tree_util.tree_map(np.asarray, cse._fresh_states())
-    if use_rnnt:
+    if use_rnnt and use_beam:
+        # the transducer beam's carry IS its streaming state (models/rnnt
+        # beam_decode_nbest): token buffers + lengths + alignment-merged
+        # scores ride the state pytree, one-row templates like every leaf
+        K, L = int(beam_size), int(token_buf_len)
+        states0 = dict(
+            states0,
+            rnnt_btoks=np.zeros((1, K, L), np.int32),
+            rnnt_bplen=np.zeros((1, K), np.int32),
+            rnnt_bscore=np.where(np.arange(K)[None, :] == 0, 0.0,
+                                 -1.0e30).astype(np.float32))
+    elif use_rnnt:
         # one-row template like every other state leaf (batch>1 exports tile
         # it; the pool tiles it per session)
         states0 = dict(states0, rnnt_hist=np.full(
@@ -268,7 +289,26 @@ def save_streaming_artifact(out_dir: str | Path, model, params,
         feats = feats[:, :W_mel].astype(jnp.float32)
         return cse._step(p["encoder"], feats, states)
 
-    if use_rnnt:
+    if use_rnnt and use_beam:
+        # streaming transducer BEAM: the beam carry (token buffers, lengths,
+        # merged scores) rides the state pytree, so block-wise beam ==
+        # offline beam exactly. Each call returns the CURRENT BEST full
+        # hypothesis (the beam may rewrite earlier output — the runtime
+        # REPLACES the session transcript instead of appending).
+        def step(p, wave, n_valid, states):
+            states = dict(states)
+            bstate = (states.pop("rnnt_btoks"), states.pop("rnnt_bplen"),
+                      states.pop("rnnt_bscore"))
+            x_out, new_states = _encode_block(p, wave, states)
+            ftoks, fplen, fscore = model.rnnt.apply(
+                {"params": p["rnnt"]}, x_out, n_valid, int(beam_size),
+                state=bstate, method="beam_decode_nbest")
+            best = jnp.argmax(fscore, axis=1)
+            toks = jnp.take_along_axis(ftoks, best[:, None, None], 1)[:, 0]
+            tl = jnp.take_along_axis(fplen, best[:, None], 1)[:, 0]
+            return (toks, tl), dict(new_states, rnnt_btoks=ftoks,
+                                    rnnt_bplen=fplen, rnnt_bscore=fscore)
+    elif use_rnnt:
         # transducer streaming: the stateless predictor's label history rides
         # in the state pytree, so block-wise greedy == offline greedy exactly.
         # n_valid masks the final partial block's tail frames (they must not
@@ -333,6 +373,10 @@ def save_streaming_artifact(out_dir: str | Path, model, params,
         "streaming": {"block_enc": int(block_enc), "w_mel": int(W_mel),
                       "s_win": int(S_win), "hop": int(cse.hop),
                       "win": int(cse.win), "batch": int(batch),
+                      "decode": stream_decode if use_rnnt else "greedy",
+                      **({"beam_size": int(beam_size),
+                          "token_buf_len": int(token_buf_len)}
+                         if use_beam else {}),
                       "file": "stream_step.shlo"},
         "jax_version": jax.__version__,
         **_tokenizer_meta(tokenizer),

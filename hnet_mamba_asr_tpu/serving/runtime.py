@@ -215,8 +215,12 @@ class StreamingServingModel:
         self.blank_id = int(manifest["blank_id"])
         # transducer streaming artifacts emit final ids directly (the label
         # history rides in the state pytree); CTC artifacts emit frame ids
-        # this class collapses
+        # this class collapses. Beam artifacts ("decode": "beam") return the
+        # CURRENT BEST full hypothesis each block — the beam may rewrite
+        # earlier output, so nothing is "newly final" until finish():
+        # feed() returns [], the running best is readable via .partial.
         self._rnnt = "rnnt_ids" in manifest.get("emit", [])
+        self._beam = s.get("decode") == "beam"
         if int(s.get("batch", 1)) != 1:
             raise ValueError(
                 f"artifact exported at batch {s['batch']} — use "
@@ -237,6 +241,7 @@ class StreamingServingModel:
         self._total = 0
         self._prev = -1                          # CTC collapse carry
         self._states = self._states0
+        self._partial: list[int] = []            # beam: running best
 
     def _mel_ready(self) -> int:
         return max(0, (self._total - self.win) // self.hop + 1)
@@ -259,8 +264,12 @@ class StreamingServingModel:
             self._buf = self._buf[keep - self._buf_start:]
             self._buf_start = keep
         if self._rnnt:
-            return [int(t) for t in
-                    np.asarray(ids)[0, : int(np.asarray(tl)[0])]]
+            final = [int(t) for t in
+                     np.asarray(ids)[0, : int(np.asarray(tl)[0])]]
+            if self._beam:
+                self._partial = final            # full best-so-far, replaces
+                return []
+            return final
         toks = []
         for t in np.asarray(ids)[0, : n_valid]:
             t = int(t)
@@ -279,13 +288,19 @@ class StreamingServingModel:
             out.extend(self._advance(self.E))
         return out
 
+    @property
+    def partial(self) -> list[int]:
+        """Beam artifacts: the current best full hypothesis (may rewrite)."""
+        return list(self._partial)
+
     def finish(self) -> list[int]:
-        """Drain the tail (zero-padded window is causal-safe)."""
+        """Drain the tail (zero-padded window is causal-safe). For beam
+        artifacts returns the FINAL full transcript (feed() returned [])."""
         total_enc = max(0, ((self._mel_ready() - 1) // 2 - 1) // 2)
         out = []
         while total_enc - self._e0 > 0:
             out.extend(self._advance(min(self.E, total_enc - self._e0)))
-        return out
+        return list(self._partial) if self._beam else out
 
 
 def load_streaming_artifact(artifact_dir: str | Path) -> StreamingServingModel:
@@ -294,7 +309,7 @@ def load_streaming_artifact(artifact_dir: str | Path) -> StreamingServingModel:
 
 class _StreamSession:
     __slots__ = ("buf", "buf_start", "e0", "total", "prev", "states",
-                 "pending", "finishing", "target_enc")
+                 "pending", "finishing", "target_enc", "partial")
 
     def __init__(self, states):
         self.buf = np.zeros(0, np.float32)
@@ -305,6 +320,7 @@ class _StreamSession:
         self.states = states                     # pytree, leading dim 1
         self.pending: list[int] = []             # ids emitted by pool ticks
         self.finishing = False
+        self.partial: list[int] = []             # beam: running best
         self.target_enc = 0
 
 
@@ -341,6 +357,7 @@ class StreamingSessionPool:
         self.S_win = int(s["s_win"])
         self.blank_id = int(manifest["blank_id"])
         self._rnnt = "rnnt_ids" in manifest.get("emit", [])
+        self._beam = s.get("decode") == "beam"
         from jax import export as jax_export
         with np.load(d / "params.npz") as z:
             self._params = params_to_tree({k: z[k] for k in z.files})
@@ -387,9 +404,14 @@ class StreamingSessionPool:
             mel = max(0, (ses.total - self.win) // self.hop + 1)
             ses.target_enc = max(0, ((mel - 1) // 2 - 1) // 2)
             self._drain()
-            out = ses.pending
+            out = list(ses.partial) if self._beam else ses.pending
             del self._sessions[sid]
             return out
+
+    def partial(self, sid: int) -> list[int]:
+        """Beam artifacts: the session's current best full hypothesis."""
+        with self._lock:
+            return list(self._sessions[sid].partial)
 
     # -- pooled ticking ---------------------------------------------------------
     def _ready(self, ses: _StreamSession) -> int:
@@ -442,7 +464,11 @@ class StreamingSessionPool:
                 ses.buf = ses.buf[keep - ses.buf_start:]
                 ses.buf_start = keep
             if self._rnnt:
-                ses.pending.extend(int(t) for t in toks[slot, :int(tl[slot])])
+                final = [int(t) for t in toks[slot, :int(tl[slot])]]
+                if self._beam:
+                    ses.partial = final          # full best-so-far, replaces
+                else:
+                    ses.pending.extend(final)
                 continue
             for t in ids[slot, :n_valid]:
                 t = int(t)

@@ -221,7 +221,12 @@ def make_streaming_server(artifact_dir: str | Path, host: str = "127.0.0.1",
     POST /v1/stream/open            -> {"sid": n}
     POST /v1/stream/<sid>           body = audio chunk -> {"ids", "text"}
     POST /v1/stream/<sid>/finish    -> tail {"ids", "text"}; frees the slot
+    GET  /v1/stream/<sid>/partial   -> beam artifacts: running best so far
     GET  /v1/health                 -> kind/batch/active sessions
+
+    Beam artifacts ("decode": "beam"): feeds return empty ids (the beam may
+    rewrite earlier output); poll /partial for the running best; finish
+    returns the final transcript.
 
     Up to manifest ``streaming.batch`` concurrent sessions advance in ONE
     program call per tick (runtime.StreamingSessionPool).
@@ -246,9 +251,20 @@ def make_streaming_server(artifact_dir: str | Path, host: str = "127.0.0.1",
             self.wfile.write(body)
 
         def do_GET(self):
+            parts = self.path.strip("/").split("/")
             if self.path == "/v1/health":
                 self._json(200, {"status": "ok", "kind": "streaming",
                                  "batch": pool.B, "active": pool.active})
+            elif (len(parts) == 4 and parts[:2] == ["v1", "stream"]
+                    and parts[3] == "partial"):
+                try:
+                    ids = pool.partial(int(parts[2]))
+                    res = {"ids": ids}
+                    if tok is not None:
+                        res["text"] = detokenize(tok, ids)
+                    self._json(200, res)
+                except (ValueError, KeyError) as e:
+                    self._json(400, {"error": f"{type(e).__name__}: {e}"})
             else:
                 self._json(404, {"error": f"unknown path {self.path}"})
 

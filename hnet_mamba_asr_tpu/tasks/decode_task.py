@@ -421,7 +421,10 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
                     T_enc = int(enc.features.shape[1])
                     L_buf = min(model.rnnt.max_decode_len,
                                 max(T_enc * Rms, 1))
-                    cap = min(L_buf + 1, 512)
+                    # LM KV-cache capacity: fused additions freeze beyond it
+                    # (transcripts are far shorter than the frame budget —
+                    # the cap bounds the dominant per-step cache traffic)
+                    cap = min(L_buf + 1, int(dc.get("lm_cache_cap", 512)))
                     pe = jnp.asarray(sinusoidal_pe(
                         cap, use_lm.lm_model.d_model))
                     ftoks, fplen, fscore, flms = model.rnnt.apply(

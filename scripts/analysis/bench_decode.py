@@ -12,8 +12,14 @@ minutes, so timing each cell once in sequence poisons every cross-cell ratio
 measured FASTER than its own no-LM base — judge r3 Weak #6). The JSON
 artifact carries a relay-health stamp for the same reason.
 
+``--rnnt`` adds the transducer head (production dims: d_pred 256, d_joint
+512) and the rnnt_greedy / rnnt_beam cells; combined with ``--lm`` it also
+times rnnt_beam_lm (first-pass in-scan fusion + second-pass re-rank,
+lm_cache_cap 128 — transcripts are far shorter than the frame budget and
+the cap bounds the per-step LM cache traffic).
+
 Usage: python scripts/analysis/bench_decode.py [B] [seconds_per_utt] [--lm]
-           [--trials N] [--out docs/results/decode_rtf.json]
+           [--rnnt] [--trials N] [--out docs/results/decode_rtf.json]
 """
 import json
 import statistics
@@ -45,6 +51,11 @@ def main():
     frames = int(secs * 100)                       # 10 ms hop
     vocab = 500
     cfg = _small_config()
+    if "--rnnt" in sys.argv:
+        cfg["rnnt_conf"] = {"d_pred": 256, "d_joint": 512, "context": 2,
+                            "max_symbols": 3}
+        cfg["model_conf"] = dict(cfg["model_conf"], ctc_weight=0.3,
+                                 aed_weight=0.5, rnnt_weight=0.2)
     model = build_model(cfg, vocab)
     params = model.init_params(jax.random.PRNGKey(0))
     batch = _batch(B=B, frames=frames, n_mels=80, vocab=vocab)
@@ -52,13 +63,20 @@ def main():
     tok = SimpleNamespace(bos_id=1, eos_id=2, pad_id=3, vocab_size=vocab,
                           decode=lambda ids: " ".join(map(str, ids)))
     dc = {"beam_size": 10, "pre_beam": 20, "ctc_weight": 0.3,
-          "lm_weight": 0.3, "rescore_weight": 0.3}
+          "lm_weight": 0.3, "rescore_weight": 0.3, "lm_cache_cap": 128}
     cells = [
         {"read_out": "ctc", "search": "greedy", "lm": False, "name": "ctc_greedy"},
         {"read_out": "ctc", "search": "beam", "lm": False, "name": "ctc_beam"},
         {"read_out": "aed", "search": "beam", "lm": False, "name": "aed_beam"},
         {"read_out": "joint", "search": "beam", "lm": False, "name": "joint_beam"},
     ]
+    if "--rnnt" in sys.argv:
+        cells += [
+            {"read_out": "rnnt", "search": "greedy", "lm": False,
+             "name": "rnnt_greedy"},
+            {"read_out": "rnnt", "search": "beam", "lm": False,
+             "name": "rnnt_beam"},
+        ]
     lm = None
     if "--lm" in sys.argv:
         # production-shape fusion LM (lm_transformer_500: 16L/512d, ~51M),
@@ -80,6 +98,11 @@ def main():
             {"read_out": "joint", "search": "beam", "lm": True,
              "name": "joint_beam_lm"},
         ]
+        if "--rnnt" in sys.argv:
+            cells += [
+                {"read_out": "rnnt", "search": "beam", "lm": True,
+                 "name": "rnnt_beam_lm"},
+            ]
     audio_s = B * secs
     n_trials = 3
     if "--trials" in sys.argv:

@@ -48,6 +48,14 @@ def parse_args(argv=None):
     ap.add_argument("--stream-batch", type=int, default=1,
                     help="with --streaming: export the step at batch B for "
                          "multi-session pooled serving (any streamable config)")
+    ap.add_argument("--stream-decode", default="greedy",
+                    choices=["greedy", "beam"],
+                    help="with --streaming on an RNNT model: 'beam' carries "
+                         "the transducer beam in the state pytree (== the "
+                         "offline beam exactly; finish() returns the final "
+                         "transcript, feed() returns [])")
+    ap.add_argument("--stream-token-buf", type=int, default=256,
+                    help="with --stream-decode beam: token buffer length")
     ap.add_argument("--platforms", nargs="+", default=None,
                     help="lower for these platforms (e.g. cpu tpu); "
                          "default: the current backend")
@@ -93,10 +101,13 @@ def run(args) -> None:
             platforms=tuple(args.platforms) if args.platforms else None,
             extra_meta={"config": str(args.config),
                         "checkpoint": str(args.checkpoint), **meta},
-            tokenizer=tokenizer)
-        logger.info("exported STREAMING %s block_enc=%d batch=%d "
+            tokenizer=tokenizer,
+            stream_decode=args.stream_decode, beam_size=args.beam_size,
+            token_buf_len=args.stream_token_buf)
+        logger.info("exported STREAMING %s block_enc=%d batch=%d decode=%s "
                     "quantize=%s -> %s", Path(args.checkpoint).name,
-                    args.streaming, args.stream_batch, args.quantize, d)
+                    args.streaming, args.stream_batch, args.stream_decode,
+                    args.quantize, d)
     else:
         d = save_serving_artifact(
             out, model, params, buckets=buckets, emit=tuple(args.emit),

@@ -879,3 +879,121 @@ def test_rnnt_beam_lm_fused_cell(rng):
             fused_dev = [r["hyp"] for r in fused]
         else:
             assert [r["hyp"] for r in fused] == fused_dev
+
+
+def test_rnnt_beam_streaming_state(rng):
+    """Block-wise beam with the carry threaded back as ``state`` equals one
+    offline pass EXACTLY (tokens, lengths, scores) at any block split —
+    including a ragged final block masked by memory_lengths."""
+    from hnet_mamba_asr_tpu.models.rnnt import RNNTHead
+
+    V, D, T = 6, 10, 12
+    head = RNNTHead(vocab_size=V, d_memory=D, d_pred=8, d_joint=16,
+                    context=2, max_symbols=3, max_decode_len=24)
+    r = np.random.default_rng(90)
+    B = 2
+    mem = jnp.asarray(r.normal(size=(B, T, D)) * 1.5, jnp.float32)
+    lens = np.asarray([T, 9])
+    params = head.init(jax.random.PRNGKey(0), mem, jnp.asarray(lens),
+                       jnp.zeros((B, 3), jnp.int32),
+                       jnp.full((B,), 3), method="loss")["params"]
+    L = 24
+    ref = head.apply({"params": params}, mem, jnp.asarray(lens), 4,
+                     method="beam_decode_nbest", token_buf_len=L)
+    ref = tuple(np.asarray(x) for x in ref)
+
+    for block in (1, 4, 5):
+        state = None
+        done = np.zeros(B, np.int64)
+        for t0 in range(0, T, block):
+            n = min(block, T - t0)
+            nv = np.clip(lens - done, 0, n).astype(np.int32)
+            out = head.apply({"params": params}, mem[:, t0:t0 + n],
+                             jnp.asarray(nv), 4,
+                             method="beam_decode_nbest",
+                             state=state, token_buf_len=L)
+            state = out
+            done += n
+        got = tuple(np.asarray(x) for x in state)
+        np.testing.assert_array_equal(got[0], ref[0], err_msg=str(block))
+        np.testing.assert_array_equal(got[1], ref[1])
+        np.testing.assert_allclose(got[2], ref[2], atol=1e-5)
+
+
+def test_rnnt_streaming_beam_export_matches_offline(rng, tmp_path):
+    """Streaming transducer BEAM artifact: the beam carry rides the state
+    pytree; feed() returns [] (the beam may rewrite earlier output),
+    .partial tracks the running best, finish() returns the offline
+    beam_decode transcript exactly."""
+    from hnet_mamba_asr_tpu.serving import (
+        load_streaming_artifact, save_streaming_artifact,
+    )
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    cfg = dict(_rnnt_cfg(), train={"precision": "fp32"})
+    cfg["encoder_conf"] = dict(cfg["encoder_conf"], bidirectional=False)
+    model = build_model(cfg, 16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    art = tmp_path / "rnnt_stream_beam"
+    save_streaming_artifact(art, model, params, block_enc=8,
+                            stream_decode="beam", beam_size=4,
+                            token_buf_len=48)
+    sm = load_streaming_artifact(art)
+    assert sm._rnnt and sm._beam
+    wave = (rng.normal(size=10000) * 0.1).astype(np.float32)
+    fed = []
+    for lo in range(0, len(wave), 1300):         # ragged pushes
+        fed += sm.feed(wave[lo:lo + 1300])
+    assert fed == []                             # beam: nothing final early
+    toks = sm.finish()
+
+    batch = {"wave": wave[None], "wave_lens": np.array([len(wave)], np.int32)}
+    enc = model.encode(params, batch, train=False)
+    # same token_buf_len as the artifact (the fplen < L growth cap must
+    # match for exact equality)
+    ftoks, fplen, fscore = model.rnnt.apply(
+        {"params": params["rnnt"]}, enc.features, enc.lengths, 4,
+        method="beam_decode_nbest", token_buf_len=48)
+    b = int(np.argmax(np.asarray(fscore)[0]))
+    live = np.asarray(ftoks)[0, b, :int(np.asarray(fplen)[0, b])].tolist()
+    assert toks == live
+
+
+def test_rnnt_pooled_streaming_beam_sessions_match_solo(rng, tmp_path):
+    """batch=2 beam artifact: two interleaved live sessions each equal their
+    own solo offline beam decode; partial() is readable mid-stream."""
+    from hnet_mamba_asr_tpu.serving import save_streaming_artifact
+    from hnet_mamba_asr_tpu.serving.runtime import StreamingSessionPool
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+
+    cfg = dict(_rnnt_cfg(), train={"precision": "fp32"})
+    cfg["encoder_conf"] = dict(cfg["encoder_conf"], bidirectional=False)
+    model = build_model(cfg, 16)
+    params = model.init_params(jax.random.PRNGKey(0))
+    art = tmp_path / "rnnt_stream_beam_pool"
+    save_streaming_artifact(art, model, params, block_enc=8, batch=2,
+                            stream_decode="beam", beam_size=4,
+                            token_buf_len=48)
+    pool = StreamingSessionPool(art)
+    waves = [(rng.normal(size=n) * 0.1).astype(np.float32)
+             for n in (9000, 11000)]
+    sids = [pool.open(), pool.open()]
+    off = [0, 0]
+    while any(off[i] < len(waves[i]) for i in range(2)):
+        for i in range(2):
+            if off[i] < len(waves[i]):
+                assert pool.feed(sids[i], waves[i][off[i]:off[i] + 1500]) == []
+                off[i] += 1500
+    mid = pool.partial(sids[0])
+    assert isinstance(mid, list)
+    finals = [pool.finish(sids[i]) for i in range(2)]
+    for i in range(2):
+        batch = {"wave": waves[i][None],
+                 "wave_lens": np.array([len(waves[i])], np.int32)}
+        enc = model.encode(params, batch, train=False)
+        ftoks, fplen, fscore = model.rnnt.apply(
+            {"params": params["rnnt"]}, enc.features, enc.lengths, 4,
+            method="beam_decode_nbest", token_buf_len=48)
+        b = int(np.argmax(np.asarray(fscore)[0]))
+        live = np.asarray(ftoks)[0, b, :int(np.asarray(fplen)[0, b])].tolist()
+        assert finals[i] == live, i
