@@ -69,3 +69,38 @@ def test_mesh_decode_partial_batch(setup):
                        DC, mesh=mesh)
     assert len(got) == len(ref) == 6
     assert [r["hyp"] for r in got] == [r["hyp"] for r in ref]
+
+
+@pytest.fixture(scope="module")
+def rnnt_setup():
+    cfg = _small_config(tiny=True)
+    cfg["train"]["precision"] = "fp32"
+    cfg["rnnt_conf"] = {"d_pred": 8, "d_joint": 16, "context": 2,
+                        "max_symbols": 2}
+    cfg["model_conf"] = dict(cfg["model_conf"], ctc_weight=0.3,
+                             aed_weight=0.0, rnnt_weight=0.7)
+    model = build_model(cfg, VOCAB)
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = _batch(B=8, frames=40, n_mels=20, vocab=VOCAB, seed=5)
+    batch["ids"] = [f"u{i}" for i in range(8)]
+    tok = SimpleNamespace(bos_id=1, eos_id=2, pad_id=3, vocab_size=VOCAB,
+                          decode=lambda ids: " ".join(map(str, ids)))
+    return model, params, batch, tok
+
+
+@pytest.mark.parametrize("cell", [
+    {"read_out": "rnnt", "search": "greedy", "lm": False,
+     "name": "rnnt_greedy"},
+    {"read_out": "rnnt", "search": "beam", "lm": False, "name": "rnnt_beam"},
+], ids=lambda c: c["name"])
+def test_mesh_decode_rnnt_matches_single_device(rnnt_setup, cell):
+    """The transducer family shards like every other cell: GSPMD dp/tp
+    sharding must not change the jitted greedy scan or the device beam."""
+    model, params, batch, tok = rnnt_setup
+    ref = decode_batch(model, params, tok, dict(batch), cell, DC)
+    for tp in (1, 2):
+        mesh = make_mesh(8, tp=tp)
+        placed = place_params(params, mesh)
+        got = decode_batch(model, placed, tok, dict(batch), cell, DC,
+                           mesh=mesh)
+        assert [r["hyp"] for r in got] == [r["hyp"] for r in ref], (cell, tp)
