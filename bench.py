@@ -111,16 +111,22 @@ def main() -> None:
             _ = float(loss)
             dt = min(dt, (time.perf_counter() - t0) / N_STEPS)
         try:
-            # XLA's own estimate of HBM traffic + executed FLOPs: the
-            # roofline numerators (scripts/analysis/roofline.py is the full
-            # per-variant accounting). HLO cost analysis counts a scan body
-            # ONCE regardless of trip count, so per-step cost comes from a
-            # dedicated 1-step program.
+            # Roofline numerators from a dedicated 1-step program (HLO cost
+            # conventions around loop trip counts vary by backend; at K=1
+            # the scan unrolls and every accounting agrees). BOTH interval
+            # bounds come from the ONE utils/hlo_bytes.py parse — the r4
+            # inversion (lower 1.72 > upper 1.39, BENCH_r04.json) happened
+            # because the upper was XLA's aggregate while the lower came
+            # from a parse that never walked while bodies: two unrelated
+            # accountings, nothing asserting consistency. XLA's aggregate
+            # is kept as a reference-only third field.
             compiled1 = make_run(1).lower(params, opt_state, batch).compile()
             bounds = compiled_traffic_bounds(compiled1)
+            assert bounds["lower"] <= bounds["upper"], bounds
             COST[(B, remat_policy)] = {
-                "bytes_per_step": bounds.get("xla_bytes_accessed", 0.0),
+                "bytes_per_step": float(bounds["upper"]),
                 "bytes_lower_per_step": float(bounds["lower"]),
+                "xla_bytes_per_step": bounds.get("xla_bytes_accessed", 0.0),
                 "flops_per_step": bounds.get("xla_flops", 0.0),
                 "step_s": dt,
                 "fps": (B * 1000) / dt,
@@ -168,21 +174,28 @@ def main() -> None:
         "b32_light_remat": round(fps_production / n_chips, 1),
     }
     if COST:
-        # roofline INTERVAL for the WINNING config: XLA's aggregate "bytes
-        # accessed" is an UPPER bound on HBM traffic (multi-consumer re-reads
-        # + fusion operands counted per consumer), the perfect-reuse parse is
-        # the LOWER bound — true achieved bandwidth lies between them, so a
-        # _upper above 1.0 means bound slack (or a relay-fast wall clock),
-        # never super-physical hardware (judge r3 Weak #2).
+        # roofline INTERVAL for the WINNING config, both bounds from the ONE
+        # utils/hlo_bytes.py accounting (upper = every instruction pays full
+        # operand+output buffers, lower = perfect-reuse + slice-utilization
+        # floor; lower <= upper by construction, asserted at parse AND here).
+        # The r4 inversion mixed XLA's aggregate (upper) with a parse that
+        # skipped while bodies (lower) — see hlo_bytes.py post-mortem. XLA's
+        # aggregate now ships as a reference-only third field.
         win = max(COST.values(), key=lambda c: c["fps"])
+        assert win["bytes_lower_per_step"] <= win["bytes_per_step"], win
         out["hbm_bw_frac_upper"] = round(
             win["bytes_per_step"] / win["step_s"] / 819.0e9, 4)
         out["hbm_bw_frac_lower"] = round(
             win["bytes_lower_per_step"] / win["step_s"] / 819.0e9, 4)
+        out["hbm_bw_frac_xla"] = round(
+            win["xla_bytes_per_step"] / win["step_s"] / 819.0e9, 4)
         out["roofline_note"] = (
-            "true HBM fraction is in [lower, upper]: upper = XLA "
-            "bytes-accessed bound, lower = perfect-reuse floor; >1.0 upper "
-            "= accounting slack, not achieved bandwidth")
+            "true HBM fraction is in [lower, upper], both bounds from one "
+            "HLO parse (hlo_bytes.py): upper = full operand+output charge, "
+            "lower = perfect-reuse floor; _xla = XLA's utilization-based "
+            "aggregate, reference only (r4's inverted interval mixed the "
+            "two accountings); >1.0 upper = accounting slack or relay-fast "
+            "wall clock, never super-physical hardware")
         out["xla_mfu"] = round(
             win["flops_per_step"] / win["step_s"] / 197.0e12, 4)
     out["relay"] = {"before": relay_before, "after": ping()}

@@ -135,8 +135,12 @@ def load_token_lengths(corpus_path: str | Path, tokenizer,
 
 
 # Per-worker state for the span pool, installed once by the fork initializer:
-# (corpus file handle, tokenizer). Each worker owns its own handle.
+# (corpus file handle, tokenizer). Each worker owns its own handle. The
+# offsets array rides into workers by fork copy-on-write (set in the PARENT
+# before the pool is created), so jobs are bare (lo, hi) pairs and only the
+# int32 result slabs ever cross the IPC pipe.
 _SPAN_CTX: tuple | None = None
+_SPAN_OFFSETS: np.ndarray | None = None
 
 
 def _span_init(corpus: str, tok_model: str) -> None:
@@ -145,9 +149,10 @@ def _span_init(corpus: str, tok_model: str) -> None:
     _SPAN_CTX = (open(corpus, "rb"), Tokenizer(tok_model))
 
 
-def _count_span(job: tuple[np.ndarray, int, int]) -> np.ndarray:
-    """Encode lines offsets[lo:hi] straight from the worker's own handle."""
-    offsets, lo, hi = job
+def _count_span(job: tuple[int, int]) -> np.ndarray:
+    """Encode lines _SPAN_OFFSETS[lo:hi] from the worker's own handle."""
+    lo, hi = job
+    offsets = _SPAN_OFFSETS
     fh, tok = _SPAN_CTX
     out = np.empty(hi - lo, dtype=np.int32)
     for i in range(lo, hi):
@@ -167,22 +172,29 @@ def _count_tokens(corpus_path: Path, tok_path: Path,
     """
     import multiprocessing as mp
 
+    global _SPAN_OFFSETS
     n = len(offsets)
     workers = min(12, os.cpu_count() or 1)
     span = 20000
-    if workers <= 1 or n < 2 * span:
-        _span_init(str(corpus_path), str(tok_path))
-        try:
-            return _count_span((offsets, 0, n))
-        finally:
-            _SPAN_CTX[0].close()
-    edges = np.linspace(0, n, max(4 * workers, n // span) + 1, dtype=np.int64)
-    jobs = [(offsets, int(a), int(b))
-            for a, b in zip(edges[:-1], edges[1:]) if b > a]
-    with mp.get_context("fork").Pool(workers, _span_init,
-                                     (str(corpus_path), str(tok_path))) as pool:
-        slabs = pool.map(_count_span, jobs)
-    return np.concatenate(slabs)
+    _SPAN_OFFSETS = offsets
+    try:
+        if workers <= 1 or n < 2 * span:
+            _span_init(str(corpus_path), str(tok_path))
+            try:
+                return _count_span((0, n))
+            finally:
+                _SPAN_CTX[0].close()
+        edges = np.linspace(0, n, max(4 * workers, n // span) + 1,
+                            dtype=np.int64)
+        jobs = [(int(a), int(b))
+                for a, b in zip(edges[:-1], edges[1:]) if b > a]
+        with mp.get_context("fork").Pool(workers, _span_init,
+                                         (str(corpus_path),
+                                          str(tok_path))) as pool:
+            slabs = pool.map(_count_span, jobs)
+        return np.concatenate(slabs)
+    finally:
+        _SPAN_OFFSETS = None
 
 
 class LMTextDataset:

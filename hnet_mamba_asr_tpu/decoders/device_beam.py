@@ -113,8 +113,12 @@ def _ctc_prefix_psi_matmul(ctc_logp, expx, mx, r_prev, cand, last_tok, t,
     act = (jnp.arange(1, T) >= start)                          # [T-1] (tt axis)
     left = jnp.where(act[None, None, :], r_sum[..., :-1], CTC_LOG0)
     m1 = jnp.maximum(left.max(-1), -1.0e9)                     # [B, R]
+    # HIGHEST precision: the default TPU matmul rounds f32 inputs to bf16
+    # multiplies (~2^-8 relative), which would inject ~1e-3-nat noise into
+    # psi and let near-tie beam selections drift from the host oracle.
     dot = jnp.einsum("brt,btw->brw", jnp.exp(left - m1[..., None]), expx,
-                     preferred_element_type=jnp.float32)       # [B, R, W]
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)      # [B, R, W]
     psi_sum = jnp.where(dot > 0.0, jnp.log(jnp.maximum(dot, 1e-37)), 0.0)
     psi_sum = jnp.where(dot > 0.0, psi_sum + m1[..., None] + mx[:, None, :],
                         CTC_LOG0)

@@ -31,11 +31,24 @@ LOG_ZERO = -1e10
 class CTCPrefixScorer:
     """Incremental CTC prefix log-prob for growing label prefixes (one utt).
 
-    State per prefix: r [T, 2] — r[t, 0] = log p(prefix emitted by frame t,
-    ending in its last label), r[t, 1] = ... ending in blank. ``score`` extends
-    a prefix by C candidate labels at once, returning absolute prefix
-    log-probs and the C new states. Mirrors the ESPnet/Watanabe recursion and
-    is validated against a brute-force alignment enumerator in tests.
+    Same log-semiring bookkeeping as the device joint beam
+    (device_beam._ctc_prefix_psi / _ctc_advance_r), kept host-side in fp64 as
+    the oracle the device engine is tested against. Per prefix the carried
+    state is two per-frame masses, ``rl[t]`` = log p(lattice paths through
+    frame t that spell the prefix and end on its LAST LABEL) and ``rb[t]`` =
+    the same but ending on blank (packed [T, 2] label-major, the layout the
+    C++ twin and the device carry share). ``score`` grows one prefix by C
+    candidate labels at once and returns
+
+      - the SELECTION mass  psi(c) = sum over frames of
+        (parent mass available at t-1 for entering c) + emit(t, c)
+        — a pure reduction, no dependence on the child's own state — and
+      - the C advanced [T, 2] states for whichever candidates survive.
+
+    Validated against a brute-force alignment enumerator
+    (tests/test_decoders) and bit-equal to the native C++ scorer
+    (tests/test_native). Behavioral contract shared with the reference's
+    scorer (reference: src/dcasr/decoders/joint.py CTCPrefixScorer).
     """
 
     def __init__(self, logp, blank_id: int, eos_id: int):
@@ -49,47 +62,65 @@ class CTCPrefixScorer:
             and hasattr(native.lib, "hmasr_ctc_prefix_score")) else None
 
     def initial_state(self) -> np.ndarray:
-        """Empty prefix: only the all-blank path exists."""
-        r = np.full((self.T, 2), LOG_ZERO)
-        r[:, 1] = np.cumsum(self.logp[:, self.blank])
-        return r
+        """Empty prefix: all mass rides the all-blank path (rl ≡ log 0)."""
+        state = np.full((self.T, 2), LOG_ZERO)
+        state[:, 1] = np.cumsum(self.logp[:, self.blank])
+        return state
 
     def score(self, prefix: list[int], cand_ids, r_prev: np.ndarray):
         """-> (scores [C], states [C, T, 2]) for each candidate extension."""
         cand = np.asarray(cand_ids, dtype=np.int64)
         T, C = self.T, cand.shape[0]
-        out_len = len(prefix)
+        plen = len(prefix)
         if self._native is not None:
-            # C++ twin of the recursion below (numpy-logaddexp-compatible
-            # arithmetic; identical outputs fuzz-tested in tests/test_native)
+            # C++ twin (numpy-logaddexp-compatible arithmetic; bit-equal
+            # outputs fuzz-tested in tests/test_native)
             return self._native.ctc_prefix_score(
                 self.logp, self.blank, self.eos,
-                prefix[-1] if prefix else -1, out_len, r_prev, cand)
-        # eos may sit outside the CTC class dim; its column is replaced below
-        xs = self.logp[:, np.minimum(cand, self.logp.shape[1] - 1)]   # [T, C]
-        r = np.full((T, 2, C), LOG_ZERO)
-        if out_len == 0:
-            r[0, 0] = xs[0]                                # label may start at frame 0
+                prefix[-1] if prefix else -1, plen, r_prev, cand)
 
-        r_sum = np.logaddexp(r_prev[:, 0], r_prev[:, 1])   # [T]
-        log_phi = np.broadcast_to(r_sum[:, None], (T, C)).copy()
-        if out_len > 0:
-            same = cand == prefix[-1]
-            if same.any():                                 # repeat needs a blank between
-                log_phi[:, same] = r_prev[:, 1:2]
+        # per-candidate emission ladder; an eos candidate has no CTC class —
+        # clamp its gather, psi for eos is overridden at the end
+        emit = self.logp[:, np.minimum(cand, self.logp.shape[1] - 1)]  # [T,C]
 
-        start = max(out_len, 1)
-        log_psi = r[start - 1, 0].copy()                   # [C]
-        blank_col = self.logp[:, self.blank]
-        for t in range(start, T):
-            r[t, 0] = np.logaddexp(r[t - 1, 0], log_phi[t - 1]) + xs[t]
-            r[t, 1] = np.logaddexp(r[t - 1, 0], r[t - 1, 1]) + blank_col[t]
-            log_psi = np.logaddexp(log_psi, log_phi[t - 1] + xs[t])
+        # parent mass reachable at each frame, and the "growth source" the
+        # device engine calls phi: entering candidate c at frame t consumes
+        # the parent's TOTAL mass at t-1 — unless c repeats the prefix's last
+        # label, where CTC demands an intervening blank, so only the
+        # blank-ending component may feed it
+        pmass = np.logaddexp(r_prev[:, 0], r_prev[:, 1])               # [T]
+        rep = (cand == prefix[-1]) if plen > 0 else np.zeros(C, bool)
+        phi = np.where(rep[None, :], r_prev[:, 1:2], pmass[:, None])   # [T,C]
 
-        is_eos = cand == self.eos                          # eos = exactly this prefix
-        if is_eos.any():
-            log_psi = np.where(is_eos, r_sum[-1], log_psi)
-        return log_psi, np.ascontiguousarray(r.transpose(2, 0, 1))
+        # a grown prefix needs >= plen frames before its new label can land;
+        # frame 0 itself is reachable only from the empty prefix
+        t0 = max(plen, 1)
+        rl = np.full((T, C), LOG_ZERO)                 # child ends-on-label
+        rb = np.full((T, C), LOG_ZERO)                 # child ends-on-blank
+        if plen == 0:
+            rl[0] = emit[0]
+        stay_blank = self.logp[:, self.blank]
+        for t in range(t0, T):
+            # child advance: its label column re-emits (rl) or fresh mass
+            # enters from the parent (phi); blanks extend either ending
+            rl[t] = np.logaddexp(rl[t - 1], phi[t - 1]) + emit[t]
+            rb[t] = np.logaddexp(rl[t - 1], rb[t - 1]) + stay_blank[t]
+
+        # selection mass psi: the frame-entry contributions form a ladder
+        # folded in frame order (left fold == the C++ twin's accumulation
+        # order, keeping the two implementations bit-equal); seed with the
+        # frame-(t0-1) label mass, i.e. emit[0] when the prefix was empty
+        ladder = np.concatenate([rl[t0 - 1][None],
+                                 phi[t0 - 1:T - 1] + emit[t0:T]], axis=0)
+        psi = np.logaddexp.reduce(ladder, axis=0)                      # [C]
+
+        # growing by eos closes the sequence: its mass is the parent's own
+        # full-utterance mass, not an emission sum
+        ends = cand == self.eos
+        if ends.any():
+            psi = np.where(ends, pmass[-1], psi)
+        states = np.stack([rl, rb], axis=-1)           # [T, C, 2]
+        return psi, np.ascontiguousarray(states.transpose(1, 0, 2))
 
 
 @dataclass

@@ -343,14 +343,18 @@ class _RNNTBeamMixin:
                               NEG_INF).max(1), NEG_INF)
                 bscore = jnp.logaddexp(bscore, app_score)
                 ohb = oh.astype(bool)
+                # HIGHEST precision on every one-hot scatter: the default TPU
+                # matmul multiplies in bf16, which would round token ids /
+                # plens above 256 and perturb banked LM masses by ~0.4%.
+                hi = jax.lax.Precision.HIGHEST
                 btoks = jnp.where(
                     ohb.any(1)[:, :, None],
-                    jnp.einsum("bkn,bkl->bnl", oh, ftoks.astype(jnp.float32)
-                               ).astype(jnp.int32), btoks)
+                    jnp.einsum("bkn,bkl->bnl", oh, ftoks.astype(jnp.float32),
+                               precision=hi).astype(jnp.int32), btoks)
                 bplen = jnp.where(
                     ohb.any(1),
-                    jnp.einsum("bkn,bk->bn", oh, fplen.astype(jnp.float32)
-                               ).astype(jnp.int32), bplen)
+                    jnp.einsum("bkn,bk->bn", oh, fplen.astype(jnp.float32),
+                               precision=hi).astype(jnp.int32), bplen)
                 bvalid = bvalid | ohb.any(1)
                 count = count + unmatched.sum(-1)
                 if use_lm:
@@ -358,12 +362,13 @@ class _RNNTBeamMixin:
                     # sequence); appended rows copy the frontier's lms/root
                     blms = jnp.where(
                         ohb.any(1),
-                        jnp.einsum("bkn,bk->bn", oh, flms).astype(jnp.float32),
+                        jnp.einsum("bkn,bk->bn", oh, flms,
+                                   precision=hi).astype(jnp.float32),
                         blms)
                     broot = jnp.where(
                         ohb.any(1),
-                        jnp.einsum("bkn,bk->bn", oh, root.astype(jnp.float32)
-                                   ).astype(jnp.int32), broot)
+                        jnp.einsum("bkn,bk->bn", oh, root.astype(jnp.float32),
+                                   precision=hi).astype(jnp.int32), broot)
                 if round_ == R:
                     break                 # last round only banks; children
                                           # would be discarded at frame end

@@ -441,6 +441,16 @@ def decode_batch(model, params, tokenizer, batch: dict, cell: Mapping[str, Any],
                 ftoks, fplen, fscore = (np.asarray(ftoks), np.asarray(fplen),
                                         np.asarray(fscore))
                 nbest_all = []
+                # Convention note: flms is the EOS-INCLUSIVE LM sequence mass
+                # (beam_decode_nbest closes every pool row with the eos term
+                # so fused and unfused pools re-rank with one formula), so
+                # .score here = acoustic + lm_weight * sequence_logprob. The
+                # host fused engine (rnnt_decode.py) builds .score from the
+                # label-only LM mass — the two engines' .score fields are on
+                # different scales and must never be compared across engines
+                # (final output is unaffected: lm_rescore_batch re-ranks
+                # from .aed/.lm, and .lm carries the same eos-inclusive mass
+                # both ways).
                 for b in range(n_real):
                     rows = [Hypothesis(tokens=ftoks[b, k, :fplen[b, k]].tolist(),
                                        aed=float(fscore[b, k]), ctc=0.0,

@@ -1,28 +1,43 @@
 """HBM-traffic bounds from compiled-HLO text.
 
-XLA's aggregate ``cost_analysis()['bytes accessed']`` charges every top-level
-instruction its operand+output buffer bytes — a buffer with k consumers is
-counted k+1 times, and fusion-internal temporaries XLA elides are still
-represented by their fusion's operands. That makes it an UPPER bound on real
-HBM traffic. The r3 roofline reported fractions of HBM peak computed from it
-as if it were achieved bandwidth, which produced physically impossible
-numbers (hbm_bw_frac 1.41 in BENCH_r03.json — judge r3 Weak #2).
+XLA's aggregate ``cost_analysis()['bytes accessed']`` is a utilization-based
+estimate: slice-like reads are charged at the bytes actually touched, and
+fusion operands are charged per internal utilization. It is neither a strict
+upper nor a strict lower bound on real HBM traffic (multi-consumer buffers
+that stay resident in VMEM are still charged per consumer; perfectly-reused
+buffers are charged once). This module parses the optimized HLO of a compiled
+program (the same producer/consumer accounting
+``scripts/analysis/bytes_breakdown.py`` uses for its per-instruction ranking)
+and derives BOTH roofline bounds from ONE accounting:
 
-This module parses the optimized HLO of a compiled program (the same
-producer/consumer accounting ``scripts/analysis/bytes_breakdown.py`` uses for
-its per-instruction ranking) and returns BOTH bounds:
+  - ``upper``: every charged instruction pays its full operand + output
+    buffer bytes — a buffer with k consumers is paid k times, a
+    dynamic-slice pays its whole operand. Real traffic cannot exceed this.
+  - ``lower``: perfect-reuse floor — every distinct buffer is written to HBM
+    exactly once and read at most once no matter how many consumers it has,
+    and slice-shaped access (dynamic-slice / slice / gather, including
+    inside fusions) is charged at the bytes the slice actually touches;
+    dynamic-update-slice writes only its update region. Real traffic cannot
+    be below this without keeping multi-MB activations resident in VMEM
+    across unrelated program regions.
 
-  - ``upper``: every top-level instruction charged operands + outputs
-    (reproduces XLA's aggregate to within a few percent);
-  - ``lower``: perfect-reuse floor — every top-level output buffer is
-    written to HBM exactly once, and every distinct buffer that is read at
-    least once is read exactly once, no matter how many consumers it has.
-    Real traffic cannot be below this without keeping multi-MB activations
-    resident in VMEM across unrelated program regions.
+``lower <= upper`` holds by construction (per-buffer effective bytes never
+exceed per-instruction full bytes); ``traffic_bounds`` asserts it anyway.
 
-True achieved bandwidth lies in [lower, upper] / wall-time; a fraction > 1.0
-computed from the upper bound means bound slack (multi-consumer re-reads that
-never left VMEM), not super-physical hardware.
+Round-4 post-mortem (the inverted interval in BENCH_r04.json,
+``hbm_bw_frac_lower 1.72 > upper 1.39``): the r3 parser only descended into
+computations referenced via ``calls=`` — fusions — and NEVER walked
+``while`` bodies (whose HLO attribute is ``body=``/``condition=``). A
+train-step program is one big while (lax.scan): the parse charged the loop's
+multi-hundred-MB carry tuple twice (operand + output) and skipped the body's
+actual traffic entirely, while the JSON's "upper" came from XLA's aggregate
+(which DOES cost the body) — two unrelated accountings, off by >30%, with
+nothing asserting consistency. This rewrite walks ``while`` / ``conditional``
+/ ``call`` bodies (each ONCE — trip-count scaling is the caller's job, the
+same convention as XLA's cost analysis), charges the control-flow
+instruction itself nothing (its tuples alias through), and emits both bounds
+from the one parse; XLA's aggregate is returned separately as
+``xla_bytes_accessed`` for reference only.
 
 reference: the reference measures rather than asserts its perf claims
 (SURVEY §5.1); this keeps the same discipline for the roofline headline.
@@ -40,9 +55,20 @@ DTYPE_BYTES = {
 _SHAPE_RE = re.compile(r"\b([a-z]+\d*)\[([\d,]*)\]")
 _NAME_RE = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*")
 _OPCODE_RE = re.compile(r"\s*([\w\-]+)\(")
+_CALLED_RE = re.compile(
+    r"(?:calls|condition|body|to_apply|true_computation|false_computation)"
+    r"=%?([\w.\-]+)")
+_BRANCHES_RE = re.compile(r"branch_computations=\{([^}]*)\}")
 
 # pure aliasing/bookkeeping opcodes: no HBM traffic of their own
 _FREE_OPS = ("parameter", "constant", "get-tuple-element", "tuple", "bitcast")
+
+# control flow: the instruction's own tuples alias through to the called
+# computation's parameters/root — the BODY carries the traffic, not the op
+_CTRL_OPS = ("while", "conditional", "call")
+
+# operand 0 is accessed slice-wise: the bytes touched = the output bytes
+_SLICE_OPS = ("dynamic-slice", "slice", "gather")
 
 
 def shape_bytes(shape_str: str) -> int:
@@ -83,8 +109,29 @@ def _scan_shape(s: str, i: int):
     return s[start:], n
 
 
+def _split_operand_group(rest: str) -> tuple[str, str]:
+    """Split ``op1, op2), attr=...`` at the paren that closes the operand
+    list (the opcode's ``(`` was already consumed by the caller)."""
+    depth = 1
+    for i, c in enumerate(rest):
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return rest[:i], rest[i + 1:]
+    return rest, ""
+
+
 def parse_hlo(text: str) -> dict[str, list]:
-    """computation name -> list of (name, shape_str, opcode, operands, called)."""
+    """computation name -> list of (name, shape_str, opcode, operands, called).
+
+    ``operands`` holds only the names inside the instruction's operand
+    parens (attribute references like ``body=%region_0`` land in ``called``,
+    never in ``operands``). For ``parameter(i)`` instructions the index digit
+    is stored as the sole operand so fusion callers can map operand position
+    -> parameter.
+    """
     comps: dict[str, list] = {}
     cur = None
     for line in text.splitlines():
@@ -106,9 +153,14 @@ def parse_hlo(text: str) -> dict[str, list]:
             continue
         opcode = mo.group(1)
         rest = line[end + mo.end():]
-        operands = re.findall(r"%([\w.\-]+)",
-                              rest.split(" calls=")[0].split(", calls=")[0])
-        called = re.findall(r"calls=%?([\w.\-]+)", rest)
+        group, attrs = _split_operand_group(rest)
+        if opcode == "parameter":
+            operands = re.findall(r"(\d+)", group)[:1]
+        else:
+            operands = re.findall(r"%([\w.\-]+)", group)
+        called = _CALLED_RE.findall(attrs)
+        for grp in _BRANCHES_RE.findall(attrs):
+            called += re.findall(r"%?([\w.\-]+)", grp)
         comps[cur].append((name, shape, opcode, operands, called))
     return comps
 
@@ -118,23 +170,79 @@ def entry_computation(comps: dict[str, list]) -> str:
     return ent if ent is not None else max(comps, key=lambda k: len(comps[k]))
 
 
+def _fusion_param_read_bytes(comp: list, shape_in: dict[str, str]) -> dict:
+    """Per-parameter-index effective read bytes for one fused computation.
+
+    A parameter consumed only by slice-shaped ops is charged the bytes those
+    slices touch; any other consumer charges the full parameter (capped at
+    full either way). An unconsumed parameter reads nothing.
+    """
+    param_of_index: dict[int, str] = {}
+    full: dict[str, int] = {}
+    for name, shape, opcode, operands, _ in comp:
+        if opcode == "parameter" and operands:
+            param_of_index[int(operands[0])] = name
+            full[name] = shape_bytes(shape)
+    need: dict[str, int] = {n: 0 for n in full}
+    for name, shape, opcode, operands, _ in comp:
+        if opcode == "parameter":
+            continue
+        for pos, o in enumerate(operands):
+            if o not in need:
+                continue
+            if opcode in _SLICE_OPS and pos == 0:
+                need[o] += shape_bytes(shape)
+            elif opcode == "dynamic-update-slice" and pos == 0:
+                pass                      # DUS aliases its target in place
+            else:
+                need[o] = full[o]
+    return {i: min(need[p], full[p]) for i, p in param_of_index.items()}
+
+
+def _fusion_write_bytes(comp: list, out_b: int) -> int:
+    """Effective written bytes of a fusion: DUS-rooted outputs write only
+    their update region (scan accumulators!); everything else writes fully."""
+    by_name = {name: (shape, opcode, operands)
+               for name, shape, opcode, operands, _ in comp}
+    root_name = comp[-1][0] if comp else None
+
+    def leaf_bytes(name: str) -> int:
+        shape, opcode, operands = by_name.get(name, ("", "", []))
+        if opcode == "dynamic-update-slice" and len(operands) >= 2:
+            upd = by_name.get(operands[1], ("", "", []))[0]
+            return shape_bytes(upd)
+        if opcode == "tuple":
+            return sum(leaf_bytes(o) for o in operands)
+        if opcode == "bitcast" and operands:
+            return leaf_bytes(operands[0])
+        return shape_bytes(shape)
+
+    if root_name is None:
+        return out_b
+    return min(leaf_bytes(root_name), out_b)
+
+
 def traffic_bounds(hlo_text: str) -> dict:
     """Parse optimized HLO -> {'upper': bytes, 'lower': bytes, 'n_instr': n}.
 
     Walks the entry computation plus every while/conditional/call body
     reachable from it (loop bodies counted ONCE — trip-count scaling is the
-    caller's job, same convention as XLA's cost analysis)."""
+    caller's job, same convention as XLA's cost analysis). Control-flow
+    instructions themselves are uncharged: their operand/result tuples alias
+    through to the called computation. Fusion bodies are NOT walked for the
+    upper (internal temporaries live in VMEM) but ARE consulted for the
+    lower's slice-utilization and update-write refinements.
+    """
     comps = parse_hlo(hlo_text)
     if not comps:
         return {"upper": 0, "lower": 0, "n_instr": 0}
-    shape_of = {}
-    for comp in comps.values():
-        for name, shape, *_ in comp:
-            shape_of[name] = shape
+    shape_in: dict[str, dict[str, str]] = {
+        cn: {name: shape for name, shape, *_ in rows}
+        for cn, rows in comps.items()}
 
     upper = 0
-    written: dict[str, int] = {}         # buffer -> output bytes (once each)
-    read_once: dict[str, int] = {}       # buffer -> bytes (first read only)
+    written: dict[tuple, int] = {}     # (comp, buffer) -> bytes (once each)
+    read_eff: dict[tuple, int] = {}    # (comp, buffer) -> max effective read
     n_instr = 0
     seen = set()
 
@@ -143,25 +251,49 @@ def traffic_bounds(hlo_text: str) -> dict:
         if comp_name in seen or comp_name not in comps:
             return
         seen.add(comp_name)
+        shapes = shape_in[comp_name]
         for name, shape, opcode, operands, called in comps[comp_name]:
+            if opcode in _CTRL_OPS:
+                for cn in called:
+                    walk(cn)
+                continue
             if opcode in _FREE_OPS:
                 continue
             if opcode.endswith(("-done", "-update")):
                 continue                   # the -start charged the transfer
             out_b = shape_bytes(shape)
-            upper += out_b + sum(shape_bytes(shape_of.get(o, ""))
-                                 for o in operands)
-            written.setdefault(name, out_b)
-            for o in operands:
-                read_once.setdefault(o, shape_bytes(shape_of.get(o, "")))
+            op_full = [shape_bytes(shapes.get(o, "")) for o in operands]
+            upper += out_b + sum(op_full)
             n_instr += 1
-            if opcode in ("while", "conditional", "call"):
-                for cn in called:
-                    walk(cn)
+
+            # --- lower-bound effective bytes ---
+            fus_need = None
+            write_b = out_b
+            if opcode == "fusion" and called and called[0] in comps:
+                fus_need = _fusion_param_read_bytes(
+                    comps[called[0]], shape_in[called[0]])
+                write_b = _fusion_write_bytes(comps[called[0]], out_b)
+            elif opcode == "dynamic-update-slice" and len(operands) >= 2:
+                write_b = min(
+                    shape_bytes(shapes.get(operands[1], "")), out_b)
+            written.setdefault((comp_name, name), write_b)
+            for pos, o in enumerate(operands):
+                if fus_need is not None:
+                    eff = min(fus_need.get(pos, op_full[pos]), op_full[pos])
+                elif opcode in _SLICE_OPS and pos == 0:
+                    eff = min(out_b, op_full[pos])
+                elif opcode == "dynamic-update-slice" and pos == 0:
+                    eff = 0                # aliased in place, never re-read
+                else:
+                    eff = op_full[pos]
+                key = (comp_name, o)
+                read_eff[key] = max(read_eff.get(key, 0), eff)
 
     walk(entry_computation(comps))
-    lower = sum(written.values()) + sum(read_once.values())
-    return {"upper": upper, "lower": min(lower, upper), "n_instr": n_instr}
+    lower = sum(written.values()) + sum(read_eff.values())
+    lower = min(lower, upper)
+    assert lower <= upper, (lower, upper)
+    return {"upper": upper, "lower": lower, "n_instr": n_instr}
 
 
 def compiled_traffic_bounds(compiled) -> dict:

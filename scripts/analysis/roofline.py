@@ -115,7 +115,12 @@ def main(argv=None) -> None:
         bounds = compiled_traffic_bounds(fn1.lower(p1, o1, b1).compile())
         xla_flops = bounds.get("xla_flops", 0.0)
         xla_bytes = bounds.get("xla_bytes_accessed", 0.0)
+        # BOTH interval bounds from the one hlo_bytes parse (the r4 interval
+        # inverted because upper came from XLA's aggregate and lower from a
+        # parse with different coverage); XLA's number is reference-only.
+        bytes_upper = float(bounds["upper"])
         bytes_lower = float(bounds["lower"])
+        assert bytes_lower <= bytes_upper, bounds
         try:
             mem = compiled.memory_analysis()
             peak_bytes = int(getattr(mem, "temp_size_in_bytes", 0)
@@ -141,11 +146,13 @@ def main(argv=None) -> None:
             "xla_mfu": round(xla_flops / dt / V5E_PEAK_FLOPS, 4),
             "xla_flops_per_step": xla_flops,
             "xla_bytes_per_step": xla_bytes,
+            "bytes_upper_per_step": bytes_upper,
             "bytes_lower_per_step": bytes_lower,
-            "gbps_upper": round(xla_bytes / dt / 1e9, 1),
+            "gbps_upper": round(bytes_upper / dt / 1e9, 1),
             "gbps_lower": round(bytes_lower / dt / 1e9, 1),
-            "hbm_bw_frac_upper": round(xla_bytes / dt / V5E_PEAK_BW, 4),
+            "hbm_bw_frac_upper": round(bytes_upper / dt / V5E_PEAK_BW, 4),
             "hbm_bw_frac_lower": round(bytes_lower / dt / V5E_PEAK_BW, 4),
+            "hbm_bw_frac_xla": round(xla_bytes / dt / V5E_PEAK_BW, 4),
             "mem_footprint_gb": round(peak_bytes / 2**30, 2),
         }
         results.append(row)
