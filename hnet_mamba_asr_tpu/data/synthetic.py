@@ -83,7 +83,7 @@ def build_tone_corpus(root: str | Path, *, n_utts: int = 24, seed: int = 0,
     return entries
 
 
-def build_tone_corpus_heldout(root: str | Path, *, n_train: int = 32,
+def build_tone_corpus_heldout(root: str | Path, *, n_train: int = 96,
                               n_dev: int = 8, n_eval: int = 12, seed: int = 0,
                               min_words: int = 2, max_words: int = 5
                               ) -> tuple[list[dict], list[dict], list[dict]]:
@@ -133,7 +133,14 @@ def build_tone_corpus_heldout(root: str | Path, *, n_train: int = 32,
         wave_rng = np.random.default_rng((seed, 0xA0 + si))  # fresh noise
         entries = []
         for i, words in enumerate(split_seqs):
-            wave = tone_utterance(list(words), wave_rng)
+            # jitter the TRAIN noise floor per utterance: identical noise
+            # statistics across train utterances let the tiny model key on
+            # the noise realization itself; varied amplitude forces the
+            # tone->token map to carry the decision (held-out splits keep
+            # the fixed default floor — the gate's difficulty is unchanged)
+            amp = (float(wave_rng.uniform(0.004, 0.02))
+                   if split == "train-960" else 0.01)
+            wave = tone_utterance(list(words), wave_rng, noise=amp)
             path = root / f"{tag}{i}.wav"
             write_wav(path, wave, SAMPLE_RATE)
             entries.append({"id": f"{tag}{i}", "audio": str(path),
@@ -152,7 +159,8 @@ def overfit_config(root: str | Path, *, compression_n: int = 1,
                    ratio_weight: float = 0.03, d_model: int = 32,
                    batch_bins: int = 8000, precision: str = "fp32",
                    valid_interval: int = 10, scan_steps: int = 1,
-                   arch_type: str = "A") -> str:
+                   arch_type: str = "A", ctc_weight: float = 1.0,
+                   aed_weight: float = 0.0) -> str:
     """The gate config as YAML text: tiny Type A model, CTC-only, no SpecAug.
 
     ``compression_n`` > 1 turns on real H-Net dynamic chunking (the N=2
@@ -179,7 +187,8 @@ encoder_conf: {{arch_type: {arch_type}, d_outer: {d_model}, d_main: {d_model},
                 n_enc: 1, n_main: 1, n_dec: 1, n_mid: 1, d_state: 16,
                 headdim: 16, ssd_chunk_size: 32, dropout: 0.0, hnet: {hnet}}}
 head: ctc
-model_conf: {{ctc_weight: 1.0, aed_weight: 0.0, ratio_weight: {ratio_weight}}}
+model_conf: {{ctc_weight: {ctc_weight}, aed_weight: {aed_weight},
+              ratio_weight: {ratio_weight}}}
 batch_bins: {batch_bins}
 optim: adamw
 optim_conf: {{lr: {lr}, weight_decay: 0.0}}

