@@ -204,7 +204,8 @@ def _beam_scan(aed, params, memory, memory_lengths, max_steps, ctc_logp,
                lm_params=None, *,
                beam_size: int, nbest: int, length_bonus: float, pre: int,
                N_ITERS: int, ctc_weight: float, blank: int,
-               lm_model=None, lm_ids=(1, 2, 3), psi_matmul: bool = True):
+               lm_model=None, lm_ids=(1, 2, 3), psi_matmul: bool = True,
+               early_exit: bool = True):
     """Jittable core. memory [B, S, d]; max_steps [B] int32 (per-utt cap);
     ctc_logp [B, T, W] or None (pure AED). Returns pool + alive state after
     the scan. N_ITERS (static, bucketed) bounds the scan; iterations past
@@ -431,6 +432,12 @@ def _beam_scan(aed, params, memory, memory_lengths, max_steps, ctc_logp,
     # state["active"]), so exiting early is exact, not approximate
     def _cond(carry):
         t, st = carry
+        # early_exit=False runs the full trip cap regardless of activity
+        # (inert trips only) — the measurement baseline that quantifies the
+        # early exit's realized win within one run (bench_decode_trained,
+        # HMASR_NO_EARLY_EXIT=1 at the call site)
+        if not early_exit:
+            return t < N_ITERS
         return (t < N_ITERS) & st["active"].any()
 
     def _wbody(carry):
@@ -528,8 +535,10 @@ def beam_search_device(aed, params, features, lengths, *,
     # (kept for within-run A/B against the MXU matmul form)
     import os
     psi_matmul = os.environ.get("HMASR_PSI_LOOP", "0") != "1"
+    early_exit = os.environ.get("HMASR_NO_EARLY_EXIT", "0") != "1"
     key = (aed, beam_size, nbest, float(length_bonus), pre, n_iters,
-           use_ctc, float(ctc_weight), blank_id, lm_model, lm_ids, psi_matmul)
+           use_ctc, float(ctc_weight), blank_id, lm_model, lm_ids, psi_matmul,
+           early_exit)
     fn = _JIT_CACHE.get(key)
     if fn is None:
         import functools
@@ -538,7 +547,8 @@ def beam_search_device(aed, params, features, lengths, *,
             length_bonus=length_bonus, pre=pre, N_ITERS=n_iters,
             ctc_weight=float(ctc_weight) if use_ctc else 0.0,
             blank=int(blank_id) if use_ctc else 0,
-            lm_model=lm_model, lm_ids=lm_ids, psi_matmul=psi_matmul))
+            lm_model=lm_model, lm_ids=lm_ids, psi_matmul=psi_matmul,
+            early_exit=early_exit))
         _JIT_CACHE[key] = fn
     out = fn({"params": params}, features, jnp.asarray(lens, jnp.int32),
              jnp.asarray(max_steps), ctc_arg,

@@ -134,7 +134,11 @@ def run(args) -> dict:
          "name": "joint_beam"},
     ]
     lm = None
-    arms = {"": cells}
+    # no_exit: the SAME search forced to run its full trip cap (inert trips
+    # only) — the within-run baseline that quantifies the early exit's win
+    arms = {"": cells,
+            "no_exit:": [dict(c, name="no_exit:" + c["name"])
+                         for c in cells if c["read_out"] in ("aed", "joint")]}
     if args.lm:
         import jax.numpy as jnp
 
@@ -156,27 +160,31 @@ def run(args) -> dict:
             {"read_out": "joint", "search": "beam", "lm": True,
              "name": "joint_beam_lm"},
         ]
-        arms = {"": cells + lm_cells,
-                # baseline arm: unconditional per-frame LM step (the r4
-                # behavior) for the skip's within-run A/B
-                "every_frame:": [dict(c, name="every_frame:" + c["name"])
-                                 for c in lm_cells]}
+        arms[""] = cells + lm_cells
+        # baseline arm: unconditional per-frame LM step (the r4
+        # behavior) for the skip's within-run A/B
+        arms["every_frame:"] = [dict(c, name="every_frame:" + c["name"])
+                                for c in lm_cells]
 
     from hnet_mamba_asr_tpu.decoders import device_beam
     relay_before = ping()
     print(f"device={jax.devices()[0].platform} B={B} audio={audio_s:.1f}s "
           f"beam={args.beam} relay={relay_before['relay_state']}", flush=True)
 
+    _ARM_ENV = {"every_frame": "HMASR_LM_EVERY_FRAME",
+                "no_exit": "HMASR_NO_EARLY_EXIT"}
+
     def run_cell(cell):
-        env_flag = cell["name"].startswith("every_frame:")
-        if env_flag:
-            os.environ["HMASR_LM_EVERY_FRAME"] = "1"
+        prefix = cell["name"].split(":", 1)[0] if ":" in cell["name"] else None
+        var = _ARM_ENV.get(prefix)
+        if var:
+            os.environ[var] = "1"
         try:
             return decode_batch(model, params, tok, dict(batch), cell, dc,
                                 lm=lm)
         finally:
-            if env_flag:
-                os.environ.pop("HMASR_LM_EVERY_FRAME", None)
+            if var:
+                os.environ.pop(var, None)
 
     all_cells = [c for group in arms.values() for c in group]
     refs = {}
@@ -184,10 +192,11 @@ def run(args) -> dict:
         recs = run_cell(cell)
         assert len(recs) == B
         refs[cell["name"]] = [r["hyp"] for r in recs]
-    # the skip must not change transcripts
-    for c in arms.get("every_frame:", []):
-        base = c["name"].split(":", 1)[1]
-        assert refs[c["name"]] == refs[base], (c["name"], "skip changed hyps")
+    # neither the LM skip nor the forced full-cap run may change transcripts
+    for prefix in ("every_frame:", "no_exit:"):
+        for c in arms.get(prefix, []):
+            base = c["name"].split(":", 1)[1]
+            assert refs[c["name"]] == refs[base], (c["name"], "changed hyps")
 
     trials = {c["name"]: [] for c in all_cells}
     for _ in range(args.trials):                        # interleaved
@@ -220,6 +229,10 @@ def run(args) -> dict:
             doc.setdefault("early_exit", {})[name] = {
                 "n_steps": st["n_steps"], "n_iters": st["n_iters"],
                 "fired": st["n_steps"] < st["n_iters"]}
+    for c in ("aed_beam", "joint_beam", "aed_beam_lm", "joint_beam_lm"):
+        if "no_exit:" + c in rtf and rtf.get(c):
+            doc.setdefault("early_exit_speedup", {})[c] = round(
+                rtf["no_exit:" + c] / max(rtf[c], 1e-9), 3)
     if args.lm:
         for c in ("ctc_beam_lm", "aed_beam_lm", "joint_beam_lm"):
             if "every_frame:" + c in rtf and rtf[c]:
