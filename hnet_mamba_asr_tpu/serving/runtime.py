@@ -92,9 +92,16 @@ class ServingModel:
         self.blank_id = manifest.get("blank_id")
         self.emit = tuple(manifest["emit"])
 
+        import jax
         from jax import export as jax_export
+        # params live ON DEVICE from load: .call device_puts numpy args on
+        # EVERY invocation, and re-shipping ~weights-sized traffic per call
+        # dominates tick latency on high-latency transports (measured: the
+        # Small streaming solo tick fell ~3 s -> ~0.1 s through the TPU
+        # relay once params stopped round-tripping)
         with np.load(d / "params.npz") as z:
-            self._params = params_to_tree({k: z[k] for k in z.files})
+            self._params = jax.device_put(
+                params_to_tree({k: z[k] for k in z.files}))
         self._fns = {}
         for b in manifest["buckets"]:
             key = (int(b["batch"]), int(b["samples"]))
@@ -226,11 +233,17 @@ class StreamingServingModel:
                 f"artifact exported at batch {s['batch']} — use "
                 "StreamingSessionPool for multi-session artifacts")
 
+        import jax
         from jax import export as jax_export
+        # device-resident params + state template: the carried states stay
+        # on device across feeds (only token outputs are fetched), and
+        # params never re-ship after load (see ServingModel)
         with np.load(d / "params.npz") as z:
-            self._params = params_to_tree({k: z[k] for k in z.files})
+            self._params = jax.device_put(
+                params_to_tree({k: z[k] for k in z.files}))
         with np.load(d / "states.npz") as z:
-            self._states0 = params_to_tree({k: z[k] for k in z.files})
+            self._states0 = jax.device_put(
+                params_to_tree({k: z[k] for k in z.files}))
         self._fn = jax_export.deserialize((d / s["file"]).read_bytes())
         self.reset()
 
@@ -358,9 +371,11 @@ class StreamingSessionPool:
         self.blank_id = int(manifest["blank_id"])
         self._rnnt = "rnnt_ids" in manifest.get("emit", [])
         self._beam = s.get("decode") == "beam"
+        import jax
         from jax import export as jax_export
         with np.load(d / "params.npz") as z:
-            self._params = params_to_tree({k: z[k] for k in z.files})
+            self._params = jax.device_put(
+                params_to_tree({k: z[k] for k in z.files}))
         with np.load(d / "states.npz") as z:
             self._template = params_to_tree({k: z[k] for k in z.files})
         self._fn = jax_export.deserialize((d / s["file"]).read_bytes())
@@ -455,6 +470,12 @@ class StreamingSessionPool:
         else:
             ids, new_states = self._fn.call(self._params, wave, states)
             ids = np.asarray(ids)
+        import jax
+        # one host copy per leaf per tick; the per-row slicing below then
+        # costs nothing (np.asarray of a fetched jax array re-copies the
+        # WHOLE leaf, so slicing rows before this fetch paid B full-leaf
+        # transfers per leaf)
+        new_states = jax.device_get(new_states)
         for slot, (sid, n_valid) in enumerate(group):
             ses = self._sessions[sid]
             ses.states = _tree_row(new_states, slot)
