@@ -382,6 +382,17 @@ class StreamingSessionPool:
         self._sessions: dict[int, _StreamSession] = {}
         self._next_sid = 0
         self._lock = threading.Lock()
+        # Device-resident pooled state: after a tick, the [B, ...] state tree
+        # stays ON DEVICE paired with its slot->sid layout. The next tick
+        # reuses it directly when the layout is unchanged (the steady
+        # lockstep case), so steady-state ticks move ZERO state bytes over
+        # the transport — only the token outputs are fetched. Host rows are
+        # materialized lazily, only when sessions churn slots.
+        # HMASR_POOL_HOST_STATES=1 restores the gather/scatter-every-tick
+        # path (A/B + debugging).
+        import os
+        self._resident = None            # (device state tree, slot sids)
+        self._host_states = os.environ.get("HMASR_POOL_HOST_STATES") == "1"
 
     # -- session lifecycle ----------------------------------------------------
     def open(self) -> int:
@@ -448,18 +459,45 @@ class StreamingSessionPool:
             for i in range(0, len(ready), self.B):
                 self._tick(ready[i:i + self.B])
 
+    def _sync_host(self) -> None:
+        """Materialize the device-resident state rows into their sessions.
+        Lazy: runs only when the next tick's slot layout differs from the
+        resident one (session churn) — never in the steady lockstep case.
+        ONE device_get for the whole tree; removed sessions' rows are
+        dropped."""
+        if self._resident is None:
+            return
+        import jax
+        dev_states, slots = self._resident
+        self._resident = None
+        host = jax.device_get(dev_states)
+        for slot, sid in enumerate(slots):
+            ses = self._sessions.get(sid)
+            if ses is not None:
+                ses.states = _tree_row(host, slot)
+
     def _tick(self, group: list[tuple[int, int]]) -> None:
         wave = np.zeros((self.B, self.S_win), np.float32)
-        rows = []
+        sids = tuple(sid for sid, _n in group)
         for slot, (sid, _n) in enumerate(group):
             ses = self._sessions[sid]
             s0 = 4 * ses.e0 * self.hop
             seg = ses.buf[s0 - ses.buf_start:s0 - ses.buf_start + self.S_win]
             wave[slot, :len(seg)] = seg
-            rows.append(ses.states)
-        while len(rows) < self.B:
-            rows.append(self._template)
-        states = _tree_concat(rows)
+        if (self._resident is not None and self._resident[1] == sids
+                and not self._host_states):
+            # layout unchanged -> the last tick's output tree IS this
+            # tick's input; it never left the device. (Pad rows beyond
+            # len(group) carry evolved-from-template junk states, which is
+            # fine: batch rows are independent and pad outputs/states are
+            # never read.)
+            states = self._resident[0]
+        else:
+            self._sync_host()
+            rows = [self._sessions[sid].states for sid in sids]
+            while len(rows) < self.B:
+                rows.append(self._template)
+            states = _tree_concat(rows)
         if self._rnnt:
             nv = np.zeros((self.B,), np.int32)
             for slot, (_sid, n) in enumerate(group):
@@ -470,15 +508,19 @@ class StreamingSessionPool:
         else:
             ids, new_states = self._fn.call(self._params, wave, states)
             ids = np.asarray(ids)
-        import jax
-        # one host copy per leaf per tick; the per-row slicing below then
-        # costs nothing (np.asarray of a fetched jax array re-copies the
-        # WHOLE leaf, so slicing rows before this fetch paid B full-leaf
-        # transfers per leaf)
-        new_states = jax.device_get(new_states)
+        if self._host_states:
+            import jax
+            # one host copy per leaf per tick; the per-row slicing below
+            # then costs nothing (np.asarray of a fetched jax array
+            # re-copies the WHOLE leaf, so slicing rows before this fetch
+            # paid B full-leaf transfers per leaf)
+            host = jax.device_get(new_states)
+            for slot, sid in enumerate(sids):
+                self._sessions[sid].states = _tree_row(host, slot)
+        else:
+            self._resident = (new_states, sids)
         for slot, (sid, n_valid) in enumerate(group):
             ses = self._sessions[sid]
-            ses.states = _tree_row(new_states, slot)
             ses.e0 += n_valid
             keep = 4 * ses.e0 * self.hop
             if keep > ses.buf_start:

@@ -261,8 +261,11 @@ class Trainer:
                 self.params, self.opt_state, stats_k, gnorms = \
                     self._scanned_steps(self.params, self.opt_state, sharded,
                                         self.global_step)
-                stats_k = jax.device_get(stats_k)
-                gnorms = np.asarray(jax.device_get(gnorms))
+                # ONE pytree fetch for stats + gnorms: each device_get is a
+                # transport round trip; on high-latency links (HTTP relay)
+                # per-leaf fetches dominate the inter-window gap
+                stats_k, gnorms = jax.device_get((stats_k, gnorms))
+                gnorms = np.asarray(gnorms)
                 for i, (_, b_real) in enumerate(pending):
                     step_stats = {k: v[i] for k, v in stats_k.items()}
                     self._commit_step(step_stats, gnorms[i], b_real)
