@@ -382,6 +382,14 @@ class StreamingSessionPool:
         self._sessions: dict[int, _StreamSession] = {}
         self._next_sid = 0
         self._lock = threading.Lock()
+        # Continuous batching: one drainer at a time ticks the pool with the
+        # lock RELEASED during each device call, so concurrent feed()s
+        # deposit audio meanwhile and the drainer's next readiness scan
+        # picks them up — interleaved single-session feeds coalesce into
+        # full-B lockstep groups instead of B singleton program calls.
+        self._cond = threading.Condition(self._lock)
+        self._draining = False
+        self.n_ticks = 0          # program calls made (coalescing evidence)
         # Device-resident pooled state: after a tick, the [B, ...] state tree
         # stays ON DEVICE paired with its slot->sid layout. The next tick
         # reuses it directly when the layout is unchanged (the steady
@@ -413,7 +421,7 @@ class StreamingSessionPool:
 
     def feed(self, sid: int, samples) -> list[int]:
         samples = np.asarray(samples, np.float32).reshape(-1)
-        with self._lock:
+        with self._cond:
             ses = self._sessions[sid]
             if ses.finishing:
                 raise ValueError(f"session {sid} is finished")
@@ -423,8 +431,36 @@ class StreamingSessionPool:
             out, ses.pending = ses.pending, []
             return out
 
+    def feed_many(self, items) -> dict[int, list[int]]:
+        """Deposit audio for several sessions, then drain ONCE.
+
+        The synchronous twin of concurrent feed() coalescing: a single
+        driver advancing B sessions round-robin with feed() would tick each
+        session alone (its deposit is the only ready one when its drain
+        runs); depositing the whole round first lets every ready session
+        share full-B lockstep program calls — and the stable slot layout
+        keeps the pooled state device-resident between ticks.
+
+        ``items``: iterable of (sid, samples). Returns {sid: new final ids}.
+        """
+        out: dict[int, list[int]] = {}
+        with self._cond:
+            for sid, samples in items:
+                ses = self._sessions[sid]
+                if ses.finishing:
+                    raise ValueError(f"session {sid} is finished")
+                samples = np.asarray(samples, np.float32).reshape(-1)
+                ses.buf = np.concatenate([ses.buf, samples])
+                ses.total += len(samples)
+                out[sid] = []
+            self._drain()
+            for sid in out:
+                ses = self._sessions[sid]
+                out[sid], ses.pending = ses.pending, []
+            return out
+
     def finish(self, sid: int) -> list[int]:
-        with self._lock:
+        with self._cond:
             ses = self._sessions[sid]
             ses.finishing = True
             mel = max(0, (ses.total - self.win) // self.hop + 1)
@@ -451,13 +487,33 @@ class StreamingSessionPool:
         return 0
 
     def _drain(self) -> None:
+        """Caller holds self._cond's lock. Single-flight: the first thread
+        to find work becomes the drainer and ticks until nothing is ready;
+        the lock is RELEASED during each device call (see _tick), so other
+        threads deposit audio meanwhile and the drainer's next scan batches
+        them into the same program calls. Threads that arrive while a drain
+        is in flight wait — when the drainer exits, the pool was quiescent
+        at that instant (their deposits were scanned), or they become the
+        next drainer themselves."""
         while True:
+            if self._draining:
+                self._cond.wait()
+                continue
             ready = [(sid, n) for sid, ses in self._sessions.items()
                      if (n := self._ready(ses)) > 0]
             if not ready:
                 return
-            for i in range(0, len(ready), self.B):
-                self._tick(ready[i:i + self.B])
+            self._draining = True
+            try:
+                while ready:
+                    for i in range(0, len(ready), self.B):
+                        self._tick(ready[i:i + self.B])
+                    ready = [(sid, n) for sid, ses in self._sessions.items()
+                             if (n := self._ready(ses)) > 0]
+            finally:
+                self._draining = False
+                self._cond.notify_all()
+            return
 
     def _sync_host(self) -> None:
         """Materialize the device-resident state rows into their sessions.
@@ -477,6 +533,15 @@ class StreamingSessionPool:
                 ses.states = _tree_row(host, slot)
 
     def _tick(self, group: list[tuple[int, int]]) -> None:
+        """One pooled program call. Caller (the single-flight drainer) holds
+        the lock; it is RELEASED for the duration of the device call so
+        concurrent feed()/open()/close() proceed — the snapshot before and
+        the scatter after run locked, and sessions closed mid-call are
+        skipped on scatter (sids are never reused)."""
+        group = [(sid, n) for sid, n in group if sid in self._sessions]
+        if not group:
+            return
+        self.n_ticks += 1
         wave = np.zeros((self.B, self.S_win), np.float32)
         sids = tuple(sid for sid, _n in group)
         for slot, (sid, _n) in enumerate(group):
@@ -498,29 +563,41 @@ class StreamingSessionPool:
             while len(rows) < self.B:
                 rows.append(self._template)
             states = _tree_concat(rows)
+        nv = None
         if self._rnnt:
             nv = np.zeros((self.B,), np.int32)
             for slot, (_sid, n) in enumerate(group):
                 nv[slot] = n
-            (toks, tl), new_states = self._fn.call(self._params, wave, nv,
-                                                   states)
-            toks, tl = np.asarray(toks), np.asarray(tl)
-        else:
-            ids, new_states = self._fn.call(self._params, wave, states)
-            ids = np.asarray(ids)
+        self._cond.release()
+        try:
+            if self._rnnt:
+                (toks, tl), new_states = self._fn.call(self._params, wave,
+                                                       nv, states)
+                toks, tl = np.asarray(toks), np.asarray(tl)
+            else:
+                ids, new_states = self._fn.call(self._params, wave, states)
+                ids = np.asarray(ids)
+            host = None
+            if self._host_states:
+                import jax
+                # one host copy per leaf per tick; the per-row slicing
+                # below then costs nothing (np.asarray of a fetched jax
+                # array re-copies the WHOLE leaf, so slicing rows before
+                # this fetch paid B full-leaf transfers per leaf)
+                host = jax.device_get(new_states)
+        finally:
+            self._cond.acquire()
         if self._host_states:
-            import jax
-            # one host copy per leaf per tick; the per-row slicing below
-            # then costs nothing (np.asarray of a fetched jax array
-            # re-copies the WHOLE leaf, so slicing rows before this fetch
-            # paid B full-leaf transfers per leaf)
-            host = jax.device_get(new_states)
+            self._resident = None
             for slot, sid in enumerate(sids):
-                self._sessions[sid].states = _tree_row(host, slot)
+                if sid in self._sessions:
+                    self._sessions[sid].states = _tree_row(host, slot)
         else:
             self._resident = (new_states, sids)
         for slot, (sid, n_valid) in enumerate(group):
-            ses = self._sessions[sid]
+            ses = self._sessions.get(sid)
+            if ses is None:                      # closed while we computed
+                continue
             ses.e0 += n_valid
             keep = 4 * ses.e0 * self.hop
             if keep > ses.buf_start:

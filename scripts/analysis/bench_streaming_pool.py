@@ -84,7 +84,10 @@ def main():
                  for _ in range(B)]
         chunk = 4 * block_enc * 160              # one emission block of audio
 
-        # pooled arm: B concurrent sessions, round-robin feeding
+        # pooled arm: B concurrent sessions advanced in lockstep via
+        # feed_many — each round deposits one chunk per session and drains
+        # ONCE, so every program call carries B valid rows and the stable
+        # slot layout keeps the pooled state device-resident between ticks
         pool = StreamingSessionPool(art_b)
         sids = [pool.open() for _ in range(B)]
         pool.feed(sids[0], waves[0][:chunk])     # warm/compile
@@ -96,15 +99,51 @@ def main():
         n_tok = 0
         pooled_ticks = []                 # wall s per program call (B rows)
         while pos < len(waves[0]):
-            for k, sid in enumerate(sids):
-                tt = time.perf_counter()
-                n_tok += len(pool.feed(sid, waves[k][pos:pos + chunk]))
-                pooled_ticks.append(time.perf_counter() - tt)
+            tt = time.perf_counter()
+            got = pool.feed_many(
+                [(sid, waves[k][pos:pos + chunk])
+                 for k, sid in enumerate(sids)])
+            pooled_ticks.append(time.perf_counter() - tt)
+            n_tok += sum(len(v) for v in got.values())
             pos += chunk
         for sid in sids:
             n_tok += len(pool.finish(sid))
         pooled_s = time.perf_counter() - t0
+        pooled_calls = pool.n_ticks
         pooled_rtf_aggregate = (B * secs) / pooled_s
+
+        # threaded arm: B client threads each feeding its own session with
+        # plain feed() — real server traffic. The single-flight drainer
+        # releases the lock during device calls, so concurrent deposits
+        # coalesce into shared program calls (continuous batching);
+        # n_ticks << B x rounds is the evidence
+        pool2 = StreamingSessionPool(art_b)
+        import threading
+        sids2 = [pool2.open() for _ in range(B)]
+        errs = []
+
+        def client(k, sid):
+            try:
+                p = 0
+                while p < len(waves[k]):
+                    pool2.feed(sid, waves[k][p:p + chunk])
+                    p += chunk
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+        t0 = time.perf_counter()
+        ths = [threading.Thread(target=client, args=(k, sid))
+               for k, sid in enumerate(sids2)]
+        for t in ths:
+            t.start()
+        for t in ths:
+            t.join()
+        for sid in sids2:
+            pool2.finish(sid)
+        threaded_s = time.perf_counter() - t0
+        if errs:
+            raise errs[0]
+        threaded_calls = pool2.n_ticks
+        threaded_rtf_aggregate = (B * secs) / threaded_s
 
         # solo arm: one session through the batch-1 artifact
         solo = StreamingServingModel(art_1)
@@ -131,10 +170,18 @@ def main():
         "export_s": round(export_s, 1),
         "pooled_wall_s": round(pooled_s, 3),
         "pooled_aggregate_realtime_streams": round(pooled_rtf_aggregate, 2),
+        "pooled_program_calls": int(pooled_calls),
         # per-emission latency = what a live caller waits per feed() (judge
         # r4 Weak #6: the r2 artifact predates the transducer beam + pools)
         "pooled_tick_ms": {"p50": pct(pooled_ticks, 50),
                            "p95": pct(pooled_ticks, 95)},
+        # continuous batching under real concurrent traffic: B threads
+        # calling feed(); coalescing shows as program calls ~= the
+        # lockstep arm's, NOT B x rounds
+        "threaded_wall_s": round(threaded_s, 3),
+        "threaded_aggregate_realtime_streams": round(threaded_rtf_aggregate,
+                                                     2),
+        "threaded_program_calls": int(threaded_calls),
         "solo_wall_s": round(solo_s, 3),
         "solo_realtime_streams": round(solo_rtf, 2),
         "solo_tick_ms": {"p50": pct(solo_ticks, 50),

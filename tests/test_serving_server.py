@@ -254,6 +254,73 @@ def test_pool_guards(pool_artifact):
         pool.feed(sid, np.zeros(100, np.float32))
 
 
+def test_pool_feed_many_lockstep_exact_and_batched(pool_artifact):
+    """feed_many deposits a whole round then drains once: transcripts are
+    exactly the solo offline decodes AND the rounds share full-B program
+    calls (n_ticks ~ rounds, not sessions x rounds) with a stable slot
+    layout (the device-resident state path)."""
+    from hnet_mamba_asr_tpu.serving.runtime import StreamingSessionPool
+    model, params, art, tok = pool_artifact
+    pool = StreamingSessionPool(art)
+    waves = [_wave(11000 + 900 * k, seed=20 + k) for k in range(3)]
+    sids = [pool.open() for _ in waves]
+    got = {s: [] for s in sids}
+    chunk = 2000
+    pos = 0
+    while any(pos < len(w) for w in waves):
+        items = [(sid, waves[k][pos:pos + chunk])
+                 for k, sid in enumerate(sids) if pos < len(waves[k])]
+        for sid, toks in pool.feed_many(items).items():
+            got[sid] += toks
+        pos += chunk
+    n_rounds_ticks = pool.n_ticks
+    for k, sid in enumerate(sids):
+        got[sid] += pool.finish(sid)
+        assert got[sid] == _offline_greedy(model, params, waves[k]), k
+    # every mid-stream tick carried all 3 ready sessions: had they ticked
+    # one-by-one the count would be ~3x
+    n_rounds = (max(len(w) for w in waves) + chunk - 1) // chunk
+    assert n_rounds_ticks <= n_rounds + 2, (n_rounds_ticks, n_rounds)
+
+
+def test_pool_concurrent_thread_feeds_exact(pool_artifact):
+    """Continuous batching under real concurrency: client threads calling
+    feed() in parallel (the HTTP server's traffic shape) still produce
+    exactly the solo offline transcripts — deposits made while the
+    single-flight drainer holds the device call are picked up by its next
+    scan, and scatter survives arbitrary interleavings."""
+    import threading as th
+
+    from hnet_mamba_asr_tpu.serving.runtime import StreamingSessionPool
+    model, params, art, tok = pool_artifact
+    pool = StreamingSessionPool(art)
+    waves = [_wave(9000 + 1300 * k, seed=30 + k) for k in range(4)]  # > B
+    sids = [pool.open() for _ in waves]
+    got = {s: [] for s in sids}
+    errs = []
+
+    def client(k, sid, sz):
+        try:
+            p = 0
+            while p < len(waves[k]):
+                got[sid] += pool.feed(sid, waves[k][p:p + sz])
+                p += sz
+            got[sid] += pool.finish(sid)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ths = [th.Thread(target=client, args=(k, sid, 800 + 450 * k))
+           for k, sid in enumerate(sids)]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+    assert not errs, errs
+    for k, sid in enumerate(sids):
+        assert got[sid] == _offline_greedy(model, params, waves[k]), k
+    assert pool.active == 0
+
+
 def test_pool_chunked_n2_sessions_match_offline(tmp_path):
     """Pooled multi-session streaming for a DYNAMIC-CHUNKING config (N=2):
     the step's router/compaction/EMA/state-no-op machinery is per-row exact
