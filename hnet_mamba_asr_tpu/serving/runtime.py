@@ -427,7 +427,7 @@ class StreamingSessionPool:
                 raise ValueError(f"session {sid} is finished")
             ses.buf = np.concatenate([ses.buf, samples])
             ses.total += len(samples)
-            self._drain()
+            self._drain((sid,))
             out, ses.pending = ses.pending, []
             return out
 
@@ -453,7 +453,7 @@ class StreamingSessionPool:
                 ses.buf = np.concatenate([ses.buf, samples])
                 ses.total += len(samples)
                 out[sid] = []
-            self._drain()
+            self._drain(tuple(out))
             for sid in out:
                 ses = self._sessions[sid]
                 out[sid], ses.pending = ses.pending, []
@@ -465,7 +465,7 @@ class StreamingSessionPool:
             ses.finishing = True
             mel = max(0, (ses.total - self.win) // self.hop + 1)
             ses.target_enc = max(0, ((mel - 1) // 2 - 1) // 2)
-            self._drain()
+            self._drain((sid,))
             out = list(ses.partial) if self._beam else ses.pending
             del self._sessions[sid]
             return out
@@ -486,34 +486,46 @@ class StreamingSessionPool:
             return min(self.E, ses.target_enc - ses.e0)
         return 0
 
-    def _drain(self) -> None:
+    def _drain(self, interest=None) -> None:
         """Caller holds self._cond's lock. Single-flight: the first thread
         to find work becomes the drainer and ticks until nothing is ready;
         the lock is RELEASED during each device call (see _tick), so other
         threads deposit audio meanwhile and the drainer's next scan batches
-        them into the same program calls. Threads that arrive while a drain
-        is in flight wait — when the drainer exits, the pool was quiescent
-        at that instant (their deposits were scanned), or they become the
-        next drainer themselves."""
+        them into the same program calls (continuous batching).
+
+        ``interest`` (sids): return as soon as NONE of these sessions has
+        ready work — even while a drain is in flight. A feed whose deposit
+        is not yet a full emission block must NOT park behind someone
+        else's drain: parking would admit exactly one new deposit per
+        drain cycle and serialize the pool into singleton ticks (the bug
+        the coalescing test pins). A caller whose session IS ready waits;
+        the in-flight drainer's next scan ticks it (batched with every
+        other ready session), or the caller becomes the next drainer."""
         while True:
+            if interest is None:
+                mine = [(sid, n) for sid, ses in self._sessions.items()
+                        if (n := self._ready(ses)) > 0]
+            else:
+                mine = [sid for sid in interest
+                        if (ses := self._sessions.get(sid)) is not None
+                        and self._ready(ses) > 0]
+            if not mine:
+                return
             if self._draining:
                 self._cond.wait()
                 continue
-            ready = [(sid, n) for sid, ses in self._sessions.items()
-                     if (n := self._ready(ses)) > 0]
-            if not ready:
-                return
             self._draining = True
             try:
-                while ready:
-                    for i in range(0, len(ready), self.B):
-                        self._tick(ready[i:i + self.B])
+                while True:
                     ready = [(sid, n) for sid, ses in self._sessions.items()
                              if (n := self._ready(ses)) > 0]
+                    if not ready:
+                        break
+                    for i in range(0, len(ready), self.B):
+                        self._tick(ready[i:i + self.B])
             finally:
                 self._draining = False
                 self._cond.notify_all()
-            return
 
     def _sync_host(self) -> None:
         """Materialize the device-resident state rows into their sessions.

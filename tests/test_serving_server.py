@@ -321,6 +321,67 @@ def test_pool_concurrent_thread_feeds_exact(pool_artifact):
     assert pool.active == 0
 
 
+def test_pool_concurrent_feeds_coalesce_when_call_yields(pool_artifact):
+    """The continuous-batching mechanism itself: when the in-flight device
+    call yields to other threads (standard PJRT backends release the GIL;
+    emulated here by wrapping _fn.call with a sleep), deposits made during
+    a tick are batched by the drainer's next scan — total program calls
+    land well under one-per-feed. (Through the axon HTTP relay the call
+    does NOT yield, so the threaded arm of bench_streaming_pool measures
+    one tick per feed; this test pins the logic independent of backend.)"""
+    import threading as th
+    import time as _time
+
+    from hnet_mamba_asr_tpu.serving.runtime import StreamingSessionPool
+    model, params, art, tok = pool_artifact
+    pool = StreamingSessionPool(art)
+    real_fn = pool._fn
+
+    class SlowFn:
+        def call(self, *a):
+            out = real_fn.call(*a)
+            _time.sleep(0.05)       # models a long device call that yields
+            return out
+    pool._fn = SlowFn()
+    waves = [_wave(16000, seed=40 + k) for k in range(3)]
+    sids = [pool.open() for _ in waves]
+    got = {s: [] for s in sids}
+    errs = []
+
+    def client(k, sid):
+        try:
+            p, sz = 0, 2000
+            while p < len(waves[k]):
+                got[sid] += pool.feed(sid, waves[k][p:p + sz])
+                p += sz
+            got[sid] += pool.finish(sid)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ths = [th.Thread(target=client, args=(k, sid))
+           for k, sid in enumerate(sids)]
+    for t in ths:
+        t.start()
+    for t in ths:
+        t.join()
+    assert not errs, errs
+    for k, sid in enumerate(sids):
+        assert got[sid] == _offline_greedy(model, params, waves[k]), k
+    # singleton baseline: the same feed schedule driven serially ticks each
+    # ready session alone — the threaded run must beat it by coalescing
+    # (not a strict equality bound: scheduler noise decides HOW MUCH
+    # overlap happens, but with 50 ms yielding calls some must)
+    serial = StreamingSessionPool(art)
+    ssids = [serial.open() for _ in waves]
+    for k, sid in enumerate(ssids):
+        p = 0
+        while p < len(waves[k]):
+            serial.feed(sid, waves[k][p:p + 2000])
+            p += 2000
+        serial.finish(sid)
+    assert pool.n_ticks < serial.n_ticks, (pool.n_ticks, serial.n_ticks)
+
+
 def test_pool_chunked_n2_sessions_match_offline(tmp_path):
     """Pooled multi-session streaming for a DYNAMIC-CHUNKING config (N=2):
     the step's router/compaction/EMA/state-no-op machinery is per-row exact
